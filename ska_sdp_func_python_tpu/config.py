@@ -1,0 +1,55 @@
+"""Global dtype/precision policy for the TPU framework.
+
+The reference library (ska-sdp-func-python) computes in complex128/float64
+throughout (e.g. /root/reference/src/ska_sdp_func_python/calibration/solvers.py:301).
+TPU hardware has no fast float64, so the policy here is:
+
+* Default compute dtypes follow ``jax.config.jax_enable_x64``: complex64/float32
+  on TPU, complex128/float64 when x64 is enabled (CPU tests, golden parity runs).
+* All kernels are dtype-polymorphic: they derive working dtypes from their
+  inputs via the helpers below rather than hard-coding a precision.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "real_dtype",
+    "complex_dtype",
+    "default_real",
+    "default_complex",
+]
+
+
+def default_real() -> jnp.dtype:
+    """Default real dtype under the current x64 setting."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def default_complex() -> jnp.dtype:
+    """Default complex dtype under the current x64 setting."""
+    return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+
+
+def real_dtype(*arrays) -> jnp.dtype:
+    """Real dtype matching the highest precision among ``arrays``."""
+    for a in arrays:
+        if a is not None and jnp.asarray(a).dtype in (
+            jnp.float64,
+            jnp.complex128,
+        ):
+            return jnp.float64
+    return default_real() if not arrays else jnp.float32
+
+
+def complex_dtype(*arrays) -> jnp.dtype:
+    """Complex dtype matching the highest precision among ``arrays``."""
+    for a in arrays:
+        if a is not None and jnp.asarray(a).dtype in (
+            jnp.float64,
+            jnp.complex128,
+        ):
+            return jnp.complex128
+    return default_complex() if not arrays else jnp.complex64

@@ -1,0 +1,129 @@
+"""Direct Fourier transform predict / inverse (framework L2, C12).
+
+TPU-native redesign of /root/reference/src/ska_sdp_func_python/imaging/dft.py:
+the reference loops over components on CPU (dft_cpu_looped :265) or launches
+an embedded CUDA kernel (:185-337). Here the whole predict is two MXU
+matmuls fused by XLA:
+
+    phase[t,b,f,c] = -2pi * uvw_lambda[t,b,f,:] @ lmn[c,:]^T   (matmul)
+    vis[t,b,f,p]   = exp(1j*phase) @ flux[c,f,p]               (contraction)
+
+batched over channels, jit/vmap/shard_map friendly — no per-component loop.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..models.components import SkyComponents
+from ..models.polarisation import convert_pol_frame
+from ..models.visibility import Visibility
+from ..utils.coordinates import radec_to_lmn
+
+__all__ = [
+    "extract_direction_and_flux",
+    "dft_kernel",
+    "dft_skycomponent_visibility",
+    "idft_visibility_skycomponent",
+]
+
+
+def extract_direction_and_flux(sc: SkyComponents, vis: Visibility):
+    """Component (l, m, n-1) and fluxes resampled onto vis channels/pols.
+
+    Mirrors dft.py:59-118: pol conversion to the vis frame; frequency
+    interpolation (linear here; the reference uses cubic scipy — differences
+    only matter for >1-channel mismatched grids).
+    """
+    flux = sc.flux  # [ncomp, nchan_c, npol_c]
+    if sc.polarisation_frame != vis.polarisation_frame:
+        flux = convert_pol_frame(
+            flux, sc.polarisation_frame, vis.polarisation_frame, polaxis=-1
+        )
+    nchan_c = flux.shape[1]
+    if nchan_c == vis.nchan:
+        vflux = flux
+    elif nchan_c == 1:
+        vflux = jnp.broadcast_to(
+            flux, (flux.shape[0], vis.nchan, flux.shape[2])
+        )
+    else:
+        vflux = jax.vmap(
+            lambda f: jax.vmap(
+                lambda fp: jnp.interp(vis.frequency, sc.frequency, fp),
+                in_axes=1,
+                out_axes=1,
+            )(f)
+        )(flux)
+    l, m, n1 = radec_to_lmn(
+        sc.direction[:, 0],
+        sc.direction[:, 1],
+        vis.phasecentre[0],
+        vis.phasecentre[1],
+    )
+    lmn = jnp.stack([l, m, n1], axis=-1)  # [ncomp, 3]
+    cdtype = jnp.result_type(vis.vis.dtype, jnp.complex64)
+    return lmn, vflux.astype(cdtype)
+
+
+def dft_kernel(direction_cosines, vfluxes, uvw_lambda):
+    """V[t,b,f,p] = sum_c S[c,f,p] exp(-2pi i uvw[t,b,f,:].lmn[c,:])
+    (dft.py:121-286, re-expressed as batched matmuls)."""
+    rdtype = jnp.real(jnp.zeros((), dtype=vfluxes.dtype)).dtype
+    phase = (-2.0 * jnp.pi) * jnp.einsum(
+        "tbfs,cs->tbfc",
+        uvw_lambda.astype(rdtype),
+        direction_cosines.astype(rdtype),
+    )
+    phasor = jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(
+        vfluxes.dtype
+    )
+    return jnp.einsum("tbfc,cfp->tbfp", phasor, vfluxes)
+
+
+def dft_skycomponent_visibility(
+    vis: Visibility, sc: SkyComponents
+) -> Visibility:
+    """Predict visibilities from components, overwriting ``vis.vis``
+    (dft.py:32-55)."""
+    if sc is None or sc.ncomp == 0:
+        return vis
+    lmn, vflux = extract_direction_and_flux(sc, vis)
+    new_vis = dft_kernel(lmn, vflux, vis.uvw_lambda)
+    return vis.replace(vis=new_vis.astype(vis.vis.dtype))
+
+
+def idft_visibility_skycomponent(vis: Visibility, sc: SkyComponents):
+    """Estimate component fluxes from visibilities by conjugate-phasor
+    weighted sum (dft.py:340-387). Returns (components, weights)."""
+    if sc is None:
+        return sc, None
+    l, m, n1 = radec_to_lmn(
+        sc.direction[:, 0],
+        sc.direction[:, 1],
+        vis.phasecentre[0],
+        vis.phasecentre[1],
+    )
+    lmn = jnp.stack([l, m, n1], axis=-1)  # [ncomp, 3]
+    rdtype = jnp.real(jnp.zeros((), dtype=vis.vis.dtype)).dtype
+    phase = (-2.0 * jnp.pi) * jnp.einsum(
+        "tbfs,cs->tbfc", vis.uvw_lambda.astype(rdtype), lmn.astype(rdtype)
+    )
+    conj_phasor = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase)).astype(
+        vis.vis.dtype
+    )
+    wv = vis.flagged_weight * jnp.ones((1,), dtype=vis.weight.dtype)
+    flux = jnp.einsum(
+        "tbfp,tbfc->cfp", wv.astype(vis.vis.dtype) * vis.flagged_vis, conj_phasor
+    )
+    weight = jnp.sum(vis.flagged_weight, axis=(0, 1))  # [nchan, npol]
+    flux = jnp.where(weight[None] > 0.0, flux / jnp.where(weight[None] > 0.0, weight[None], 1.0), 0.0)
+    flux = jnp.real(flux)
+    if sc.polarisation_frame != vis.polarisation_frame:
+        flux = jnp.real(
+            convert_pol_frame(
+                flux, vis.polarisation_frame, sc.polarisation_frame, polaxis=-1
+            )
+        )
+    return sc.replace(flux=flux), weight
