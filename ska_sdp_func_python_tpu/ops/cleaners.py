@@ -1,0 +1,510 @@
+"""CLEAN minor-cycle kernels (framework L2, C17): Hogbom, complex Hogbom,
+multi-scale, and multi-scale multi-frequency CLEAN.
+
+TPU-native redesign of /root/reference/src/ska_sdp_func_python/image/
+cleaners.py. The reference runs python ``for`` loops with numpy patch
+subtraction (cleaners.py:83-118, :403-452, :831-876). Here each minor cycle
+is a ``lax.while_loop`` that stays on device:
+
+* the greedy peak search is a fused argmax over the (scale x) image;
+* the PSF patch subtraction uses PSFs pre-padded to twice the image size so
+  every update is a static-shape ``dynamic_slice`` — no data-dependent
+  shapes, no host synchronisation per iteration;
+* early stopping is the while-loop condition (matching the reference's
+  break semantics, including its 0.9 threshold factor for hogbom/msclean).
+
+Independent channels batch with ``vmap`` (see ops/deconvolution.py).
+Numerical parity with the reference kernels is asserted differentially in
+tests/test_cleaners.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pswf import grdsf
+
+__all__ = [
+    "hogbom",
+    "hogbom_complex",
+    "msclean",
+    "msmfsclean",
+    "create_scalestack",
+    "convolve_scalestack",
+    "convolve_convolve_scalestack",
+]
+
+
+def _pad_psf_like(psf, ny, nx):
+    """Embed psf into a (2*ny, 2*nx) zero canvas with the psf centre pixel at
+    (ny, nx), so ``dynamic_slice(canvas, (ny - my, nx - mx))`` reproduces the
+    reference's overlapIndices patch logic (cleaners.py:235-277) with static
+    shapes."""
+    py, px = psf.shape[-2:]
+    canvas = jnp.zeros(psf.shape[:-2] + (2 * ny, 2 * nx), dtype=psf.dtype)
+    oy = ny - py // 2
+    ox = nx - px // 2
+    return jax.lax.dynamic_update_slice(
+        canvas,
+        psf,
+        (0,) * (psf.ndim - 2) + (oy, ox),
+    )
+
+
+def _argmax2d(a):
+    idx = jnp.argmax(a)
+    ny, nx = a.shape[-2:]
+    return idx // nx, idx % nx
+
+
+@partial(jax.jit, static_argnames=("niter",))
+def hogbom(
+    dirty,
+    psf,
+    window=None,
+    gain: float = 0.1,
+    thresh: float = 0.0,
+    niter: int = 100,
+    fracthresh: float = 0.01,
+):
+    """Hogbom CLEAN (cleaners.py:23-133). Returns (comps, residual).
+
+    :param dirty: [ny, nx]; :param psf: [py, px] with unit peak
+    :param window: optional [ny, nx] search window (1 = allowed)
+    """
+    ny, nx = dirty.shape
+    pmax = jnp.max(psf)
+    psf_big = _pad_psf_like(psf, ny, nx)
+    absthresh = jnp.maximum(thresh, fracthresh * jnp.max(jnp.abs(dirty)))
+
+    def cond(state):
+        res, comps, i, done = state
+        return (i < niter) & (~done)
+
+    def body(state):
+        res, comps, i, done = state
+        search = jnp.abs(res * window) if window is not None else jnp.abs(res)
+        my, mx = _argmax2d(search)
+        mval = res[my, mx] * gain / pmax
+        comps = comps.at[my, mx].add(mval)
+        patch = jax.lax.dynamic_slice(
+            psf_big, (ny - my, nx - mx), (ny, nx)
+        )
+        res = res - patch * mval
+        stop = jnp.abs(res[my, mx]) < 0.9 * absthresh
+        return res, comps, i + 1, stop
+
+    res0 = dirty
+    comps0 = jnp.zeros_like(dirty)
+    res, comps, _, _ = jax.lax.while_loop(
+        cond, body, (res0, comps0, 0, False)
+    )
+    return comps, res
+
+
+@partial(jax.jit, static_argnames=("niter",))
+def hogbom_complex(
+    dirty_q,
+    dirty_u,
+    psf_q,
+    psf_u,
+    window=None,
+    gain: float = 0.1,
+    thresh: float = 0.0,
+    niter: int = 100,
+    fracthresh: float = 0.01,
+):
+    """Complex Hogbom CLEAN of Q+iU (cleaners.py:136-232).
+
+    Returns (comps_q, comps_u, res_q, res_u)."""
+    dirty = dirty_q + 1j * dirty_u
+    ny, nx = dirty.shape
+    pmax = jnp.max(psf_q)
+    psf_big = _pad_psf_like(psf_q.astype(dirty.dtype), ny, nx)
+    absthresh = jnp.maximum(thresh, fracthresh * jnp.max(jnp.abs(dirty)))
+
+    def cond(state):
+        res, comps, i, done = state
+        return (i < niter) & (~done)
+
+    def body(state):
+        res, comps, i, done = state
+        search = (
+            jnp.abs(res * window) if window is not None else jnp.abs(res)
+        )
+        my, mx = _argmax2d(search)
+        mval = res[my, mx] * gain / pmax
+        comps = comps.at[my, mx].add(mval)
+        patch = jax.lax.dynamic_slice(
+            psf_big, (ny - my, nx - mx), (ny, nx)
+        )
+        res = res - patch * mval
+        stop = jnp.abs(res[my, mx]) < absthresh
+        return res, comps, i + 1, stop
+
+    res, comps, _, _ = jax.lax.while_loop(
+        cond, body, (dirty, jnp.zeros_like(dirty), 0, False)
+    )
+    return jnp.real(comps), jnp.imag(comps), jnp.real(res), jnp.imag(res)
+
+
+def create_scalestack(npixel_y: int, npixel_x: int, scales, norm=True):
+    """Scale basis blobs [nscales, ny, nx] (cleaners.py:473-507): truncated
+    paraboloid tapered by the PSWF, centred at (ceil(n/2), ceil(n/2))."""
+    nscales = len(scales)
+    ycen = int(np.ceil(float(npixel_y) / 2.0))
+    xcen = int(np.ceil(float(npixel_x) / 2.0))
+    iy = jnp.arange(npixel_y)[:, None] - ycen
+    ix = jnp.arange(npixel_x)[None, :] - xcen
+    stacks = []
+    for scale in scales:
+        if scale > 0:
+            r = jnp.sqrt((iy**2 + ix**2).astype(jnp.float64)) / (scale / 2.0)
+            blob = grdsf(jnp.minimum(r, 1.0))[0] * (1.0 - r**2)
+            blob = jnp.where(r < 1.0, blob, 0.0)
+            blob = jnp.maximum(blob, 0.0)
+            if norm:
+                blob = blob / jnp.sum(blob)
+            stacks.append(blob)
+        else:
+            blob = jnp.zeros((npixel_y, npixel_x))
+            blob = blob.at[ycen, xcen].set(1.0)
+            stacks.append(blob)
+    return jnp.stack(stacks)
+
+
+def _cfft(img):
+    return jnp.fft.fftshift(
+        jnp.fft.fft2(jnp.fft.fftshift(img, axes=(-2, -1)), axes=(-2, -1)),
+        axes=(-2, -1),
+    )
+
+
+def _cifft(img):
+    return jnp.fft.ifftshift(
+        jnp.fft.ifft2(jnp.fft.ifftshift(img, axes=(-2, -1)), axes=(-2, -1)),
+        axes=(-2, -1),
+    )
+
+
+def convolve_scalestack(scalestack, img):
+    """FFT-convolve img with every scale (cleaners.py:511-531)."""
+    ximg = _cfft(img)
+    xscale = _cfft(scalestack)
+    return jnp.real(_cifft(ximg[None] * jnp.conj(xscale)))
+
+
+def convolve_convolve_scalestack(scalestack, img):
+    """Doubly scale-convolved image [ns, ns, ny, nx]
+    (cleaners.py:534-562)."""
+    ximg = _cfft(img)
+    xscale = _cfft(scalestack)
+    xmult = (
+        ximg[None, None] * xscale[None, :] * jnp.conj(xscale[:, None])
+    )
+    return jnp.real(_cifft(xmult))
+
+
+@partial(jax.jit, static_argnames=("niter",))
+def _msclean_loop(
+    res_stack,
+    psf_ss_big,
+    pscale_big,
+    coupling_diag,
+    windowstack,
+    sensitivity,
+    gain,
+    absthresh,
+    niter,
+):
+    nscales, ny, nx = res_stack.shape
+
+    def cond(state):
+        res, comps, i, done = state
+        return (i < niter) & (~done)
+
+    def body(state):
+        res, comps, i, done = state
+        scaled = res / coupling_diag[:, None, None]
+        if windowstack is not None:
+            scaled = scaled * windowstack
+        if sensitivity is not None:
+            # reference multiplies sensitivity twice when searching
+            # (cleaners.py:592-597); replicate
+            scaled = scaled * sensitivity * sensitivity
+        search = jnp.abs(scaled)
+        flat = jnp.argmax(search)
+        mscale = flat // (ny * nx)
+        rem = flat % (ny * nx)
+        my, mx = rem // nx, rem % nx
+        mval = res[mscale, my, mx] / coupling_diag[mscale]
+        stop = jnp.abs(res[mscale, my, mx]) < 0.9 * absthresh
+
+        # cross-scale PSF patch subtraction, static shapes
+        patch = jax.lax.dynamic_slice(
+            psf_ss_big,
+            (0, mscale, ny - my, nx - mx),
+            (nscales, 1, ny, nx),
+        )[:, 0]
+        cpatch = jax.lax.dynamic_slice(
+            pscale_big, (mscale, ny - my, nx - mx), (1, ny, nx)
+        )[0]
+        res_new = res - patch * (gain * mval)
+        comps_new = comps + cpatch * (gain * mval)
+        res = jnp.where(stop, res, res_new)
+        comps = jnp.where(stop, comps, comps_new)
+        return res, comps, i + 1, stop
+
+    comps0 = jnp.zeros((ny, nx), dtype=res_stack.dtype)
+    res, comps, _, _ = jax.lax.while_loop(
+        cond, body, (res_stack, comps0, 0, False)
+    )
+    return comps, res
+
+
+def msclean(
+    dirty,
+    psf,
+    window=None,
+    sensitivity=None,
+    gain: float = 0.1,
+    thresh: float = 0.0,
+    niter: int = 100,
+    scales=(0, 3, 10, 30),
+    fracthresh: float = 0.01,
+):
+    """Multi-scale CLEAN (Cornwell 2008; cleaners.py:279-468).
+
+    Returns (comps, residual)."""
+    ny, nx = dirty.shape
+    pmax = jnp.max(psf)
+    lpsf = psf / pmax
+    ldirty = dirty / pmax
+    scalestack = create_scalestack(ny, nx, scales, norm=True)
+    pscalestack = create_scalestack(
+        psf.shape[0], psf.shape[1], scales, norm=True
+    )
+    res_stack = convolve_scalestack(scalestack, ldirty)
+    psf_ss = convolve_convolve_scalestack(pscalestack, lpsf)
+    coupling = jnp.max(psf_ss, axis=(-2, -1))  # [ns, ns]
+    coupling_diag = jnp.diagonal(coupling)
+
+    if window is None:
+        windowstack = None
+    else:
+        windowstack = (
+            convolve_scalestack(scalestack, jnp.asarray(window)) > 0.9
+        ).astype(dirty.dtype)
+
+    absthresh = jnp.maximum(
+        thresh, fracthresh * jnp.max(jnp.abs(res_stack[0]))
+    )
+    psf_ss_big = _pad_psf_like(
+        psf_ss.reshape(-1, psf.shape[0], psf.shape[1]), ny, nx
+    ).reshape(len(scales), len(scales), 2 * ny, 2 * nx)
+    pscale_big = _pad_psf_like(pscalestack, ny, nx)
+    comps, res = _msclean_loop(
+        res_stack,
+        psf_ss_big,
+        pscale_big,
+        coupling_diag,
+        windowstack,
+        sensitivity,
+        gain,
+        absthresh,
+        niter,
+    )
+    return comps, pmax * res[0]
+
+
+# ------------------------------------------------------------------
+# MSMFS (Rau & Cornwell 2011 Algorithm 1, image-plane parts)
+# ------------------------------------------------------------------
+
+
+def calculate_scale_moment_residual(residual, scalestack):
+    """[nscales, nmoment, ny, nx] (cleaners.py:1034-1052)."""
+    return jnp.stack(
+        [
+            convolve_scalestack(scalestack, residual[t])
+            for t in range(residual.shape[0])
+        ],
+        axis=1,
+    )
+
+
+def calculate_scale_scale_moment_moment_psf(psf, scalestack):
+    """[ns, ns, nm, nm, ny, nx] (cleaners.py:1055-1078)."""
+    nmoment2 = psf.shape[0]
+    nmoment = max(nmoment2 // 2, 1)
+    nscales = scalestack.shape[0]
+    out = []
+    for t in range(nmoment):
+        row = []
+        for q in range(nmoment):
+            row.append(convolve_convolve_scalestack(scalestack, psf[t + q]))
+        out.append(jnp.stack(row))
+    # out[t][q] has shape [ns, ns, ny, nx]; want [ns, ns, t, q, ny, nx]
+    return jnp.stack([jnp.stack(row) for row in out]).transpose(
+        2, 3, 0, 1, 4, 5
+    )
+
+
+def calculate_scale_inverse_moment_moment_hessian(ssmmpsf):
+    """Hessian and inverse per scale (cleaners.py:1081-1104)."""
+    nscales = ssmmpsf.shape[0]
+    ny, nx = ssmmpsf.shape[-2:]
+    hess = ssmmpsf[
+        jnp.arange(nscales), jnp.arange(nscales), :, :, ny // 2, nx // 2
+    ]
+    return hess, jnp.linalg.inv(hess)
+
+
+@partial(jax.jit, static_argnames=("niter", "findpeak"))
+def _msmfs_loop(
+    smres,
+    ssmm_big,
+    pscale_big,
+    hsmmpsf,
+    ihsmmpsf,
+    windowstack,
+    sensitivity,
+    gain,
+    absthresh,
+    niter,
+    findpeak,
+):
+    nscales, nmoment, ny, nx = smres.shape
+
+    def find_peak(smres):
+        smpsol = jnp.einsum("smn,smxy->snxy", ihsmmpsf, smres)
+        if findpeak == "CASA":
+            dchisq = 2.0 * jnp.einsum(
+                "smxy,smxy->sxy", smpsol, smres
+            ) - jnp.einsum(
+                "smn,smxy,snxy->sxy", hsmmpsf, smpsol, smpsol
+            )
+            crit = dchisq[:, None]
+        else:  # Algorithm1 / RASCIL
+            crit = smpsol
+        search = crit[:, 0]
+        if windowstack is not None:
+            search = search * windowstack
+        if sensitivity is not None:
+            search = search * sensitivity
+        flat = jnp.argmax(jnp.abs(search))
+        mscale = flat // (ny * nx)
+        rem = flat % (ny * nx)
+        # reference finds x,y from the *unwindowed* smpsol of that scale
+        # (cleaners.py:1152-1155); replicate
+        inner = jnp.abs(
+            jax.lax.dynamic_slice(
+                smpsol, (mscale, 0, 0, 0), (1, 1, ny, nx)
+            )[0, 0]
+        )
+        flat2 = jnp.argmax(inner)
+        my, mx = flat2 // nx, flat2 % nx
+        mval = jax.lax.dynamic_slice(
+            smpsol, (mscale, 0, my, mx), (1, nmoment, 1, 1)
+        )[0, :, 0, 0]
+        return mscale, my, mx, mval
+
+    def cond(state):
+        smres, model, i, done = state
+        return (i < niter) & (~done)
+
+    def body(state):
+        smres, model, i, done = state
+        mscale, my, mx, mval = find_peak(smres)
+        stop = jnp.abs(mval[0]) < absthresh
+        patch = jax.lax.dynamic_slice(
+            ssmm_big,
+            (mscale, 0, 0, 0, ny - my, nx - mx),
+            (1, nscales, nmoment, nmoment, ny, nx),
+        )[0]
+        smres_new = smres - gain * jnp.einsum(
+            "stqxy,q->stxy", patch, mval
+        )
+        cpatch = jax.lax.dynamic_slice(
+            pscale_big, (mscale, ny - my, nx - mx), (1, ny, nx)
+        )[0]
+        model_new = model + gain * mval[:, None, None] * cpatch[None]
+        smres = jnp.where(stop, smres, smres_new)
+        model = jnp.where(stop, model, model_new)
+        return smres, model, i + 1, stop
+
+    model0 = jnp.zeros((nmoment, ny, nx), dtype=smres.dtype)
+    smres, model, _, _ = jax.lax.while_loop(
+        cond, body, (smres, model0, 0, False)
+    )
+    return model, smres
+
+
+def msmfsclean(
+    dirty,
+    psf,
+    window=None,
+    sensitivity=None,
+    gain: float = 0.1,
+    thresh: float = 0.0,
+    niter: int = 100,
+    scales=(0, 3, 10, 30),
+    fracthresh: float = 0.01,
+    findpeak: str = "RASCIL",
+):
+    """Multi-scale multi-frequency CLEAN (Rau-Cornwell Algorithm 1, image
+    plane; cleaners.py:686-1031) on moment cubes.
+
+    :param dirty: [nmoment, ny, nx] frequency-moment dirty images
+    :param psf: [2*nmoment (or 1), ny, nx] moment PSFs
+    :return: (moment model [nmoment, ny, nx], residual [nmoment, ny, nx])
+
+    Memory note: the padded scale-scale moment-moment PSF is
+    [ns, ns, nm, nm, 2ny, 2nx]; batch channels accordingly.
+    """
+    nmoment, ny, nx = dirty.shape
+    pmax = jnp.max(psf)
+    lpsf = psf / pmax
+    ldirty = dirty / pmax
+    scalestack = create_scalestack(ny, nx, scales, norm=True)
+    pscalestack = create_scalestack(
+        psf.shape[-2], psf.shape[-1], scales, norm=True
+    )
+    smres = calculate_scale_moment_residual(ldirty, scalestack)
+    ssmmpsf = calculate_scale_scale_moment_moment_psf(lpsf, pscalestack)
+    hsmmpsf, ihsmmpsf = calculate_scale_inverse_moment_moment_hessian(
+        ssmmpsf
+    )
+    if window is None:
+        windowstack = None
+    else:
+        windowstack = (
+            convolve_scalestack(scalestack, jnp.asarray(window)) > 0.9
+        ).astype(dirty.dtype)
+    absthresh = jnp.maximum(
+        thresh, fracthresh * jnp.max(jnp.abs(smres[0, 0]))
+    )
+    ns = len(scales)
+    py, px = psf.shape[-2:]
+    ssmm_big = _pad_psf_like(
+        ssmmpsf.reshape(-1, py, px), ny, nx
+    ).reshape(ns, ns, nmoment, nmoment, 2 * ny, 2 * nx)
+    pscale_big = _pad_psf_like(pscalestack, ny, nx)
+    model, smres_out = _msmfs_loop(
+        smres,
+        ssmm_big,
+        pscale_big,
+        hsmmpsf,
+        ihsmmpsf,
+        windowstack,
+        sensitivity,
+        gain,
+        absthresh,
+        niter,
+        findpeak,
+    )
+    return model, pmax * smres_out[0]

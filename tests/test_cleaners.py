@@ -1,0 +1,185 @@
+"""M4 CLEAN kernel tests: differential parity against the reference's
+numpy cleaners (importable — numpy only), plus invariants."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ska_sdp_func_python_tpu.ops.cleaners import (
+    create_scalestack,
+    convolve_scalestack,
+    convolve_convolve_scalestack,
+    hogbom,
+    hogbom_complex,
+    msclean,
+    msmfsclean,
+)
+
+import reference_oracle
+
+
+def _make_dirty_psf(rng, n=64, nsrc=10):
+    """Synthetic dirty/psf pair: random components convolved with a
+    plausible PSF (sinc-gaussian)."""
+    iy, ix = np.mgrid[0:n, 0:n]
+    r2 = (iy - n // 2) ** 2 + (ix - n // 2) ** 2
+    psf = np.exp(-r2 / (2 * 2.5**2)) + 0.1 * np.exp(-r2 / (2 * 8.0**2))
+    psf *= np.cos(0.5 * np.sqrt(r2)) ** 2
+    psf /= psf.max()
+    truth = np.zeros((n, n))
+    ys = rng.integers(10, n - 10, nsrc)
+    xs = rng.integers(10, n - 10, nsrc)
+    truth[ys, xs] = rng.uniform(0.5, 2.0, nsrc)
+    from numpy.fft import fft2, ifft2, fftshift
+
+    dirty = np.real(
+        fftshift(ifft2(fft2(fftshift(truth)) * fft2(fftshift(psf))))
+    )
+    return dirty, psf
+
+
+class TestHogbomParity:
+    def test_matches_reference(self, rng):
+        ref = reference_oracle.load_cleaners()
+        dirty, psf = _make_dirty_psf(rng)
+        c_ref, r_ref = ref.hogbom(
+            dirty.copy(), psf.copy(), None, 0.1, 0.0, 50, 0.01
+        )
+        c, r = hogbom(
+            jnp.asarray(dirty),
+            jnp.asarray(psf),
+            None,
+            gain=0.1,
+            thresh=0.0,
+            niter=50,
+            fracthresh=0.01,
+        )
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(r), r_ref, atol=1e-10)
+
+    def test_with_window(self, rng):
+        ref = reference_oracle.load_cleaners()
+        dirty, psf = _make_dirty_psf(rng)
+        window = np.zeros_like(dirty)
+        window[16:48, 16:48] = 1.0
+        c_ref, r_ref = ref.hogbom(
+            dirty.copy(), psf.copy(), window, 0.1, 0.0, 30, 0.01
+        )
+        c, r = hogbom(
+            jnp.asarray(dirty),
+            jnp.asarray(psf),
+            jnp.asarray(window),
+            gain=0.1,
+            niter=30,
+            fracthresh=0.01,
+        )
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(r), r_ref, atol=1e-10)
+
+    def test_complex_hogbom_matches(self, rng):
+        ref = reference_oracle.load_cleaners()
+        dq, psf = _make_dirty_psf(rng)
+        du, _ = _make_dirty_psf(rng)
+        cq_r, cu_r, rq_r, ru_r = ref.hogbom_complex(
+            dq.copy(), du.copy(), psf.copy(), psf.copy(), None, 0.1, 0.0,
+            30, 0.01,
+        )
+        cq, cu, rq, ru = hogbom_complex(
+            jnp.asarray(dq),
+            jnp.asarray(du),
+            jnp.asarray(psf),
+            jnp.asarray(psf),
+            None,
+            gain=0.1,
+            niter=30,
+            fracthresh=0.01,
+        )
+        np.testing.assert_allclose(np.asarray(cq), cq_r, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(ru), ru_r, atol=1e-10)
+
+
+class TestMscleanParity:
+    def test_scalestack_matches(self):
+        ref = reference_oracle.load_cleaners()
+        scales = [0, 3, 10]
+        ss_ref = ref.create_scalestack([3, 64, 64], scales, norm=True)
+        ss = create_scalestack(64, 64, scales, norm=True)
+        np.testing.assert_allclose(np.asarray(ss), ss_ref, atol=1e-12)
+
+    def test_convolve_matches(self, rng):
+        ref = reference_oracle.load_cleaners()
+        img = rng.normal(size=(64, 64))
+        scales = [0, 3, 10]
+        ss = ref.create_scalestack([3, 64, 64], scales, norm=True)
+        conv_ref = ref.convolve_scalestack(ss, img)
+        conv = convolve_scalestack(jnp.asarray(ss), jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(conv), conv_ref, atol=1e-10)
+        cc_ref = ref.convolve_convolve_scalestack(ss, img)
+        cc = convolve_convolve_scalestack(jnp.asarray(ss), jnp.asarray(img))
+        np.testing.assert_allclose(np.asarray(cc), cc_ref, atol=1e-10)
+
+    def test_msclean_matches_reference(self, rng):
+        ref = reference_oracle.load_cleaners()
+        dirty, psf = _make_dirty_psf(rng)
+        scales = [0, 3, 10]
+        c_ref, r_ref = ref.msclean(
+            dirty.copy(), psf.copy(), None, None, 0.1, 0.0, 30, scales, 0.01
+        )
+        c, r = msclean(
+            jnp.asarray(dirty),
+            jnp.asarray(psf),
+            None,
+            None,
+            gain=0.1,
+            thresh=0.0,
+            niter=30,
+            scales=scales,
+            fracthresh=0.01,
+        )
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r), r_ref, atol=1e-8)
+
+
+class TestMsmfsParity:
+    @pytest.mark.parametrize("findpeak", ["RASCIL", "CASA"])
+    def test_msmfs_matches_reference(self, rng, findpeak):
+        ref = reference_oracle.load_cleaners()
+        nmoment, n = 2, 48
+        dirty = np.zeros((nmoment, n, n))
+        d0, psf0 = _make_dirty_psf(rng, n=n, nsrc=6)
+        d1, _ = _make_dirty_psf(rng, n=n, nsrc=6)
+        dirty[0] = d0
+        dirty[1] = 0.2 * d1
+        psf = np.zeros((2 * nmoment, n, n))
+        for m in range(2 * nmoment):
+            psf[m] = psf0 * (1.0 / (1.0 + m))
+        scales = [0, 4]
+        c_ref, r_ref = ref.msmfsclean(
+            dirty.copy(), psf.copy(), None, None, 0.1, 0.0, 20, scales,
+            0.01, findpeak,
+        )
+        c, r = msmfsclean(
+            jnp.asarray(dirty),
+            jnp.asarray(psf),
+            None,
+            None,
+            gain=0.1,
+            thresh=0.0,
+            niter=20,
+            scales=scales,
+            fracthresh=0.01,
+            findpeak=findpeak,
+        )
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r), r_ref, atol=1e-8)
+
+
+class TestCleanPhysics:
+    def test_hogbom_reduces_residual(self, rng):
+        dirty, psf = _make_dirty_psf(rng)
+        c, r = hogbom(
+            jnp.asarray(dirty), jnp.asarray(psf), niter=200,
+            fracthresh=0.001, gain=0.2,
+        )
+        assert float(jnp.max(jnp.abs(r))) < 0.5 * np.max(np.abs(dirty))
+        assert float(jnp.sum(jnp.abs(c))) > 0
