@@ -1,0 +1,345 @@
+"""Deconvolution drivers (framework L3, C18): CLEAN orchestration on Image
+cubes, beam fitting, and restore.
+
+Re-design of /root/reference/src/ska_sdp_func_python/image/deconvolution.py:
+the reference scatters the cube into per-channel image lists and loops
+channels/pols in python (deconvolution.py:1047-1115); here the cube stays a
+device array and channels/pols batch through the jitted minor-cycle kernels.
+The radler C++ backend (deconvolution.py:163-262) is replaced by the
+framework's own kernels (ops/cleaners.py).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.image import Image
+from .cleaners import hogbom, hogbom_complex, msclean, msmfsclean
+from .image_ops import (
+    convert_clean_beam_to_degrees,
+    convert_clean_beam_to_pixels,
+)
+from .taylor import (
+    calculate_image_frequency_moments,
+    calculate_image_from_frequency_taylor_terms,
+)
+
+log = logging.getLogger("ska-sdp-func-python-tpu")
+
+__all__ = [
+    "deconvolve_cube",
+    "fit_psf",
+    "restore_cube",
+    "find_window",
+    "bound_psf",
+    "common_arguments",
+]
+
+
+def common_arguments(**kwargs):
+    """Extract common clean arguments (deconvolution.py:514-540)."""
+    gain = kwargs.get("gain", 0.1)
+    if gain <= 0.0 or gain >= 2.0:
+        raise ValueError("Loop gain must be between 0 and 2")
+    thresh = kwargs.get("threshold", 0.0)
+    if thresh < 0.0:
+        raise ValueError("Threshold must be positive or zero")
+    niter = kwargs.get("niter", 100)
+    if niter < 0:
+        raise ValueError("niter must be greater than zero")
+    fracthresh = kwargs.get("fractional_threshold", 0.01)
+    if fracthresh < 0.0 or fracthresh > 1.0:
+        raise ValueError("Fractional threshold should be in range 0.0, 1.0")
+    scales = kwargs.get("scales", [0, 3, 10, 30])
+    return fracthresh, gain, niter, thresh, scales
+
+
+def find_window(dirty: Image, window_shape=None, **kwargs):
+    """Construct the clean window (deconvolution.py:282-350): None,
+    "quarter", "no_edge", or an explicit ``mask`` array/Image."""
+    mask = kwargs.get("mask", None)
+    if mask is not None:
+        return jnp.asarray(getattr(mask, "pixels", mask))
+    if window_shape is None:
+        return None
+    ny, nx = dirty.pixels.shape[-2:]
+    window = np.zeros(dirty.pixels.shape)
+    if window_shape == "quarter":
+        qx, qy = nx // 4, ny // 4
+        window[..., qy + 1 : 3 * qy, qx + 1 : 3 * qx] = 1.0
+    elif window_shape == "no_edge":
+        edge = kwargs.get("window_edge", 16)
+        window[..., edge + 1 : ny - edge, edge + 1 : nx - edge] = 1.0
+    else:
+        raise ValueError(f"Window shape {window_shape} is not recognized")
+    return jnp.asarray(window)
+
+
+def bound_psf(dirty: Image, psf: Image, psf_support=None) -> Image:
+    """Crop the PSF to +/- psf_support pixels about its centre
+    (deconvolution.py:352-392)."""
+    ny, nx = dirty.pixels.shape[-2:]
+    if psf_support is None:
+        psf_support = max(ny // 2, nx // 2)
+    py, px = psf.pixels.shape[-2:]
+    if psf_support <= py // 2 and psf_support <= px // 2:
+        cy, cx = py // 2, px // 2
+        cropped = psf.pixels[
+            ...,
+            cy - psf_support : cy + psf_support,
+            cx - psf_support : cx + psf_support,
+        ]
+        return psf.replace(pixels=cropped)
+    return psf
+
+
+def deconvolve_cube(
+    dirty: Image, psf: Image, sensitivity: Image = None, prefix: str = "", **kwargs
+):
+    """CLEAN a dirty image cube (deconvolution.py:50-160, 1047-1115).
+
+    Algorithms: 'hogbom' | 'hogbom-complex' | 'msclean' |
+    'msmfsclean'/'mfsmsclean'/'mmclean'.
+
+    :return: (component Image, residual Image)
+    """
+    algorithm = kwargs.get("algorithm", "msclean")
+    window = find_window(dirty, kwargs.get("window_shape", None), **kwargs)
+    psf = bound_psf(dirty, psf, kwargs.get("psf_support", None))
+    fracthresh, gain, niter, thresh, scales = common_arguments(**kwargs)
+
+    nchan, npol = dirty.nchan, dirty.npol
+    comp = jnp.zeros_like(dirty.pixels)
+    res = jnp.zeros_like(dirty.pixels)
+
+    def win_for(chan, pol):
+        if window is None:
+            return None
+        return window[min(chan, window.shape[0] - 1), pol]
+
+    if algorithm == "hogbom":
+        for chan in range(nchan):
+            for pol in range(npol):
+                if float(jnp.max(psf.pixels[chan, pol])) <= 0.0:
+                    continue
+                c, r = hogbom(
+                    dirty.pixels[chan, pol],
+                    psf.pixels[chan, pol],
+                    win_for(chan, pol),
+                    gain=gain,
+                    thresh=thresh,
+                    niter=niter,
+                    fracthresh=fracthresh,
+                )
+                comp = comp.at[chan, pol].set(c)
+                res = res.at[chan, pol].set(r)
+    elif algorithm == "hogbom-complex":
+        if npol != 4:
+            raise ValueError("hogbom-complex requires stokesIQUV images")
+        for chan in range(nchan):
+            for pol in (0, 3):
+                if float(jnp.max(psf.pixels[chan, pol])) <= 0.0:
+                    continue
+                c, r = hogbom(
+                    dirty.pixels[chan, pol],
+                    psf.pixels[chan, pol],
+                    win_for(chan, pol),
+                    gain=gain,
+                    thresh=thresh,
+                    niter=niter,
+                    fracthresh=fracthresh,
+                )
+                comp = comp.at[chan, pol].set(c)
+                res = res.at[chan, pol].set(r)
+            cq, cu, rq, ru = hogbom_complex(
+                dirty.pixels[chan, 1],
+                dirty.pixels[chan, 2],
+                psf.pixels[chan, 1],
+                psf.pixels[chan, 2],
+                win_for(chan, 1),
+                gain=gain,
+                thresh=thresh,
+                niter=niter,
+                fracthresh=fracthresh,
+            )
+            comp = comp.at[chan, 1].set(cq).at[chan, 2].set(cu)
+            res = res.at[chan, 1].set(rq).at[chan, 2].set(ru)
+    elif algorithm == "msclean":
+        sens = sensitivity.pixels if sensitivity is not None else None
+        for chan in range(nchan):
+            for pol in range(npol):
+                if float(jnp.max(psf.pixels[chan, pol])) <= 0.0:
+                    continue
+                c, r = msclean(
+                    dirty.pixels[chan, pol],
+                    psf.pixels[chan, pol],
+                    win_for(chan, pol),
+                    sens[chan, pol] if sens is not None else None,
+                    gain=gain,
+                    thresh=thresh,
+                    niter=niter,
+                    scales=tuple(scales),
+                    fracthresh=fracthresh,
+                )
+                comp = comp.at[chan, pol].set(c)
+                res = res.at[chan, pol].set(r)
+    elif algorithm in ("msmfsclean", "mfsmsclean", "mmclean"):
+        return _mmclean_cube(
+            dirty, psf, sensitivity, window, **kwargs
+        )
+    else:
+        raise ValueError(f"deconvolve_cube: Unknown algorithm {algorithm}")
+
+    return dirty.replace(pixels=comp), dirty.replace(pixels=res)
+
+
+def _mmclean_cube(dirty, psf, sensitivity, window, **kwargs):
+    """MSMFS on a channel cube via frequency moments
+    (deconvolution.py:645-830)."""
+    fracthresh, gain, niter, thresh, scales = common_arguments(**kwargs)
+    gain = kwargs.get("gain", 0.7)
+    findpeak = kwargs.get("findpeak", "RASCIL")
+    nmoment = kwargs.get("nmoment", 3)
+    nchan = dirty.nchan
+    if not nchan > 2 * (nmoment - 1):
+        raise ValueError(
+            f"Requires nchan > 2*(nmoment-1) ({nchan} > {2 * (nmoment - 1)})"
+        )
+    dirty_taylor = calculate_image_frequency_moments(dirty, nmoment=nmoment)
+    nmoment_for_psf = 2 * nmoment if nmoment > 1 else 1
+    psf_taylor = calculate_image_frequency_moments(
+        psf, nmoment=nmoment_for_psf
+    )
+    psf_peak = jnp.max(psf_taylor.pixels)
+    dpix = dirty_taylor.pixels / psf_peak
+    ppix = psf_taylor.pixels / psf_peak
+    if sensitivity is not None:
+        sens_taylor = (
+            calculate_image_frequency_moments(sensitivity, nmoment=nmoment)
+            .pixels
+            / nchan
+        )
+    else:
+        sens_taylor = None
+    if window is not None:
+        from .cleaners import create_scalestack  # noqa: F401
+
+        w_taylor = calculate_image_frequency_moments(
+            dirty.replace(pixels=window.astype(dirty.pixels.dtype)),
+            nmoment=nmoment,
+        ).pixels / nchan
+    else:
+        w_taylor = None
+
+    npol = dirty.npol
+    comp_t = jnp.zeros_like(dpix)
+    res_t = jnp.zeros_like(dpix)
+    for pol in range(npol):
+        if float(jnp.max(ppix[0, 0])) <= 0.0:
+            continue
+        c, r = msmfsclean(
+            dpix[:, pol],
+            ppix[:, 0],
+            w_taylor[0, pol] if w_taylor is not None else None,
+            sens_taylor[:, pol] if sens_taylor is not None else None,
+            gain=gain,
+            thresh=thresh,
+            niter=niter,
+            scales=tuple(scales),
+            fracthresh=fracthresh,
+            findpeak=findpeak,
+        )
+        comp_t = comp_t.at[:, pol].set(c)
+        res_t = res_t.at[:, pol].set(r)
+
+    comp_taylor = dirty_taylor.replace(pixels=comp_t * psf_peak)
+    res_taylor = dirty_taylor.replace(pixels=res_t)
+    comp = calculate_image_from_frequency_taylor_terms(dirty, comp_taylor)
+    residual = calculate_image_from_frequency_taylor_terms(dirty, res_taylor)
+    return comp, residual
+
+
+def fit_psf(psf: Image) -> dict:
+    """Fit a 2-D Gaussian to the PSF core (deconvolution.py:1119-1160).
+
+    Host-side least-squares on the central 15x15 pixels (scipy replaces
+    astropy's LevMar fitter). Returns {bmaj, bmin, bpa} in degrees.
+    """
+    from scipy.optimize import least_squares
+
+    npixel = psf.pixels.shape[3]
+    sl = slice(npixel // 2 - 7, npixel // 2 + 8)
+    z = np.asarray(psf.pixels[0, 0, sl, sl])
+    y, x = np.mgrid[sl, sl]
+
+    def gauss2d(p, x, y):
+        amp, x0, y0, sx, sy, th = p
+        ct, st = np.cos(th), np.sin(th)
+        a = ct**2 / (2 * sx**2) + st**2 / (2 * sy**2)
+        b = st * ct * (1 / (2 * sx**2) - 1 / (2 * sy**2))
+        c = st**2 / (2 * sx**2) + ct**2 / (2 * sy**2)
+        return amp * np.exp(
+            -(a * (x - x0) ** 2 + 2 * b * (x - x0) * (y - y0) + c * (y - y0) ** 2)
+        )
+
+    p0 = [float(z.max()), float(x.mean()), float(y.mean()), 1.5, 1.5, 0.0]
+    try:
+        sol = least_squares(
+            lambda p: (gauss2d(p, x, y) - z).ravel(), p0, method="lm"
+        )
+        sx, sy, th = abs(sol.x[3]), abs(sol.x[4]), sol.x[5]
+        if sx <= 0.0 or sy <= 0.0 or not sol.success:
+            beam_pixels = (1.0, 1.0, 0.0)
+        else:
+            beam_pixels = (sx, sy, th)
+    except Exception:  # pragma: no cover - fit failure fallback
+        log.warning("fit_psf: fit failed, using 1 pixel stddev")
+        beam_pixels = (1.0, 1.0, 0.0)
+    return convert_clean_beam_to_degrees(psf, beam_pixels)
+
+
+def restore_cube(
+    model: Image, psf: Image = None, residual: Image = None, clean_beam=None
+) -> Image:
+    """Convolve the model with the clean beam and add residuals
+    (deconvolution.py:949-1045, 1162-1191)."""
+    if clean_beam is None:
+        if psf is None:
+            raise ValueError(
+                "restore_cube: either psf or clean_beam must be specified"
+            )
+        clean_beam = fit_psf(psf)
+    beam_pixels = convert_clean_beam_to_pixels(model, clean_beam)
+    ny, nx = model.pixels.shape[-2:]
+    sx, sy, th = beam_pixels
+    iy = jnp.arange(ny) - ny // 2
+    ix = jnp.arange(nx) - nx // 2
+    yy, xx = jnp.meshgrid(iy, ix, indexing="ij")
+    ct, st = jnp.cos(th), jnp.sin(th)
+    a = ct**2 / (2 * sx**2) + st**2 / (2 * sy**2)
+    b = st * ct * (1 / (2 * sx**2) - 1 / (2 * sy**2))
+    c = st**2 / (2 * sx**2) + ct**2 / (2 * sy**2)
+    # peak-normalised clean beam (reference normalises the kernel to peak 1,
+    # deconvolution.py:1018-1026)
+    gk = jnp.exp(-(a * xx**2 + 2 * b * xx * yy + c * yy**2))
+    kernel_f = jnp.fft.fft2(jnp.fft.ifftshift(gk))
+    img_f = jnp.fft.fft2(model.pixels, axes=(-2, -1))
+    restored = jnp.real(
+        jnp.fft.ifft2(img_f * kernel_f[None, None], axes=(-2, -1))
+    )
+    if residual is not None:
+        restored = restored + residual.pixels
+    out = model.replace(pixels=restored.astype(model.pixels.dtype))
+    return out.replace(
+        clean_beam=jnp.asarray(
+            [
+                np.deg2rad(clean_beam["bmaj"]),
+                np.deg2rad(clean_beam["bmin"]),
+                np.deg2rad(clean_beam["bpa"]),
+            ]
+        )
+    )
