@@ -1,0 +1,98 @@
+"""Benchmark: Mvis gridded/s on the w-stacked invert (BASELINE.md config 3).
+
+Grids N visibilities (stokesI, f32/c64) onto a 1024^2 image with w-stacking
+on the available accelerator and reports throughput as one JSON line:
+
+    {"metric": "invert_mvis_per_s", "value": ..., "unit": "Mvis/s",
+     "vs_baseline": ...}
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline``
+compares against a ducc0-class CPU gridder rate of ~10 Mvis/s at comparable
+accuracy (qualitative "best performance" claim,
+docs/src/fourier_processing.rst:6).
+
+Note: visibilities enter as separate real/imag f32 arrays — the axon TPU
+tunnel cannot transfer complex arrays host<->device; the complex view is
+formed on device inside the jitted program.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from ska_sdp_func_python_tpu.ops.imaging import invert_core
+
+    rng = np.random.default_rng(7)
+    nvis = int(2e6)
+    npixel = 1024
+    cellsize = 5e-5
+    nw = 8
+    support = 8
+
+    # synthetic uv coverage filling ~1/3 of the padded band
+    scale = npixel * cellsize
+    umax = 0.33 * npixel / scale / 2
+    u = jnp.asarray(rng.uniform(-umax, umax, nvis).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-umax, umax, nvis).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-50.0, 50.0, nvis).astype(np.float32))
+    vr = jnp.asarray(rng.normal(size=nvis).astype(np.float32))
+    vi = jnp.asarray(rng.normal(size=nvis).astype(np.float32))
+    wgt = jnp.ones(nvis, dtype=jnp.float32)
+
+    @jax.jit
+    def run(u, v, w, vr, vi, wgt):
+        vals = jax.lax.complex(vr, vi)
+        dirty, sumwt = invert_core(
+            u,
+            v,
+            w,
+            vals,
+            wgt,
+            npixel=npixel,
+            cellsize=cellsize,
+            support=support,
+            nw=nw,
+            do_wstacking=True,
+        )
+        return dirty, sumwt
+
+    d, s = run(u, v, w, vr, vi, wgt)
+    # force a real device->host readback so timing is honest
+    checksum = float(np.asarray(jnp.sum(jnp.abs(d))))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        d, s = run(u, v, w, vr, vi, wgt)
+        float(np.asarray(jnp.max(jnp.abs(d))))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    mvis_per_s = nvis / best / 1e6
+    baseline_cpu_mvis_s = 10.0
+    print(
+        json.dumps(
+            {
+                "metric": "invert_mvis_per_s",
+                "value": round(mvis_per_s, 3),
+                "unit": "Mvis/s",
+                "vs_baseline": round(mvis_per_s / baseline_cpu_mvis_s, 3),
+            }
+        )
+    )
+    print(
+        f"# invert {nvis/1e6:.1f} Mvis, {npixel}^2, nw={nw}, "
+        f"support={support}: best {best*1e3:.1f} ms over 3 runs; "
+        f"checksum={checksum:.4g}; device={jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -16,4 +16,5 @@ Layout:
 
 __version__ = "0.1.0"
 
-from . import models, ops, utils  # noqa: F401
+from . import models, ops, parallel, utils  # noqa: F401
+from . import pipeline  # noqa: F401

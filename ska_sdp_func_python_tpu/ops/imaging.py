@@ -174,7 +174,9 @@ def invert_core(
             wb = w_beam(npad, fov, wp).astype(img.dtype)
             return carry + img * wb, None
 
-        dirty0 = jnp.zeros((npad, npad), dtype=vals.dtype)
+        # zeros_like(grids[0]) (not a fresh zeros) so the carry inherits
+        # the mesh-varying type under shard_map
+        dirty0 = jnp.zeros_like(grids[0])
         dirty, _ = jax.lax.scan(accum, dirty0, (grids, plane_w))
 
     corr = grid_correction(npad, support, dtype=u.dtype)

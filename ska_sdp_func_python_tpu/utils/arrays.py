@@ -119,12 +119,13 @@ def insert_array(
     patch = flux[:, :, None, None] * kernel[None, None, :, :]
     start_y = inty - support
     start_x = intx - support
+    zero = jnp.zeros((), dtype=start_y.dtype)
     # read-modify-write so overlapping inserts accumulate
     cur = lax.dynamic_slice(
         im,
-        (0, 0, start_y, start_x),
+        (zero, zero, start_y, start_x),
         (im.shape[0], im.shape[1], 2 * support, 2 * support),
     )
     return lax.dynamic_update_slice(
-        im, cur + patch.astype(im.dtype), (0, 0, start_y, start_x)
+        im, cur + patch.astype(im.dtype), (zero, zero, start_y, start_x)
     )

@@ -1,0 +1,289 @@
+"""M5 composite-layer tests: chain calibration, skymodel predict/invert,
+sky-component ops, facet/channel scatter-gather, and the ICAL self-cal
+pipeline end-to-end (mirrors reference tests/calibration/
+test_chain_calibration.py and tests/sky_model/test_skymodel_imaging.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ska_sdp_func_python_tpu.models import (
+    SkyComponents,
+    SkyModel,
+    create_gaintable_from_visibility,
+    create_image,
+)
+from ska_sdp_func_python_tpu.ops import (
+    apply_beam_to_skycomponent,
+    apply_gaintable,
+    calibrate_chain,
+    create_calibration_controls,
+    create_image_from_visibility,
+    dft_skycomponent_visibility,
+    filter_skycomponents_by_flux,
+    find_skycomponent_matches,
+    find_skycomponents,
+    image_gather_channels,
+    image_gather_facets,
+    image_scatter_channels,
+    image_scatter_facets,
+    insert_skycomponent,
+    partition_skycomponent_neighbours,
+    skymodel_calibrate_invert,
+    skymodel_predict_calibrate,
+    sum_invert_results,
+    sum_predict_results,
+    threshold_list,
+)
+from ska_sdp_func_python_tpu.pipeline import ical, continuum_imaging
+
+from simul import make_visibility
+from test_solvers import _simulate_gaintable
+
+PC = (0.0, np.deg2rad(-35.0))
+
+
+def _pointish_obs(rng, nants=10, flux=1.5, offset=(8, -5), npixel=128):
+    vis = make_visibility(
+        nants=nants, ntimes=3, nchan=1, rmax=300.0, phasecentre=PC
+    )
+    model = create_image_from_visibility(
+        vis, npixel=npixel, oversampling=4.0, nchan=1
+    )
+    ra, dec = model.pixel_to_radec(
+        npixel // 2 + offset[0], npixel // 2 + offset[1]
+    )
+    comps = SkyComponents.from_lists(
+        [[float(ra), float(dec)]], [[[flux]]], vis.frequency
+    )
+    vis = dft_skycomponent_visibility(vis, comps)
+    return vis, model, comps
+
+
+class TestChainCalibration:
+    def test_calibrate_chain_T_recovers(self, rng):
+        vis, model, comps = _pointish_obs(rng)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.2)
+        corrupted = apply_gaintable(vis, gt_true)
+        cvis, gts = calibrate_chain(
+            corrupted, vis, calibration_context="T"
+        )
+        assert "T" in gts
+        np.testing.assert_allclose(
+            np.asarray(cvis.vis), np.asarray(vis.vis), atol=1e-6
+        )
+
+    def test_controls_defaults(self):
+        controls = create_calibration_controls()
+        assert controls["T"]["phase_only"] is True
+        assert controls["G"]["timeslice"] == 60.0
+        assert controls["B"]["timeslice"] == 1e5
+
+
+class TestSkymodelImaging:
+    def test_predict_components_plus_image(self, rng):
+        vis, model, comps = _pointish_obs(rng)
+        sm = SkyModel(
+            image=None, components=comps, gaintable=None, mask=None
+        )
+        pred = skymodel_predict_calibrate(vis, sm, context="2d")
+        np.testing.assert_allclose(
+            np.asarray(pred.vis), np.asarray(vis.vis), atol=1e-6
+        )
+
+    def test_predict_with_calibration(self, rng):
+        vis, model, comps = _pointish_obs(rng)
+        gt = create_gaintable_from_visibility(vis, jones_type="T")
+        gt = _simulate_gaintable(gt, rng, 0.1)
+        sm = SkyModel(
+            image=None, components=comps, gaintable=gt, mask=None
+        )
+        pred = skymodel_predict_calibrate(
+            vis, sm, context="2d", docal=True, inverse=True
+        )
+        # applying the gaintable forward should corrupt; inverse==True
+        # corrects, i.e. pred != plain DFT but invertible back
+        assert np.max(np.abs(np.asarray(pred.vis))) > 0
+
+    def test_calibrate_invert(self, rng):
+        vis, model, comps = _pointish_obs(rng)
+        sm = SkyModel(
+            image=model, components=None, gaintable=None, mask=None
+        )
+        dirty, sumwt = skymodel_calibrate_invert(vis, sm, context="ng")
+        img = np.asarray(dirty.pixels)[0, 0]
+        iy, ix = np.unravel_index(np.argmax(img), img.shape)
+        assert (ix, iy) == (128 // 2 + 8, 128 // 2 - 5)
+
+    def test_predict_with_pb(self, rng):
+        vis, model, comps = _pointish_obs(rng)
+
+        def get_pb(vis_slice, image):
+            # simple circular gaussian PB
+            ny, nx = image.pixels.shape[-2:]
+            iy, ix = jnp.mgrid[0:ny, 0:nx]
+            r2 = (iy - ny // 2) ** 2 + (ix - nx // 2) ** 2
+            pb = jnp.exp(-r2 / (2 * (nx / 4.0) ** 2))
+            return image.replace(
+                pixels=jnp.broadcast_to(pb, image.pixels.shape)
+            )
+
+        sm = SkyModel(
+            image=model, components=comps, gaintable=None, mask=None
+        )
+        pred = skymodel_predict_calibrate(
+            vis, sm, context="2d", get_pb=get_pb
+        )
+        # PB < 1 away from centre -> predicted amplitude reduced
+        assert 0 < np.max(np.abs(np.asarray(pred.vis))) < 1.5
+
+
+class TestSkyComponents:
+    def test_insert_and_find_roundtrip(self, rng):
+        model = create_image(128, 0.001, PC)
+        npix = 128
+        dirs = []
+        for dx, dy in [(10, 12), (-20, 5), (25, -18)]:
+            ra, dec = model.pixel_to_radec(npix // 2 + dx, npix // 2 + dy)
+            dirs.append([float(ra), float(dec)])
+        comps = SkyComponents.from_lists(
+            dirs, np.full((3, 1, 1), 2.0), model.frequency
+        )
+        im = insert_skycomponent(model, comps, insert_method="Nearest")
+        found = find_skycomponents(im, fwhm=1.0, threshold=0.5, npixels=1)
+        assert found.ncomp == 3
+        matches = find_skycomponent_matches(found, comps, tol=1e-4)
+        assert len(matches) == 3
+
+    def test_insert_lanczos(self, rng):
+        model = create_image(64, 0.001, PC)
+        ra, dec = model.pixel_to_radec(32.3, 30.7)
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]], np.ones((1, 1, 1)), model.frequency
+        )
+        im = insert_skycomponent(
+            model, comps, insert_method="Lanczos", support=7
+        )
+        total = float(jnp.sum(im.pixels))
+        np.testing.assert_allclose(total, 1.0, rtol=1e-6)
+
+    def test_apply_beam(self, rng):
+        model = create_image(64, 0.001, PC)
+        beam = model.replace(pixels=0.5 * jnp.ones_like(model.pixels))
+        ra, dec = model.pixel_to_radec(40, 20)
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]], np.ones((1, 1, 1)), model.frequency
+        )
+        out = apply_beam_to_skycomponent(comps, beam)
+        np.testing.assert_allclose(float(out.flux[0, 0, 0]), 0.5)
+        back = apply_beam_to_skycomponent(out, beam, inverse=True)
+        np.testing.assert_allclose(float(back.flux[0, 0, 0]), 1.0)
+
+    def test_filter_and_partition(self, rng):
+        model = create_image(64, 0.001, PC)
+        dirs = [
+            model.pixel_to_radec(20, 20),
+            model.pixel_to_radec(40, 44),
+        ]
+        dirs = [[float(a), float(b)] for a, b in dirs]
+        comps = SkyComponents.from_lists(
+            dirs, np.array([[[0.5]], [[2.0]]]), model.frequency
+        )
+        bright = filter_skycomponents_by_flux(comps, flux_min=1.0)
+        assert bright.ncomp == 1
+        parts = partition_skycomponent_neighbours(
+            comps, np.asarray(comps.direction)
+        )
+        assert parts[0].ncomp == 1 and parts[1].ncomp == 1
+
+
+class TestIterators:
+    def test_facet_scatter_gather_roundtrip(self, rng):
+        model = create_image(64, 0.001, PC)
+        model = model.replace(
+            pixels=jnp.asarray(rng.normal(size=model.pixels.shape))
+        )
+        for overlap, taper in [(0, "flat"), (8, "linear"), (8, "tukey")]:
+            facets = image_scatter_facets(
+                model, facets=2, overlap=overlap, taper=taper
+            )
+            back = image_gather_facets(
+                facets, model, facets=2, overlap=overlap, taper=taper
+            )
+            np.testing.assert_allclose(
+                np.asarray(back.pixels),
+                np.asarray(model.pixels),
+                atol=1e-10,
+                err_msg=f"overlap={overlap} taper={taper}",
+            )
+
+    def test_channel_scatter_gather(self, rng):
+        freq = 1e8 + 1e6 * np.arange(6)
+        model = create_image(32, 0.001, PC, frequency=freq)
+        model = model.replace(
+            pixels=jnp.asarray(rng.normal(size=model.pixels.shape))
+        )
+        chans = image_scatter_channels(model)
+        assert len(chans) == 6
+        back = image_gather_channels(chans)
+        np.testing.assert_allclose(
+            np.asarray(back.pixels), np.asarray(model.pixels)
+        )
+
+
+class TestHelpers:
+    def test_sum_invert_results(self, rng):
+        model = create_image(32, 0.001, PC)
+        im1 = model.replace(pixels=jnp.ones_like(model.pixels))
+        im2 = model.replace(pixels=3.0 * jnp.ones_like(model.pixels))
+        swt = np.ones((1, 1))
+        summed, total = sum_invert_results([(im1, swt), (im2, swt)])
+        np.testing.assert_allclose(np.asarray(summed.pixels), 2.0)
+        np.testing.assert_allclose(np.asarray(total), 2.0)
+
+    def test_threshold_list(self, rng):
+        model = create_image(32, 0.001, PC)
+        im = model.replace(pixels=2.0 * jnp.ones_like(model.pixels))
+        actual = threshold_list([im], 0.0, 0.1)
+        np.testing.assert_allclose(actual, 0.2)
+
+
+class TestPipelines:
+    def test_continuum_imaging_converges(self, rng):
+        vis, model, comps = _pointish_obs(rng, flux=2.0)
+        deconvolved, residual, restored = continuum_imaging(
+            vis,
+            model,
+            nmajor=3,
+            context="ng",
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        assert float(jnp.max(jnp.abs(residual.pixels))) < 0.1
+        # restored peak ~ flux
+        peak = float(jnp.max(restored.pixels))
+        assert abs(peak - 2.0) < 0.1, peak
+
+    def test_ical_selfcal_recovers_after_corruption(self, rng):
+        vis, model, comps = _pointish_obs(rng, flux=2.0)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        corrupted = apply_gaintable(vis, gt_true)
+        deconvolved, residual, restored, gts = ical(
+            corrupted,
+            model,
+            nmajor=4,
+            calibration_context="T",
+            context="ng",
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        assert "T" in gts
+        assert float(jnp.max(jnp.abs(residual.pixels))) < 0.2
+        peak = float(jnp.max(restored.pixels))
+        assert abs(peak - 2.0) < 0.2, peak

@@ -1,0 +1,98 @@
+"""M6 multi-chip tests on the virtual 8-device CPU mesh: distributed
+invert/predict/solve must match the single-device results exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ska_sdp_func_python_tpu.models import (
+    SkyComponents,
+    create_gaintable_from_visibility,
+)
+from ska_sdp_func_python_tpu.ops import (
+    apply_gaintable,
+    create_image_from_visibility,
+    dft_skycomponent_visibility,
+    invert_visibility,
+    predict_visibility,
+    solve_gaintable,
+)
+from ska_sdp_func_python_tpu.parallel import (
+    distributed_invert,
+    distributed_predict,
+    distributed_solve_gaintable,
+    make_mesh,
+)
+
+from simul import make_visibility
+from test_solvers import _simulate_gaintable
+
+PC = (0.0, np.deg2rad(-35.0))
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, jax.devices()
+    return make_mesh(axis_names=("data",))
+
+
+def _obs(rng, npixel=128):
+    vis = make_visibility(
+        nants=10, ntimes=4, nchan=1, rmax=300.0, phasecentre=PC
+    )
+    model = create_image_from_visibility(
+        vis, npixel=npixel, oversampling=4.0, nchan=1
+    )
+    ra, dec = model.pixel_to_radec(npixel // 2 + 9, npixel // 2 - 6)
+    comps = SkyComponents.from_lists(
+        [[float(ra), float(dec)]], [[[1.3]]], vis.frequency
+    )
+    vis = dft_skycomponent_visibility(vis, comps)
+    return vis, model
+
+
+class TestDistributed:
+    def test_invert_matches_single_device(self, rng, mesh):
+        vis, model = _obs(rng)
+        ref, swt_ref = invert_visibility(
+            vis, model, context="2d", support=8
+        )
+        dist, swt = distributed_invert(
+            vis, model, mesh, support=8, do_wstacking=False
+        )
+        np.testing.assert_allclose(np.asarray(swt), np.asarray(swt_ref))
+        np.testing.assert_allclose(
+            np.asarray(dist.pixels), np.asarray(ref.pixels), atol=1e-10
+        )
+
+    def test_predict_matches_single_device(self, rng, mesh):
+        vis, model = _obs(rng)
+        pixels = jnp.zeros_like(model.pixels).at[0, 0, 70, 40].set(1.0)
+        model_img = model.with_pixels(pixels)
+        # single-device predict shifts to the image centre; distributed
+        # kernel operates on the already-shifted vis, so compare cores
+        ref = predict_visibility(vis, model_img, context="2d")
+        dist = distributed_predict(vis, model_img, mesh)
+        # distributed_predict omits the shift (phase centres coincide here)
+        np.testing.assert_allclose(
+            np.asarray(dist.vis), np.asarray(ref.vis), atol=1e-10
+        )
+
+    def test_solve_matches_single_device(self, rng, mesh):
+        vis, model = _obs(rng)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.2)
+        corrupted = apply_gaintable(vis, gt_true)
+        ref = solve_gaintable(
+            corrupted, vis, phase_only=True, jones_type="T"
+        )
+        dist = distributed_solve_gaintable(
+            corrupted, vis, mesh, phase_only=True, jones_type="T"
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.gain), np.asarray(ref.gain), atol=1e-10
+        )
+        np.testing.assert_allclose(
+            np.asarray(dist.residual), np.asarray(ref.residual), atol=1e-10
+        )
