@@ -1,0 +1,283 @@
+"""Tiled-matmul gridding: the TPU fast path (framework L2, C7 hot kernel).
+
+XLA's scatter-add serialises the reference-style gridding update
+(gridding.py:238-246 equivalent): ~N*S^2 individual accumulations run at
+<0.1 Mvis/s on TPU. This module reformulates gridding so the hot loop is
+dense MXU matmuls with NO scatter at all:
+
+1.  sort visibilities by uv tile (argsort of tile ids; XLA sort);
+2.  cut the sorted stream into fixed-size *units* of C visibilities, each
+    unit belonging to exactly one (w-plane, v-strip, u-block) tile —
+    padding is bounded by one unit per non-empty tile;
+3.  for each unit, evaluate the separable ES kernel *densely* over the
+    tile's (TS+S) rows/columns (kernel values vanish outside the support,
+    so no placement logic is needed) and form the tile contribution as a
+    batched matmul:  tile += rowmat^T @ colmat   [TS+S, C] x [C, TS+S];
+4.  reduce units onto tiles with a one-hot matmul (again MXU, no scatter);
+5.  overlap-add the tile array into the grid with four reshape+roll moves
+    (halos are provably zero at the grid edge because out-of-grid
+    visibilities are weight-masked).
+
+The same machinery grids all w-planes in one pass: each visibility is
+duplicated onto its two neighbouring planes with linear weights and the
+plane index becomes part of the tile id.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .gridding import es_kernel
+
+__all__ = ["tiled_grid"]
+
+
+def _dense_kernel(tile0, pix, length: int, support: int):
+    """Kernel values over ``length`` consecutive cells starting at tile0.
+
+    k[u, c, r] = es((tile0_u + r - pix_uc) / (support/2)); zero outside
+    the support. tile0: [UB]; pix: [UB, C] -> [UB, C, length].
+    """
+    half = support // 2
+    r = jnp.arange(length, dtype=pix.dtype)
+    offs = tile0[:, None, None] + r[None, None, :] - pix[:, :, None]
+    return es_kernel(offs / half, support)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "npixel",
+        "support",
+        "nplanes",
+        "tile",
+        "unit",
+    ),
+)
+def tiled_grid(
+    u_pix,
+    v_pix,
+    vals,
+    plane_idx=None,
+    plane_frac=None,
+    *,
+    npixel: int,
+    support: int = 8,
+    nplanes: int = 1,
+    tile: int = 56,
+    unit: int = 1024,
+):
+    """Grid (optionally w-stacked) visibilities onto [nplanes, npixel,
+    npixel] without scatter.
+
+    :param u_pix, v_pix: [N] fractional grid coords
+    :param vals: [N] complex weighted visibilities
+    :param plane_idx: [N] int32 lower w-plane per vis (or None)
+    :param plane_frac: [N] fraction to the upper plane (or None)
+    :return: grids [nplanes, npixel, npixel] complex (squeezed to
+        [npixel, npixel] when nplanes == 1 and plane_idx is None)
+    """
+    squeeze = nplanes == 1 and plane_idx is None
+    half = support // 2
+    ts = tile
+    buf = ts + support
+    ntile_axis = -(-npixel // ts)  # tiles per axis
+    if ntile_axis * ts != npixel:
+        raise ValueError(f"tile {ts} must divide npixel {npixel}")
+    ntiles = ntile_axis * ntile_axis
+
+    iu0 = jnp.floor(u_pix).astype(jnp.int32) - (half - 1)
+    iv0 = jnp.floor(v_pix).astype(jnp.int32) - (half - 1)
+    in_grid = (
+        (iu0 >= 0)
+        & (iu0 + support <= npixel)
+        & (iv0 >= 0)
+        & (iv0 + support <= npixel)
+    )
+    vals = jnp.where(in_grid, vals, 0.0)
+    iu0c = jnp.clip(iu0, 0, npixel - support)
+    iv0c = jnp.clip(iv0, 0, npixel - support)
+    tu = iu0c // ts
+    tv = iv0c // ts
+
+    if plane_idx is None:
+        tid = tv * ntile_axis + tu
+        tid = jnp.where(in_grid, tid, ntiles * nplanes)
+        u_all, v_all, vals_all, tid_all = u_pix, v_pix, vals, tid
+        ntot = ntiles
+    else:
+        # duplicate each vis onto its two neighbouring w-planes
+        frac = plane_frac.astype(vals.dtype)
+        tid_lo = (plane_idx * ntiles + tv * ntile_axis + tu).astype(
+            jnp.int32
+        )
+        tid_hi = ((plane_idx + 1) * ntiles + tv * ntile_axis + tu).astype(
+            jnp.int32
+        )
+        ntot = ntiles * nplanes
+        trash = jnp.asarray(ntot, jnp.int32)
+        tid_lo = jnp.where(in_grid, tid_lo, trash)
+        tid_hi = jnp.where(in_grid, tid_hi, trash)
+        u_all = jnp.concatenate([u_pix, u_pix])
+        v_all = jnp.concatenate([v_pix, v_pix])
+        vals_all = jnp.concatenate(
+            [vals * (1.0 - frac), vals * frac]
+        )
+        tid_all = jnp.concatenate([tid_lo, tid_hi])
+
+    n = u_all.shape[0]
+    # key-value sort carrying all payloads through the sort network: much
+    # faster on TPU than argsort + random gathers
+    tid_s, u_s, v_s, vr_s, vi_s = jax.lax.sort(
+        (
+            tid_all,
+            u_all,
+            v_all,
+            jnp.real(vals_all),
+            jnp.imag(vals_all),
+        ),
+        num_keys=1,
+    )
+
+    counts = jnp.bincount(tid_s, length=ntot + 1)[:ntot]
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+
+    # units: fixed-size chunks of the sorted stream, one tile per unit
+    unit_counts = -(-counts // unit)  # ceil
+    unit_offsets = jnp.concatenate(
+        [jnp.zeros((1,), unit_counts.dtype), jnp.cumsum(unit_counts)]
+    )
+    max_units = n // unit + ntot + 1
+    uidx = jnp.arange(max_units)
+    # tile owning each unit slot
+    unit_tile = (
+        jnp.searchsorted(unit_offsets, uidx, side="right") - 1
+    ).astype(jnp.int32)
+    unit_tile_c = jnp.clip(unit_tile, 0, ntot - 1)
+    k_within = uidx - unit_offsets[unit_tile_c]
+    unit_start = starts[unit_tile_c] + k_within * unit
+    unit_valid = uidx < unit_offsets[-1]
+    # rows of the sorted stream each unit covers
+    take = unit_start[:, None] + jnp.arange(unit)[None, :]
+    row_valid = (
+        take < (starts[unit_tile_c] + counts[unit_tile_c])[:, None]
+    ) & unit_valid[:, None]
+    take = jnp.clip(take, 0, n - 1)
+
+    tv0 = (
+        (unit_tile_c % ntiles) // ntile_axis * ts
+    ).astype(u_s.dtype)
+    tu0 = ((unit_tile_c % ntiles) % ntile_axis * ts).astype(u_s.dtype)
+
+    rdtype = u_s.dtype
+
+    # rearrange the sorted stream into the unit layout with one
+    # (mostly-sequential) gather per field, outside the compute loop
+    flat_take = take.reshape(-1)
+    uu_u = u_s[flat_take].reshape(max_units, unit)
+    vv_u = v_s[flat_take].reshape(max_units, unit)
+    vr_u = jnp.where(row_valid, vr_s[flat_take].reshape(max_units, unit), 0.0)
+    vi_u = jnp.where(row_valid, vi_s[flat_take].reshape(max_units, unit), 0.0)
+
+    r_cells = jnp.arange(buf, dtype=rdtype)
+    half_f = jnp.asarray(half, dtype=rdtype)
+
+    def unit_tiles(args):
+        uu, vv, vr, vi, tv0_u, tu0_u = args
+        # lane-major [UB, buf, C] kernel layout: the C (=unit) axis stays on
+        # the 128-lane dimension through the matmul
+        kv = es_kernel(
+            (tv0_u[:, None, None] + r_cells[None, :, None] - vv[:, None, :])
+            / half_f,
+            support,
+        )
+        ku = es_kernel(
+            (tu0_u[:, None, None] + r_cells[None, :, None] - uu[:, None, :])
+            / half_f,
+            support,
+        )
+        tr = jnp.einsum(
+            "urc,uxc->urx",
+            kv * vr[:, None, :],
+            ku,
+            preferred_element_type=rdtype,
+        )
+        ti = jnp.einsum(
+            "urc,uxc->urx",
+            kv * vi[:, None, :],
+            ku,
+            preferred_element_type=rdtype,
+        )
+        return tr, ti
+
+    # batch the units through lax.map to bound memory
+    ub = 256
+    pad_units = (-max_units) % ub
+    nb = (max_units + pad_units) // ub
+
+    def padr(x):
+        return jnp.pad(x, ((0, pad_units),) + ((0, 0),) * (x.ndim - 1))
+
+    tr, ti = jax.lax.map(
+        unit_tiles,
+        (
+            padr(uu_u).reshape(nb, ub, unit),
+            padr(vv_u).reshape(nb, ub, unit),
+            padr(vr_u).reshape(nb, ub, unit),
+            padr(vi_u).reshape(nb, ub, unit),
+            padr(tv0).reshape(nb, ub),
+            padr(tu0).reshape(nb, ub),
+        ),
+    )
+    tr = tr.reshape(-1, buf, buf)[:max_units]
+    ti = ti.reshape(-1, buf, buf)[:max_units]
+
+    # reduce units onto tiles: units of one tile are consecutive, so a
+    # prefix-sum over the unit axis + differences at tile boundaries gives
+    # the segmented reduction with no scatter and no O(U*ntiles) matmul
+    zeros1 = jnp.zeros((1, buf, buf), dtype=rdtype)
+    cr = jnp.concatenate([zeros1, jnp.cumsum(tr, axis=0)])
+    ci = jnp.concatenate([zeros1, jnp.cumsum(ti, axis=0)])
+    lo = jnp.clip(unit_offsets[:-1], 0, max_units)
+    hi = jnp.clip(unit_offsets[1:], 0, max_units)
+    acc_r = cr[hi] - cr[lo]
+    acc_i = ci[hi] - ci[lo]
+    acc = jax.lax.complex(acc_r, acc_i)  # [ntot, buf, buf]
+
+    # overlap-add tiles into per-plane grids with reshape + roll
+    acc = acc.reshape(nplanes, ntile_axis, ntile_axis, buf, buf)
+
+    def assemble(tiles):
+        # tiles: [ntv, ntu, buf, buf]
+        a = tiles[:, :, :ts, :ts]
+        b = jnp.pad(
+            tiles[:, :, :ts, ts:], ((0, 0), (0, 0), (0, 0), (0, ts - support))
+        )
+        c = jnp.pad(
+            tiles[:, :, ts:, :ts], ((0, 0), (0, 0), (0, ts - support), (0, 0))
+        )
+        d = jnp.pad(
+            tiles[:, :, ts:, ts:],
+            ((0, 0), (0, 0), (0, ts - support), (0, ts - support)),
+        )
+
+        def flatten(x):
+            return x.transpose(0, 2, 1, 3).reshape(npixel, npixel)
+
+        grid = flatten(a)
+        grid = grid + jnp.roll(flatten(b), ts, axis=1)
+        grid = grid + jnp.roll(flatten(c), ts, axis=0)
+        grid = grid + jnp.roll(
+            jnp.roll(flatten(d), ts, axis=0), ts, axis=1
+        )
+        return grid
+
+    grids = jax.vmap(assemble)(acc)
+    if squeeze:
+        return grids[0]
+    return grids

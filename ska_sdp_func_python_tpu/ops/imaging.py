@@ -93,9 +93,24 @@ def _w_planes(w, nw: int):
     return p0, frac, plane_w
 
 
+def _tile_for(npad: int) -> int:
+    """Largest supported tile size dividing the padded grid."""
+    for ts in (64, 56, 48, 32, 16, 8):
+        if npad % ts == 0:
+            return ts
+    return 8
+
+
 @partial(
     jax.jit,
-    static_argnames=("npixel", "support", "nw", "do_wstacking", "padding"),
+    static_argnames=(
+        "npixel",
+        "support",
+        "nw",
+        "do_wstacking",
+        "padding",
+        "gridder",
+    ),
 )
 def invert_core(
     u,
@@ -110,6 +125,7 @@ def invert_core(
     nw: int = 1,
     do_wstacking: bool = True,
     padding: int = 2,
+    gridder: str = "tiled",
 ):
     """Grid + FFT + w-stack one (channel, pol) visibility block.
 
@@ -127,6 +143,48 @@ def invert_core(
     u_pix = -u * scale + npad // 2
     v_pix = v * scale + npad // 2
     weighted = vals * wgt.astype(vals.dtype)
+
+    if gridder == "tiled":
+        from .gridding_tiled import tiled_grid
+
+        ts = _tile_for(npad)
+        if not do_wstacking or nw <= 1:
+            grid = tiled_grid(
+                u_pix,
+                v_pix,
+                weighted,
+                npixel=npad,
+                support=support,
+                tile=ts,
+            )
+            dirty = (npad * npad) * ifft(grid)
+        else:
+            p0, frac, plane_w = _w_planes(w, nw)
+            grids = tiled_grid(
+                u_pix,
+                v_pix,
+                weighted,
+                p0,
+                frac,
+                npixel=npad,
+                support=support,
+                nplanes=nw,
+                tile=ts,
+            )
+            fov = npad * cellsize
+
+            def accum(carry, inputs):
+                g, wp = inputs
+                img = (npad * npad) * ifft(g)
+                wb = w_beam(npad, fov, wp).astype(img.dtype)
+                return carry + img * wb, None
+
+            dirty0 = jnp.zeros_like(grids[0])
+            dirty, _ = jax.lax.scan(accum, dirty0, (grids, plane_w))
+        corr = grid_correction(npad, support, dtype=u.dtype)
+        dirty = jnp.real(dirty) / corr
+        dirty = extract_mid(dirty, npixel)
+        return dirty, jnp.sum(wgt)
 
     if not do_wstacking or nw <= 1:
         grid, in_grid = convolutional_grid(
