@@ -32,6 +32,9 @@ log = logging.getLogger("ska-sdp-func-python-tpu")
 
 __all__ = [
     "deconvolve_cube",
+    "deconvolve_list",
+    "restore_list",
+    "radler_deconvolve_list",
     "fit_psf",
     "restore_cube",
     "find_window",
@@ -343,3 +346,67 @@ def restore_cube(
             ]
         )
     )
+
+
+def deconvolve_list(
+    dirty_list, psf_list, sensitivity_list=None, prefix: str = "", **kwargs
+):
+    """CLEAN a list of single-channel images (deconvolution.py:50-160 list
+    API). Returns (component list, residual list)."""
+    from .image_iterators import image_gather_channels, image_scatter_channels
+
+    dirty = image_gather_channels(dirty_list)
+    psf = image_gather_channels(psf_list)
+    sensitivity = (
+        image_gather_channels(sensitivity_list)
+        if sensitivity_list is not None
+        else None
+    )
+    comp, residual = deconvolve_cube(
+        dirty, psf, sensitivity=sensitivity, prefix=prefix, **kwargs
+    )
+    return (
+        image_scatter_channels(comp),
+        image_scatter_channels(residual),
+    )
+
+
+def restore_list(
+    model_list, psf_list=None, residual_list=None, clean_beam=None
+):
+    """Restore a list of single-channel images
+    (deconvolution.py:949-1045 list API)."""
+    from .image_iterators import image_gather_channels, image_scatter_channels
+
+    model = image_gather_channels(model_list)
+    psf = image_gather_channels(psf_list) if psf_list is not None else None
+    residual = (
+        image_gather_channels(residual_list)
+        if residual_list is not None
+        else None
+    )
+    restored = restore_cube(
+        model, psf=psf, residual=residual, clean_beam=clean_beam
+    )
+    return image_scatter_channels(restored)
+
+
+def radler_deconvolve_list(dirty_list, psf_list, **kwargs):
+    """API-parity shim for the reference's optional C++ radler backend
+    (deconvolution.py:163-262): serves the same algorithm names with the
+    framework's own kernels (radler 'multiscale' -> msclean; otherwise
+    hogbom-family)."""
+    algorithm = kwargs.pop("algorithm", "multiscale")
+    mapping = {
+        "multiscale": "msclean",
+        "msclean": "msclean",
+        "hogbom": "hogbom",
+        "generic_clean": "hogbom",
+        "iuwt": "msclean",
+        "more_sane": "msclean",
+    }
+    comp_list, _ = deconvolve_list(
+        dirty_list, psf_list, algorithm=mapping.get(algorithm, "msclean"),
+        **kwargs,
+    )
+    return comp_list

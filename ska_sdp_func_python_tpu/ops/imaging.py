@@ -35,6 +35,7 @@ from .pswf import w_beam
 from .visibility_ops import phaserotate_visibility
 
 __all__ = [
+    "visibility_recentre",
     "invert_visibility",
     "predict_visibility",
     "shift_vis_to_image",
@@ -465,6 +466,15 @@ def predict_visibility(
     )
     out = vis.replace(vis=newvis.astype(vis.vis.dtype))
     return shift_vis_to_image(out, model, tangent=True, inverse=True)
+
+
+def visibility_recentre(uvw, dl, dm):
+    """Compensate for w-kernel re-centring (imaging/base.py:805-815):
+    (u, v, w) -> (u - w*dl, v - w*dm, w)."""
+    uvw = jnp.asarray(uvw)
+    u = uvw[..., 0] - uvw[..., 2] * dl
+    v = uvw[..., 1] - uvw[..., 2] * dm
+    return jnp.stack([u, v, uvw[..., 2]], axis=-1)
 
 
 def create_image_from_visibility(vis: Visibility, **kwargs) -> Image:
