@@ -1,0 +1,194 @@
+"""Extended benchmark: all three BASELINE.md metrics on the accelerator.
+
+Prints one JSON line per metric (bench.py remains the driver's single-line
+headline):
+  - gain-solve iterations/s (64-antenna G solve, BASELINE config 1)
+  - Mvis gridded/s, w-stacked invert (config 3)
+  - Mvis degridded/s, w-stacked predict (config 3)
+  - CLEAN minor cycles/s, 512^2 Hogbom and msclean (config 2)
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def sync(x):
+    import jax.numpy as jnp
+
+    return float(np.asarray(jnp.ravel(x)[0]).real)
+
+
+def bench_solver():
+    import jax
+    import jax.numpy as jnp
+
+    from ska_sdp_func_python_tpu.ops.solvers import solve_gains_core
+
+    rng = np.random.default_rng(1)
+    nants, nchan, nsol, niter = 64, 1, 16, 200
+    g = rng.normal(size=(nsol, nants)) + 1j * rng.normal(size=(nsol, nants))
+    x = np.einsum("sa,sb->sab", g, np.conj(g))
+    x = x[..., None, None] * np.ones((1, 1, 1, nchan, 1))
+    xwt = np.abs(x) * 0 + 1.0
+
+    xr = jnp.asarray(np.real(x).astype(np.float32))
+    xi = jnp.asarray(np.imag(x).astype(np.float32))
+    wt = jnp.asarray(xwt.astype(np.float32))
+
+    @jax.jit
+    def run(xr, xi, wt):
+        xx = jax.lax.complex(xr, xi)
+        gain0 = jnp.ones(
+            (nsol, nants, nchan, 1, 1), dtype=jnp.complex64
+        )
+        gain, gwt, res = solve_gains_core(
+            xx, wt, gain0, niter=niter, tol=0.0, phase_only=False, npol=1
+        )
+        return jnp.real(gain)
+
+    sync(run(xr, xi, wt))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(run(xr, xi, wt))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    # tol=0 forces all niter iterations on all nsol intervals
+    its_per_s = niter * nsol / best
+    print(
+        json.dumps(
+            {
+                "metric": "gain_solve_iterations_per_s",
+                "value": round(its_per_s, 1),
+                "unit": "iter/s (64ant batched x16)",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
+def bench_invert_predict():
+    import jax
+    import jax.numpy as jnp
+
+    from ska_sdp_func_python_tpu.ops.imaging import invert_core, predict_core
+
+    rng = np.random.default_rng(7)
+    nvis = int(2e6)
+    npixel = 1024
+    cellsize = 5e-5
+    nw = 8
+    scale = 2 * npixel * cellsize
+    umax = 0.33 * 2 * npixel / scale / 2
+    u = jnp.asarray(rng.uniform(-umax, umax, nvis).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-umax, umax, nvis).astype(np.float32))
+    w = jnp.asarray(rng.uniform(-50.0, 50.0, nvis).astype(np.float32))
+    vr = jnp.asarray(rng.normal(size=nvis).astype(np.float32))
+    vi = jnp.asarray(rng.normal(size=nvis).astype(np.float32))
+    wgt = jnp.ones(nvis, dtype=jnp.float32)
+    img = jnp.asarray(rng.normal(size=(npixel, npixel)).astype(np.float32))
+
+    @jax.jit
+    def run_inv(u, v, w, vr, vi, wgt):
+        vals = jax.lax.complex(vr, vi)
+        dirty, _ = invert_core(
+            u, v, w, vals, wgt, npixel=npixel, cellsize=cellsize,
+            support=8, nw=nw, do_wstacking=True,
+        )
+        return dirty
+
+    @jax.jit
+    def run_pred(u, v, w, img):
+        vals = predict_core(
+            u, v, w, img, cellsize=cellsize, support=8, nw=nw,
+            do_wstacking=True,
+        )
+        return jnp.real(vals)
+
+    for name, fn, args in (
+        ("invert_mvis_per_s", run_inv, (u, v, w, vr, vi, wgt)),
+        ("predict_mvis_per_s", run_pred, (u, v, w, img)),
+    ):
+        sync(fn(*args))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(fn(*args))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(nvis / best / 1e6, 3),
+                    "unit": "Mvis/s (1024^2, nw=8)",
+                    "vs_baseline": round(nvis / best / 1e6 / 10.0, 3),
+                }
+            )
+        )
+
+
+def bench_clean():
+    import jax
+    import jax.numpy as jnp
+
+    from ska_sdp_func_python_tpu.ops.cleaners import hogbom, msclean
+
+    rng = np.random.default_rng(3)
+    n = 512
+    iy, ix = np.mgrid[0:n, 0:n]
+    r2 = (iy - n // 2) ** 2 + (ix - n // 2) ** 2
+    psf = np.exp(-r2 / (2 * 2.5**2)).astype(np.float32)
+    psf /= psf.max()
+    dirty = rng.normal(size=(n, n)).astype(np.float32)
+    dirty[rng.integers(0, n, 50), rng.integers(0, n, 50)] += 50.0
+    dirty_j = jnp.asarray(dirty)
+    psf_j = jnp.asarray(psf)
+    niter = 300
+
+    @jax.jit
+    def run_hogbom(d, p):
+        c, r = hogbom(
+            d, p, None, gain=0.1, thresh=0.0, niter=niter, fracthresh=0.0
+        )
+        return r
+
+    @jax.jit
+    def run_msclean(d, p):
+        c, r = msclean(
+            d, p, None, None, gain=0.1, thresh=0.0, niter=niter,
+            scales=(0, 3, 10), fracthresh=0.0,
+        )
+        return r
+
+    for name, fn in (
+        ("hogbom_minor_cycles_per_s", run_hogbom),
+        ("msclean_minor_cycles_per_s", run_msclean),
+    ):
+        sync(fn(dirty_j, psf_j))
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sync(fn(dirty_j, psf_j))
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        print(
+            json.dumps(
+                {
+                    "metric": name,
+                    "value": round(niter / best, 1),
+                    "unit": "minor cycles/s (512^2)",
+                    "vs_baseline": None,
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    bench_solver()
+    bench_invert_predict()
+    bench_clean()

@@ -276,9 +276,28 @@ def predict_core(
         jnp.result_type(image.dtype, jnp.complex64)
     )
 
+    from .gridding import pswf_kernel_weights
+
+    chunk = 131072  # bound the [chunk, S, S] gather temporaries
+
     if not do_wstacking or nw <= 1:
         grid = fft(img_c)
-        vals, _ = convolutional_degrid(u_pix, v_pix, grid, support)
+        n = u_pix.shape[0]
+        pad = (-n) % chunk
+        nb = (n + pad) // chunk
+
+        def one(args):
+            up, vp = args
+            vals, _ = convolutional_degrid(up, vp, grid, support)
+            return vals
+
+        vals = jax.lax.map(
+            one,
+            (
+                jnp.pad(u_pix, (0, pad)).reshape(nb, chunk),
+                jnp.pad(v_pix, (0, pad)).reshape(nb, chunk),
+            ),
+        ).reshape(-1)[:n]
         return vals
     p0, frac, plane_w = _w_planes(w, nw)
     fov = npad * cellsize
@@ -288,38 +307,54 @@ def predict_core(
         return fft(img_c * wb)
 
     grids = jax.lax.map(make_grid, plane_w)  # [nw, n, n]
-
-    # gather-degrid from both adjacent planes
-    from .gridding import pswf_kernel_weights
-
-    iu0, ku = pswf_kernel_weights(u_pix, support)
-    iv0, kv = pswf_kernel_weights(v_pix, support)
-    in_grid = (
-        (iu0 >= 0)
-        & (iu0 + support <= npad)
-        & (iv0 >= 0)
-        & (iv0 + support <= npad)
-    )
-    iu0 = jnp.clip(iu0, 0, npad - support)
-    iv0 = jnp.clip(iv0, 0, npad - support)
-    rows = iv0[:, None, None] + jnp.arange(support)[None, :, None]
-    cols = iu0[:, None, None] + jnp.arange(support)[None, None, :]
-    cell_idx = rows * npad + cols
-    k2 = (kv[:, :, None] * ku[:, None, :]).astype(img_c.dtype)
     gflat = grids.reshape(-1)
-    low = jnp.sum(
-        gflat[(p0[:, None, None] * npad * npad + cell_idx).reshape(-1)]
-        .reshape(cell_idx.shape) * k2,
-        axis=(1, 2),
-    )
-    high = jnp.sum(
-        gflat[((p0[:, None, None] + 1) * npad * npad + cell_idx).reshape(-1)]
-        .reshape(cell_idx.shape) * k2,
-        axis=(1, 2),
-    )
-    fracc = frac.astype(img_c.dtype)
-    vals = low * (1.0 - fracc) + high * fracc
-    return jnp.where(in_grid, vals, 0.0)
+    n = u_pix.shape[0]
+    pad = (-n) % chunk
+    nb = (n + pad) // chunk
+
+    def one(args):
+        up, vp, pp, fr = args
+        iu0, ku = pswf_kernel_weights(up, support)
+        iv0, kv = pswf_kernel_weights(vp, support)
+        in_grid = (
+            (iu0 >= 0)
+            & (iu0 + support <= npad)
+            & (iv0 >= 0)
+            & (iv0 + support <= npad)
+        )
+        iu0 = jnp.clip(iu0, 0, npad - support)
+        iv0 = jnp.clip(iv0, 0, npad - support)
+        rows = iv0[:, None, None] + jnp.arange(support)[None, :, None]
+        cols = iu0[:, None, None] + jnp.arange(support)[None, None, :]
+        cell_idx = rows * npad + cols
+        k2 = (kv[:, :, None] * ku[:, None, :]).astype(img_c.dtype)
+        low = jnp.sum(
+            gflat[(pp[:, None, None] * npad * npad + cell_idx).reshape(-1)]
+            .reshape(cell_idx.shape)
+            * k2,
+            axis=(1, 2),
+        )
+        high = jnp.sum(
+            gflat[
+                ((pp[:, None, None] + 1) * npad * npad + cell_idx).reshape(-1)
+            ].reshape(cell_idx.shape)
+            * k2,
+            axis=(1, 2),
+        )
+        fracc = fr.astype(img_c.dtype)
+        vals = low * (1.0 - fracc) + high * fracc
+        return jnp.where(in_grid, vals, 0.0)
+
+    vals = jax.lax.map(
+        one,
+        (
+            jnp.pad(u_pix, (0, pad)).reshape(nb, chunk),
+            jnp.pad(v_pix, (0, pad)).reshape(nb, chunk),
+            jnp.pad(p0, (0, pad)).reshape(nb, chunk),
+            jnp.pad(frac, (0, pad)).reshape(nb, chunk),
+        ),
+    ).reshape(-1)[:n]
+    return vals
 
 
 # --------------------------------------------------------------------------
@@ -356,7 +391,17 @@ def invert_visibility(
     **kwargs,
 ):
     """Visibility -> dirty image / PSF (imaging/imaging.py:58-105,
-    ng.py:146-294). Returns (Image, sumwt [nchan, npol])."""
+    ng.py:146-294). Returns (Image, sumwt [nchan, npol]).
+
+    Contexts: "2d" (no w-correction), "ng"/"wg" (w-stacking; one TPU kernel
+    serves both reference backends), "awprojection" (CF-driven path).
+    """
+    if context == "awprojection":
+        from .griddata_ops import invert_awprojection
+
+        return invert_awprojection(
+            vis, model, gcfcf=kwargs.get("gcfcf"), normalise=normalise
+        )
     do_wstacking = context not in ("2d",) and kwargs.get(
         "do_wstacking", True
     )
@@ -428,7 +473,14 @@ def predict_visibility(
     nw: int | None = None,
     **kwargs,
 ) -> Visibility:
-    """Model image -> visibility (imaging/imaging.py:28-57, ng.py:38-143)."""
+    """Model image -> visibility (imaging/imaging.py:28-57, ng.py:38-143).
+
+    Contexts: "2d", "ng"/"wg", "awprojection".
+    """
+    if context == "awprojection":
+        from .griddata_ops import predict_awprojection
+
+        return predict_awprojection(vis, model, gcfcf=kwargs.get("gcfcf"))
     do_wstacking = context not in ("2d",) and kwargs.get(
         "do_wstacking", True
     )

@@ -10,6 +10,7 @@ from .distributed import (
     distributed_predict,
     distributed_solve_gaintable,
 )
+from .selfcal import distributed_ical
 
 __all__ = [
     "make_mesh",
@@ -20,4 +21,5 @@ __all__ = [
     "distributed_invert",
     "distributed_predict",
     "distributed_solve_gaintable",
+    "distributed_ical",
 ]

@@ -1,0 +1,76 @@
+"""Fuzz/parity tests for the tiled-matmul gridder (the default TPU path)
+against the straightforward scatter gridder."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ska_sdp_func_python_tpu.ops.gridding import convolutional_grid
+from ska_sdp_func_python_tpu.ops.gridding_tiled import tiled_grid
+from ska_sdp_func_python_tpu.ops.imaging import invert_core
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("npixel,tile", [(448, 56), (256, 64), (128, 32)])
+def test_tiled_matches_scatter(seed, npixel, tile):
+    rng = np.random.default_rng(seed)
+    n = rng.integers(100, 4000)
+    u = jnp.asarray(rng.uniform(-20, npixel + 20, n))
+    v = jnp.asarray(rng.uniform(-20, npixel + 20, n))
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    ref, _ = convolutional_grid(u, v, vals, npixel, 8)
+    fast = tiled_grid(
+        u, v, vals, npixel=npixel, support=8, tile=tile, unit=256
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=1e-12
+    )
+
+
+def test_tiled_wstack_matches_per_plane_scatter(rng):
+    npixel, nplanes = 256, 4
+    n = 3000
+    u = jnp.asarray(rng.uniform(4, npixel - 12, n))
+    v = jnp.asarray(rng.uniform(4, npixel - 12, n))
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    p0 = jnp.asarray(rng.integers(0, nplanes - 1, n))
+    frac = jnp.asarray(rng.uniform(0, 1, n))
+    grids = tiled_grid(
+        u, v, vals, p0, frac,
+        npixel=npixel, support=8, nplanes=nplanes, tile=64, unit=256,
+    )
+    # per-plane scatter reference
+    for p in range(nplanes):
+        w_lo = jnp.where(p0 == p, (1.0 - frac), 0.0)
+        w_hi = jnp.where(p0 + 1 == p, frac, 0.0)
+        ref, _ = convolutional_grid(
+            u, v, vals * (w_lo + w_hi).astype(vals.dtype), npixel, 8
+        )
+        np.testing.assert_allclose(
+            np.asarray(grids[p]), np.asarray(ref), atol=1e-12,
+            err_msg=f"plane {p}",
+        )
+
+
+def test_invert_core_tiled_equals_scatter(rng):
+    npixel = 128
+    n = 2000
+    u = jnp.asarray(rng.uniform(-500, 500, n))
+    v = jnp.asarray(rng.uniform(-500, 500, n))
+    w = jnp.asarray(rng.uniform(-30, 30, n))
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    wgt = jnp.asarray(rng.uniform(0.5, 1.0, n))
+    for nw, stacking in [(1, False), (6, True)]:
+        a, swa = invert_core(
+            u, v, w, vals, wgt, npixel=npixel, cellsize=2e-4,
+            support=8, nw=nw, do_wstacking=stacking, gridder="tiled",
+        )
+        b, swb = invert_core(
+            u, v, w, vals, wgt, npixel=npixel, cellsize=2e-4,
+            support=8, nw=nw, do_wstacking=stacking, gridder="scatter",
+        )
+        np.testing.assert_allclose(float(swa), float(swb))
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-10,
+            err_msg=f"nw={nw}",
+        )

@@ -96,3 +96,30 @@ class TestDistributed:
         np.testing.assert_allclose(
             np.asarray(dist.residual), np.asarray(ref.residual), atol=1e-10
         )
+
+
+class TestDistributedSelfcal:
+    def test_distributed_ical_recovers(self, rng, mesh):
+        from ska_sdp_func_python_tpu.models import (
+            create_gaintable_from_visibility,
+        )
+        from ska_sdp_func_python_tpu.parallel import distributed_ical
+
+        vis, model = _obs(rng)
+        flux_truth = 1.3
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        corrupted = apply_gaintable(vis, gt_true)
+        current, residual, restored, gt = distributed_ical(
+            corrupted,
+            model,
+            mesh,
+            nmajor=3,
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        assert float(jnp.max(jnp.abs(residual.pixels))) < 0.2
+        peak = float(jnp.max(restored.pixels))
+        assert abs(peak - flux_truth) < 0.15, peak
