@@ -23,6 +23,11 @@ from .gaintable import GainTable, create_gaintable_from_visibility
 from .image import Image, create_image
 from .griddata import GridData
 from .components import SkyComponents, SkyModel
+from .configuration import (
+    Configuration,
+    create_named_configuration,
+    create_visibility,
+)
 
 __all__ = [
     "PolarisationFrame",
@@ -46,4 +51,7 @@ __all__ = [
     "GridData",
     "SkyComponents",
     "SkyModel",
+    "Configuration",
+    "create_named_configuration",
+    "create_visibility",
 ]

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from .gridding import es_kernel
 
-__all__ = ["tiled_grid"]
+__all__ = ["tiled_grid", "tiled_degrid"]
 
 
 def _dense_kernel(tile0, pix, length: int, support: int):
@@ -281,3 +281,217 @@ def tiled_grid(
     if squeeze:
         return grids[0]
     return grids
+
+
+def _extract_tiles(grid, ts: int, support: int):
+    """Inverse of the overlap-add: all (ts+S)^2 tiles of a [n, n] grid as
+    [ntv, ntu, buf, buf], via reshapes + rolls (no gather)."""
+    n = grid.shape[-1]
+    ntv = n // ts
+    buf = ts + support
+
+    def blocks(g):
+        return g.reshape(ntv, ts, ntv, ts).transpose(0, 2, 1, 3)
+
+    a = blocks(grid)  # [ntv, ntu, ts, ts]
+    b = blocks(jnp.roll(grid, -ts, axis=1))[..., :, :support]
+    c = blocks(jnp.roll(grid, -ts, axis=0))[..., :support, :]
+    d = blocks(jnp.roll(jnp.roll(grid, -ts, axis=0), -ts, axis=1))[
+        ..., :support, :support
+    ]
+    top = jnp.concatenate([a, b], axis=-1)  # [.., ts, buf]
+    bottom = jnp.concatenate([c, d], axis=-1)  # [.., S, buf]
+    return jnp.concatenate([top, bottom], axis=-2)  # [ntv, ntu, buf, buf]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("support", "nplanes", "tile", "unit"),
+)
+def tiled_degrid(
+    u_pix,
+    v_pix,
+    grids,
+    plane_idx=None,
+    plane_frac=None,
+    *,
+    support: int = 8,
+    nplanes: int = 1,
+    tile: int = 56,
+    unit: int = 1024,
+):
+    """Degrid visibilities from (optionally w-stacked) grids without random
+    per-cell gathers: the adjoint of :func:`tiled_grid`.
+
+    Visibilities sort by tile, whole tiles are extracted with reshapes and
+    gathered per unit (contiguous), and per-unit values form as two batched
+    matmuls: vals = diag(kv . tile . ku^T). A second key-value sort restores
+    the original order (TPU sorts are far cheaper than random gathers).
+
+    :param grids: [nplanes, npixel, npixel] complex (or [npixel, npixel])
+    :return: [N] complex visibilities
+    """
+    if grids.ndim == 2:
+        grids = grids[None]
+    npixel = grids.shape[-1]
+    half = support // 2
+    ts = tile
+    buf = ts + support
+    ntile_axis = npixel // ts
+    if ntile_axis * ts != npixel:
+        raise ValueError(f"tile {ts} must divide npixel {npixel}")
+    ntiles = ntile_axis * ntile_axis
+
+    iu0 = jnp.floor(u_pix).astype(jnp.int32) - (half - 1)
+    iv0 = jnp.floor(v_pix).astype(jnp.int32) - (half - 1)
+    in_grid = (
+        (iu0 >= 0)
+        & (iu0 + support <= npixel)
+        & (iv0 >= 0)
+        & (iv0 + support <= npixel)
+    )
+    iu0c = jnp.clip(iu0, 0, npixel - support)
+    iv0c = jnp.clip(iv0, 0, npixel - support)
+    tu = iu0c // ts
+    tv = iv0c // ts
+    nvis = u_pix.shape[0]
+    rdtype = u_pix.dtype
+
+    if plane_idx is None:
+        tid = jnp.where(
+            in_grid, tv * ntile_axis + tu, jnp.asarray(ntiles, jnp.int32)
+        )
+        ntot = ntiles
+        u_all, v_all, tid_all = u_pix, v_pix, tid
+        wgt_all = jnp.where(in_grid, jnp.ones_like(u_pix), 0.0)
+        n_entries = nvis
+    else:
+        frac = plane_frac.astype(rdtype)
+        base = tv * ntile_axis + tu
+        ntot = ntiles * nplanes
+        trash = jnp.asarray(ntot, jnp.int32)
+        tid_lo = jnp.where(in_grid, plane_idx * ntiles + base, trash)
+        tid_hi = jnp.where(in_grid, (plane_idx + 1) * ntiles + base, trash)
+        u_all = jnp.concatenate([u_pix, u_pix])
+        v_all = jnp.concatenate([v_pix, v_pix])
+        tid_all = jnp.concatenate([tid_lo, tid_hi])
+        ig = jnp.where(in_grid, 1.0, 0.0)
+        wgt_all = jnp.concatenate([(1.0 - frac) * ig, frac * ig])
+        n_entries = 2 * nvis
+
+    entry_idx = jnp.arange(n_entries, dtype=jnp.int32)
+    tid_s, u_s, v_s, w_s, idx_s = jax.lax.sort(
+        (tid_all, u_all, v_all, wgt_all, entry_idx), num_keys=1
+    )
+
+    # partition over ntot+1 tiles INCLUDING the trash tile, so every entry
+    # (even out-of-grid ones, whose weights are zero) owns exactly one unit
+    # slot — required for the position-preserving back-sort below
+    ntot_p = ntot + 1
+    counts = jnp.bincount(tid_s, length=ntot_p)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
+    )
+    unit_counts = -(-counts // unit)
+    unit_offsets = jnp.concatenate(
+        [jnp.zeros((1,), unit_counts.dtype), jnp.cumsum(unit_counts)]
+    )
+    max_units = n_entries // unit + ntot_p + 1
+    uidx = jnp.arange(max_units)
+    unit_tile = (
+        jnp.searchsorted(unit_offsets, uidx, side="right") - 1
+    ).astype(jnp.int32)
+    unit_tile_p = jnp.clip(unit_tile, 0, ntot_p - 1)
+    k_within = uidx - unit_offsets[unit_tile_p]
+    unit_start = starts[unit_tile_p] + k_within * unit
+    unit_valid = uidx < unit_offsets[-1]
+    take = unit_start[:, None] + jnp.arange(unit)[None, :]
+    row_valid = (
+        take < (starts[unit_tile_p] + counts[unit_tile_p])[:, None]
+    ) & unit_valid[:, None]
+    take = jnp.clip(take, 0, n_entries - 1)
+
+    # geometry/tile lookup uses the clipped real-tile id (trash values are
+    # weight-zeroed, their tile content is irrelevant)
+    unit_tile_c = jnp.clip(unit_tile_p, 0, ntot - 1)
+    tv0 = ((unit_tile_c % ntiles) // ntile_axis * ts).astype(rdtype)
+    tu0 = ((unit_tile_c % ntiles) % ntile_axis * ts).astype(rdtype)
+
+    # whole tiles per plane, then one contiguous gather per unit
+    tiles = jax.vmap(lambda g: _extract_tiles(g, ts, support))(grids)
+    tiles = tiles.reshape(nplanes * ntiles, buf, buf)
+    tiles_r = jnp.real(tiles)
+    tiles_i = jnp.imag(tiles)
+
+    flat_take = take.reshape(-1)
+    uu_u = u_s[flat_take].reshape(max_units, unit)
+    vv_u = v_s[flat_take].reshape(max_units, unit)
+    ww_u = jnp.where(row_valid, w_s[flat_take].reshape(max_units, unit), 0.0)
+
+    r_cells = jnp.arange(buf, dtype=rdtype)
+    half_f = jnp.asarray(half, dtype=rdtype)
+
+    def unit_vals(args):
+        uu, vv, ww, t_idx, tv0_u, tu0_u = args
+        tr = tiles_r[t_idx]  # [UB, buf, buf] contiguous gather
+        ti = tiles_i[t_idx]
+        kv = es_kernel(
+            (tv0_u[:, None, None] + r_cells[None, :, None] - vv[:, None, :])
+            / half_f,
+            support,
+        )  # [UB, buf, C]
+        ku = es_kernel(
+            (tu0_u[:, None, None] + r_cells[None, :, None] - uu[:, None, :])
+            / half_f,
+            support,
+        )
+        # vals[c] = sum_{r,x} kv[r,c] T[r,x] ku[x,c]
+        tr1 = jnp.einsum(
+            "urx,uxc->urc", tr, ku, preferred_element_type=rdtype
+        )
+        vi1 = jnp.einsum(
+            "urx,uxc->urc", ti, ku, preferred_element_type=rdtype
+        )
+        vr = jnp.sum(kv * tr1, axis=1) * ww
+        vi = jnp.sum(kv * vi1, axis=1) * ww
+        return vr, vi
+
+    ub = 128
+    pad_units = (-max_units) % ub
+    nb = (max_units + pad_units) // ub
+
+    def padr(x):
+        return jnp.pad(x, ((0, pad_units),) + ((0, 0),) * (x.ndim - 1))
+
+    vr, vi = jax.lax.map(
+        unit_vals,
+        (
+            padr(uu_u).reshape(nb, ub, unit),
+            padr(vv_u).reshape(nb, ub, unit),
+            padr(ww_u).reshape(nb, ub, unit),
+            padr(unit_tile_c).reshape(nb, ub),
+            padr(tv0).reshape(nb, ub),
+            padr(tu0).reshape(nb, ub),
+        ),
+    )
+    vr = vr.reshape(-1)
+    vi = vi.reshape(-1)
+
+    # map unit-slot values back to sorted entry positions, then restore the
+    # original order with a second key-value sort
+    slot_entry = jnp.where(
+        row_valid.reshape(-1),
+        idx_s[take.reshape(-1)],
+        jnp.asarray(n_entries, jnp.int32),
+    )
+    npad_slots = vr.shape[0] - slot_entry.shape[0]
+    slot_entry = jnp.pad(
+        slot_entry, (0, npad_slots), constant_values=n_entries
+    )
+    _, vr_o, vi_o = jax.lax.sort((slot_entry, vr, vi), num_keys=1)
+    vr_o = vr_o[:n_entries]
+    vi_o = vi_o[:n_entries]
+    vals = jax.lax.complex(vr_o, vi_o)
+    if plane_idx is None:
+        return vals
+    return vals[:nvis] + vals[nvis:]

@@ -246,7 +246,8 @@ def invert_core(
 
 
 @partial(
-    jax.jit, static_argnames=("support", "nw", "do_wstacking", "padding")
+    jax.jit,
+    static_argnames=("support", "nw", "do_wstacking", "padding", "gridder"),
 )
 def predict_core(
     u,
@@ -259,6 +260,7 @@ def predict_core(
     nw: int = 1,
     do_wstacking: bool = True,
     padding: int = 2,
+    gridder: str = "tiled",
 ):
     """Degrid visibilities from an image plane (adjoint of invert_core).
 
@@ -277,6 +279,34 @@ def predict_core(
     )
 
     from .gridding import pswf_kernel_weights
+
+    if gridder == "tiled":
+        from .gridding_tiled import tiled_degrid
+
+        ts = _tile_for(npad)
+        if not do_wstacking or nw <= 1:
+            grid = fft(img_c)
+            return tiled_degrid(
+                u_pix, v_pix, grid, support=support, tile=ts
+            )
+        p0, frac, plane_w = _w_planes(w, nw)
+        fov = npad * cellsize
+
+        def make_grid(wp):
+            wb = jnp.conj(w_beam(npad, fov, wp)).astype(img_c.dtype)
+            return fft(img_c * wb)
+
+        grids = jax.lax.map(make_grid, plane_w)
+        return tiled_degrid(
+            u_pix,
+            v_pix,
+            grids,
+            p0,
+            frac,
+            support=support,
+            nplanes=nw,
+            tile=ts,
+        )
 
     chunk = 131072  # bound the [chunk, S, S] gather temporaries
 

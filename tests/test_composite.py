@@ -287,3 +287,24 @@ class TestPipelines:
         assert float(jnp.max(jnp.abs(residual.pixels))) < 0.2
         peak = float(jnp.max(restored.pixels))
         assert abs(peak - 2.0) < 0.2, peak
+
+
+class TestConfiguration:
+    def test_named_configuration_and_observe(self, rng):
+        from ska_sdp_func_python_tpu.models import (
+            create_named_configuration,
+            create_visibility,
+        )
+
+        cfg = create_named_configuration("LOW", rmax=1000.0)
+        assert 0 < cfg.nants < 512
+        vis = create_visibility(
+            cfg,
+            np.linspace(-0.05, 0.05, 2),
+            [1.0e8],
+            elevation_limit=np.deg2rad(15.0),
+        )
+        assert vis.ntimes == 2
+        assert vis.nbaselines == cfg.nants * (cfg.nants - 1) // 2
+        # uvw magnitudes bounded by array diameter
+        assert float(np.abs(np.asarray(vis.uvw)).max()) <= 2000.0
