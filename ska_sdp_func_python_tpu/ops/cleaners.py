@@ -90,12 +90,16 @@ def hogbom(
         search = jnp.abs(res * window) if window is not None else jnp.abs(res)
         my, mx = _argmax2d(search)
         mval = res[my, mx] * gain / pmax
-        comps = comps.at[my, mx].add(mval)
         patch = jax.lax.dynamic_slice(
             psf_big, (ny - my, nx - mx), (ny, nx)
         )
-        res = res - patch * mval
-        stop = jnp.abs(res[my, mx]) < 0.9 * absthresh
+        res_new = res - patch * mval
+        comps_new = comps.at[my, mx].add(mval)
+        # freeze converged lanes: required for correctness under vmap,
+        # where the while_loop runs lock-step until every lane stops
+        res = jnp.where(done, res, res_new)
+        comps = jnp.where(done, comps, comps_new)
+        stop = done | (jnp.abs(res_new[my, mx]) < 0.9 * absthresh)
         return res, comps, i + 1, stop
 
     res0 = dirty
@@ -138,12 +142,14 @@ def hogbom_complex(
         )
         my, mx = _argmax2d(search)
         mval = res[my, mx] * gain / pmax
-        comps = comps.at[my, mx].add(mval)
         patch = jax.lax.dynamic_slice(
             psf_big, (ny - my, nx - mx), (ny, nx)
         )
-        res = res - patch * mval
-        stop = jnp.abs(res[my, mx]) < absthresh
+        res_new = res - patch * mval
+        comps_new = comps.at[my, mx].add(mval)
+        res = jnp.where(done, res, res_new)
+        comps = jnp.where(done, comps, comps_new)
+        stop = done | (jnp.abs(res_new[my, mx]) < absthresh)
         return res, comps, i + 1, stop
 
     res, comps, _, _ = jax.lax.while_loop(
@@ -253,6 +259,7 @@ def _msclean_loop(
         cpatch = jax.lax.dynamic_slice(
             pscale_big, (mscale, ny - my, nx - mx), (1, ny, nx)
         )[0]
+        stop = done | stop
         res_new = res - patch * (gain * mval)
         comps_new = comps + cpatch * (gain * mval)
         res = jnp.where(stop, res, res_new)
@@ -420,7 +427,7 @@ def _msmfs_loop(
     def body(state):
         smres, model, i, done = state
         mscale, my, mx, mval = find_peak(smres)
-        stop = jnp.abs(mval[0]) < absthresh
+        stop = done | (jnp.abs(mval[0]) < absthresh)
         patch = jax.lax.dynamic_slice(
             ssmm_big,
             (mscale, 0, 0, 0, ny - my, nx - mx),

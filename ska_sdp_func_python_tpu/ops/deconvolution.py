@@ -125,6 +125,33 @@ def deconvolve_cube(
         return window[min(chan, window.shape[0] - 1), pol]
 
     if algorithm == "hogbom":
+        if window is None:
+            # all (chan, pol) lanes batched through one vmapped while_loop
+            ny, nx = dirty.pixels.shape[-2:]
+            d2 = dirty.pixels.reshape(-1, ny, nx)
+            p2 = psf.pixels.reshape(-1, *psf.pixels.shape[-2:])
+            ok = jnp.max(p2, axis=(-2, -1)) > 0.0
+            # lanes with empty PSFs get a unit delta so the loop is benign;
+            # their outputs are masked out below (reference skips them)
+            delta = jnp.zeros_like(p2).at[
+                :, p2.shape[-2] // 2, p2.shape[-1] // 2
+            ].set(1.0)
+            p2_safe = jnp.where(ok[:, None, None], p2, delta)
+            cb, rb = jax.vmap(
+                lambda d, p: hogbom(
+                    d,
+                    p,
+                    None,
+                    gain=gain,
+                    thresh=thresh,
+                    niter=niter,
+                    fracthresh=fracthresh,
+                )
+            )(d2, p2_safe)
+            okm = ok[:, None, None]
+            comp = jnp.where(okm, cb, 0.0).reshape(dirty.pixels.shape)
+            res = jnp.where(okm, rb, 0.0).reshape(dirty.pixels.shape)
+            return dirty.replace(pixels=comp), dirty.replace(pixels=res)
         for chan in range(nchan):
             for pol in range(npol):
                 if float(jnp.max(psf.pixels[chan, pol])) <= 0.0:

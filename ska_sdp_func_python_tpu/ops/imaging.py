@@ -161,6 +161,8 @@ def invert_core(
             dirty = (npad * npad) * ifft(grid)
         else:
             p0, frac, plane_w = _w_planes(w, nw)
+            # smaller units for many w-planes: bounds the one-padded-unit-
+            # per-tile overhead (nplanes*ntiles tiles) in the matmul stage
             grids = tiled_grid(
                 u_pix,
                 v_pix,
@@ -171,6 +173,7 @@ def invert_core(
                 support=support,
                 nplanes=nw,
                 tile=ts,
+                unit=256,
             )
             fov = npad * cellsize
 
@@ -306,6 +309,7 @@ def predict_core(
             support=support,
             nplanes=nw,
             tile=ts,
+            unit=256,
         )
 
     chunk = 131072  # bound the [chunk, S, S] gather temporaries
