@@ -117,3 +117,37 @@ def test_predict_invert_adjoint_consistency(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=1e-10, err_msg=f"nw={nw}"
         )
+
+
+def test_pallas_unit_kernel_interpret(rng):
+    """Pallas unit-compute kernel (interpret mode on CPU) matches the XLA
+    formulation exactly."""
+    from ska_sdp_func_python_tpu.ops.gridding import es_kernel
+    from ska_sdp_func_python_tpu.ops.gridding_pallas import (
+        pallas_available,
+        unit_tiles_pallas,
+    )
+
+    if not pallas_available():
+        pytest.skip("pallas unavailable")
+    U, C, buf, S = 16, 128, 72, 8
+    uu = jnp.asarray(rng.uniform(0, 56, (U, C)).astype(np.float32))
+    vv = jnp.asarray(rng.uniform(0, 56, (U, C)).astype(np.float32))
+    vr = jnp.asarray(rng.normal(size=(U, C)).astype(np.float32))
+    vi = jnp.asarray(rng.normal(size=(U, C)).astype(np.float32))
+    tv0 = jnp.zeros(U, jnp.float32)
+    tu0 = jnp.zeros(U, jnp.float32)
+    tr, ti = unit_tiles_pallas(
+        uu, vv, vr, vi, tv0, tu0, buf=buf, support=S, interpret=True
+    )
+    r = jnp.arange(buf, dtype=jnp.float32)
+    kv = es_kernel(
+        (tv0[:, None, None] + r[None, :, None] - vv[:, None, :]) / 4.0, S
+    )
+    ku = es_kernel(
+        (tu0[:, None, None] + r[None, :, None] - uu[:, None, :]) / 4.0, S
+    )
+    tr_ref = jnp.einsum("urc,uxc->urx", kv * vr[:, None, :], ku)
+    np.testing.assert_allclose(
+        np.asarray(tr), np.asarray(tr_ref), atol=1e-4
+    )
