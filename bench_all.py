@@ -187,8 +187,70 @@ def bench_clean():
         )
 
 
+def bench_msmfs():
+    """BASELINE config 4: 64-channel MSMFS moment clean."""
+    import jax
+    import jax.numpy as jnp
+
+    from ska_sdp_func_python_tpu.models import create_image
+    from ska_sdp_func_python_tpu.ops.deconvolution import deconvolve_cube
+
+    rng = np.random.default_rng(5)
+    n, nchan, nmoment = 256, 64, 3
+    freq = 1e8 * (1 + 0.002 * np.arange(nchan))
+    iy, ix = np.mgrid[0:n, 0:n]
+    r2 = (iy - n // 2) ** 2 + (ix - n // 2) ** 2
+    psf2d = np.exp(-r2 / (2 * 2.5**2)).astype(np.float32)
+    psf2d /= psf2d.max()
+    truth = np.zeros((n, n), dtype=np.float32)
+    truth[rng.integers(20, n - 20, 20), rng.integers(20, n - 20, 20)] = (
+        rng.uniform(0.5, 2.0, 20).astype(np.float32)
+    )
+    from numpy.fft import fft2, ifft2, ifftshift
+
+    kernel_f = fft2(ifftshift(psf2d))
+    spec = (freq / freq[nchan // 2]) ** (-0.7)
+    dirty2d = np.real(ifft2(fft2(truth) * kernel_f)).astype(np.float32)
+    dirty = (spec[:, None, None] * dirty2d[None]).astype(np.float32)
+    dirty = dirty[:, None]  # [nchan, 1, n, n]
+    psf = np.broadcast_to(psf2d, (nchan, 1, n, n)).copy()
+    pc = (0.0, np.deg2rad(-35.0))
+    dirty_im = create_image(n, 0.001, pc, frequency=freq).replace(
+        pixels=jnp.asarray(dirty)
+    )
+    psf_im = dirty_im.replace(pixels=jnp.asarray(psf))
+    niter = 100
+
+    def run():
+        comp, res = deconvolve_cube(
+            dirty_im, psf_im, algorithm="mmclean", nmoment=nmoment,
+            niter=niter, gain=0.7, scales=[0, 3, 10],
+            fractional_threshold=0.0, threshold=0.0,
+        )
+        return comp.pixels
+
+    sync(run())
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sync(run())
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    print(
+        json.dumps(
+            {
+                "metric": "msmfs_minor_cycles_per_s",
+                "value": round(niter / best, 1),
+                "unit": "minor cycles/s (64chan 256^2, 3 moments)",
+                "vs_baseline": None,
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
     sys.path.insert(0, ".")
     bench_solver()
     bench_invert_predict()
     bench_clean()
+    bench_msmfs()
