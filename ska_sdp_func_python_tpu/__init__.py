@@ -16,5 +16,12 @@ Layout:
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# Radio-interferometric phases need true float32 arithmetic: TPU matmuls
+# default to bf16 passes (8-bit mantissa), which corrupts DFT phasors and
+# gridding kernels. Highest = full f32 accumulation on the MXU.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import models, ops, parallel, utils  # noqa: F401
 from . import pipeline  # noqa: F401

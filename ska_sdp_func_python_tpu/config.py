@@ -20,6 +20,9 @@ __all__ = [
     "complex_dtype",
     "default_real",
     "default_complex",
+    "czeros",
+    "zeros_like_safe",
+    "expi",
 ]
 
 
@@ -53,3 +56,32 @@ def complex_dtype(*arrays) -> jnp.dtype:
         ):
             return jnp.complex128
     return default_complex() if not arrays else jnp.complex64
+
+
+def czeros(shape, dtype=None):
+    """Complex zeros built from real parts on device.
+
+    ``jnp.zeros(shape, complex)`` materialises a complex scalar constant on
+    the host, which some backends (the axon TPU tunnel) cannot transfer;
+    composing via ``lax.complex`` keeps everything device-side.
+    """
+    if dtype is None:
+        dtype = default_complex()
+    r = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+    z = jnp.zeros(shape, dtype=r)
+    return jax.lax.complex(z, z).astype(dtype)
+
+
+def zeros_like_safe(x):
+    """zeros_like that avoids host-side complex scalar constants."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return x * 0.0
+    return jnp.zeros_like(x)
+
+
+def expi(phase):
+    """exp(1j * phase) without a host-side complex scalar constant
+    (axon-tunnel safe): lax.complex(cos, sin)."""
+    phase = jnp.asarray(phase)
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))

@@ -101,9 +101,11 @@ def create_gaintable_from_visibility(
     ntab = len(centres)
     cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
     rdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-    gain = jnp.zeros((ntab, nants, nchan, nrec, nrec), dtype=cdtype)
-    eye = jnp.eye(nrec, dtype=cdtype)
-    gain = gain + eye
+    from ..config import czeros
+
+    gain = czeros((ntab, nants, nchan, nrec, nrec), cdtype)
+    eye_r = jnp.eye(nrec, dtype=rdtype)
+    gain = gain + jax.lax.complex(eye_r, jnp.zeros_like(eye_r)).astype(cdtype)
     return GainTable(
         gain=gain,
         weight=jnp.ones((ntab, nants, nchan, nrec, nrec), dtype=rdtype),

@@ -95,7 +95,9 @@ class Visibility:
     # --- derived products ------------------------------------------------
     @property
     def flagged_vis(self) -> jax.Array:
-        return self.vis * (1 - self.flags).astype(self.vis.dtype)
+        # int -> real -> (promoted) complex: direct int->complex conversion
+        # is unimplemented on the axon TPU backend
+        return self.vis * (1 - self.flags).astype(self.weight.dtype)
 
     @property
     def flagged_weight(self) -> jax.Array:
@@ -156,7 +158,9 @@ def create_visibility_from_arrays(
     cdtype = jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
     rdtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     if vis is None:
-        vis = jnp.zeros(shape, dtype=cdtype)
+        from ..config import czeros
+
+        vis = czeros(shape, cdtype)
     else:
         vis = jnp.asarray(vis)
     if weight is None:

@@ -67,10 +67,10 @@ def expand_delay_phase(
     f0 = gain_table.frequency[0]
     phase0 = jnp.angle(gain_table.gain)[:, :, 0]  # [t, ant, rec, rec]
     freq = frequency - f0 if reference_to_centre else frequency
-    gain = jnp.exp(
-        1j
-        * (freq / f0)[None, None, :, None, None]
-        * phase0[:, :, None, :, :]
+    from ..config import expi
+
+    gain = expi(
+        (freq / f0)[None, None, :, None, None] * phase0[:, :, None, :, :]
     )
     shape = gain.shape
     return GainTable(

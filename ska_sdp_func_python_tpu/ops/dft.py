@@ -70,7 +70,9 @@ def extract_direction_and_flux(sc: SkyComponents, vis: Visibility):
 def dft_kernel(direction_cosines, vfluxes, uvw_lambda):
     """V[t,b,f,p] = sum_c S[c,f,p] exp(-2pi i uvw[t,b,f,:].lmn[c,:])
     (dft.py:121-286, re-expressed as batched matmuls)."""
-    rdtype = jnp.real(jnp.zeros((), dtype=vfluxes.dtype)).dtype
+    rdtype = (
+        jnp.float64 if vfluxes.dtype == jnp.complex128 else jnp.float32
+    )
     phase = (-2.0 * jnp.pi) * jnp.einsum(
         "tbfs,cs->tbfc",
         uvw_lambda.astype(rdtype),
@@ -106,7 +108,9 @@ def idft_visibility_skycomponent(vis: Visibility, sc: SkyComponents):
         vis.phasecentre[1],
     )
     lmn = jnp.stack([l, m, n1], axis=-1)  # [ncomp, 3]
-    rdtype = jnp.real(jnp.zeros((), dtype=vis.vis.dtype)).dtype
+    rdtype = (
+        jnp.float64 if vis.vis.dtype == jnp.complex128 else jnp.float32
+    )
     phase = (-2.0 * jnp.pi) * jnp.einsum(
         "tbfs,cs->tbfc", vis.uvw_lambda.astype(rdtype), lmn.astype(rdtype)
     )

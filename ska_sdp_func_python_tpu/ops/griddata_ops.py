@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..config import czeros as _czeros
 from ..models.griddata import GridData
 from ..models.image import Image
 from ..models.visibility import Visibility
@@ -50,7 +51,7 @@ def create_griddata_from_image(im: Image, polarisation_frame=None) -> GridData:
     )
     cdtype = jnp.result_type(im.pixels.dtype, jnp.complex64)
     return GridData(
-        pixels=jnp.zeros(im.pixels.shape, dtype=cdtype),
+        pixels=_czeros(im.pixels.shape, cdtype),
         frequency=im.frequency,
         cellsize=im.cellsize,
         polarisation_frame=frame,
@@ -290,7 +291,9 @@ def degrid_visibility_from_griddata(
         vis, griddata.pixels.shape, griddata.cellsize, oversampling, nw, wstep
     )
     cf = cf.astype(griddata.pixels.dtype)
-    newvis = jnp.zeros_like(vis.vis)
+    from ..config import zeros_like_safe
+
+    newvis = zeros_like_safe(vis.vis)
     for ichan in range(nchan_g):
         fsel = slice(None) if mfs else slice(ichan, ichan + 1)
         shape = iu[:, :, fsel].shape

@@ -68,10 +68,14 @@ def fill_vis_for_psf(vis: Visibility) -> Visibility:
     """Set vis to unity in the parallel hands and zero in cross hands
     (imaging/base.py:262-296)."""
     if vis.npol == 4:
-        newvis = jnp.zeros_like(vis.vis)
+        from ..config import zeros_like_safe
+
+        newvis = zeros_like_safe(vis.vis)
         newvis = newvis.at[..., 0].set(1.0).at[..., 3].set(1.0)
     else:
-        newvis = jnp.ones_like(vis.vis)
+        newvis = jnp.ones(vis.vis.shape, dtype=jnp.float32).astype(
+            vis.vis.dtype
+        )
     return vis.replace(vis=newvis)
 
 
@@ -451,7 +455,9 @@ def invert_visibility(
         wgt = jnp.broadcast_to(wgt[..., :1], ms.shape[:-1] + (ms.shape[-1],))
     if dopsf:
         # unit amplitude in the first polarisation only (ng.py:235-238)
-        newms = jnp.zeros_like(ms)
+        from ..config import zeros_like_safe
+
+        newms = zeros_like_safe(ms)
         newms = newms.at[..., 0].set(1.0)
         ms = newms
 
@@ -523,10 +529,10 @@ def predict_visibility(
     nwp = _nw_for(vis, model, do_wstacking, nw)
     mfs = nchan_img == 1 and vis.nchan > 1
 
+    from ..config import czeros
+
     cdtype = jnp.result_type(vis.vis.dtype, jnp.complex64)
-    newvis = jnp.zeros(
-        vis.vis.shape[:3] + (npol_img,), dtype=cdtype
-    )
+    newvis = czeros(vis.vis.shape[:3] + (npol_img,), cdtype)
     for ichan in range(nchan_img):
         fsel = slice(None) if mfs else slice(ichan, ichan + 1)
         uu = uvw_l[:, :, fsel, 0].reshape(-1)

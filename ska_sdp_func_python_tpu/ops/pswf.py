@@ -125,9 +125,11 @@ def w_beam(
     r2c = jnp.minimum(r2, 1.0)
     ph = -2.0 * jnp.pi * w * (1.0 - jnp.sqrt(1.0 - r2c))
     ph = jnp.where(r2 >= 1.0, 0.0, ph)
-    cp = jnp.exp(1j * ph)
-    cp = jnp.where(r2 >= 1.0, 0.0 + 0.0j, cp)
-    cp = jnp.where(r2 == 0.0, 1.0 + 0.0j, cp)
+    import jax
+
+    cp = jax.lax.complex(jnp.cos(ph), jnp.sin(ph))
+    cp = jnp.where(r2 >= 1.0, cp * 0.0, cp)
+    cp = jnp.where(r2 == 0.0, cp * 0.0 + 1.0, cp)
     if remove_shift:
         cp = cp / cp[-1, -1]
     return cp

@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..config import zeros_like_safe
+
 from ..models.components import SkyModel
 from ..models.visibility import Visibility
 from .dft import dft_skycomponent_visibility
@@ -59,7 +61,7 @@ def skymodel_predict_calibrate(
     (skymodel_imaging.py:70-151)."""
 
     def predict_slice(vslice, pb=None):
-        v = vslice.replace(vis=jnp.zeros_like(vslice.vis))
+        v = vslice.replace(vis=zeros_like_safe(vslice.vis))
         comps = skymodel.components
         if comps is not None and comps.ncomp > 0:
             if skymodel.mask is not None:
@@ -78,7 +80,7 @@ def skymodel_predict_calibrate(
         ):
             model = _mask_image(skymodel.image, skymodel.mask, pb)
             imgv = predict_visibility(
-                vslice.replace(vis=jnp.zeros_like(vslice.vis)),
+                vslice.replace(vis=zeros_like_safe(vslice.vis)),
                 model,
                 context=context,
                 **kwargs,

@@ -289,7 +289,9 @@ def build_normal_equations(point_vis: Visibility, gain_table: GainTable):
     npol = xb.shape[3]
     a1 = point_vis.antenna1
     a2 = point_vis.antenna2
-    x = jnp.zeros((nsol, nants, nants, nchan, npol), dtype=xb.dtype)
+    from ..config import czeros
+
+    x = czeros((nsol, nants, nants, nchan, npol), xb.dtype)
     xwt = jnp.zeros((nsol, nants, nants, nchan, npol), dtype=wb.dtype)
     x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
     xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
@@ -334,7 +336,8 @@ def solve_gaintable(
     )
     # intervals with no data keep unit gain / zero weight (solvers.py:130-133)
     hd = has_data[:, None, None, None, None]
-    gain = jnp.where(hd, gain, jnp.ones_like(gain))
+    # real ones broadcast: avoids a host-side complex constant (axon)
+    gain = jnp.where(hd, gain, jnp.ones(gain.shape, dtype=jnp.float32).astype(gain.dtype))
     gwt = jnp.where(hd, gwt, jnp.zeros_like(gwt))
     residual = jnp.where(
         has_data[:, None, None, None], residual, jnp.zeros_like(residual)

@@ -51,7 +51,9 @@ def calculate_visibility_phasor(direction, vis: Visibility):
     )
     s = jnp.stack([l, m, n1])
     phase = -2.0 * jnp.pi * jnp.einsum("tbfs,s->tbf", vis.uvw_lambda, s)
-    return jnp.exp(1j * phase).astype(vis.vis.dtype)
+    from ..config import expi
+
+    return expi(phase).astype(vis.vis.dtype)
 
 
 def phaserotate_visibility(
@@ -133,12 +135,13 @@ def subtract_visibility(vis: Visibility, model_vis: Visibility) -> Visibility:
 def divide_visibility(vis: Visibility, modelvis: Visibility) -> Visibility:
     """Point-source-equivalent visibility X = V_obs / V_model with weight
     |V_model|^2 w (visibility/operations.py:145-189)."""
-    mflag = (1 - modelvis.flags).astype(modelvis.vis.dtype)
+    mflag = (1 - modelvis.flags).astype(modelvis.weight.dtype)
     mvis = modelvis.vis * mflag
     xwt = jnp.abs(mvis) ** 2 * vis.flagged_weight
     ok = xwt > 0.0
     x = jnp.where(
-        ok, vis.flagged_vis / jnp.where(ok, mvis, 1.0), 0.0 + 0.0j
+        # zero-from-array instead of a complex literal (axon-safe)
+        ok, vis.flagged_vis / jnp.where(ok, mvis, 1.0), vis.vis * 0.0
     )
     return vis.replace(vis=x, weight=xwt.astype(vis.weight.dtype))
 

@@ -157,7 +157,9 @@ def distributed_predict(
         )
 
     cdtype = jnp.result_type(vis.vis.dtype, jnp.complex64)
-    newvis = jnp.zeros(vis.vis.shape[:3] + (npol_img,), dtype=cdtype)
+    from ..config import czeros
+
+    newvis = czeros(vis.vis.shape[:3] + (npol_img,), cdtype)
     for ichan in range(nchan_img):
         uu, vv, ww, fsel = _flatten_rows(vis, mfs, ichan)
         n = uu.shape[0]

@@ -21,6 +21,8 @@ import logging
 from typing import Optional
 
 import jax.numpy as jnp
+
+from ..config import zeros_like_safe
 from jax.sharding import Mesh
 
 from ..models.components import SkyComponents
@@ -73,7 +75,7 @@ def distributed_ical(
     residual = None
     gt = None
     for cycle in range(nmajor):
-        mvis = vis.replace(vis=jnp.zeros_like(vis.vis))
+        mvis = vis.replace(vis=zeros_like_safe(vis.vis))
         if bool(jnp.max(jnp.abs(current.pixels)) > 0.0):
             mvis = distributed_predict(
                 mvis,
@@ -86,7 +88,7 @@ def distributed_ical(
             )
         if components is not None and components.ncomp > 0:
             cvis = dft_skycomponent_visibility(
-                vis.replace(vis=jnp.zeros_like(vis.vis)), components
+                vis.replace(vis=zeros_like_safe(vis.vis)), components
             )
             mvis = mvis.replace(vis=mvis.vis + cvis.vis)
         gt = distributed_solve_gaintable(

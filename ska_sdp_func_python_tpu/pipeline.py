@@ -23,6 +23,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
+from .config import zeros_like_safe
 from .models.components import SkyComponents
 from .models.image import Image
 from .models.visibility import Visibility
@@ -72,12 +73,12 @@ class SelfCalState:
 
 
 def _predict_model(vis, model, components, context, **kwargs):
-    mvis = vis.replace(vis=jnp.zeros_like(vis.vis))
+    mvis = vis.replace(vis=zeros_like_safe(vis.vis))
     if model is not None and bool(jnp.max(jnp.abs(model.pixels)) > 0.0):
         mvis = predict_visibility(mvis, model, context=context, **kwargs)
     if components is not None and components.ncomp > 0:
         cvis = dft_skycomponent_visibility(
-            vis.replace(vis=jnp.zeros_like(vis.vis)), components
+            vis.replace(vis=zeros_like_safe(vis.vis)), components
         )
         mvis = mvis.replace(vis=mvis.vis + cvis.vis)
     return mvis
@@ -115,7 +116,7 @@ def continuum_imaging(
             cycle,
             float(jnp.max(jnp.abs(residual.pixels))),
         )
-    restored = restore_cube(current, psf=psf, residual=residual)
+    restored = _restore_with_components(current, psf, residual, components)
     return current, residual, restored
 
 
@@ -175,8 +176,24 @@ def ical(
             SelfCalState(current, gaintables, cycle + 1).save(
                 checkpoint_path
             )
-    restored = restore_cube(current, psf=psf, residual=residual)
+    restored = _restore_with_components(current, psf, residual, components)
     return current, residual, restored, gaintables
+
+
+def _restore_with_components(current, psf, residual, components):
+    """Restore the image model and, when the sky model includes components,
+    add them as clean-beam Gaussians (reference pipelines restore both:
+    restore_cube + restore_skycomponent)."""
+    from .ops.deconvolution import fit_psf
+    from .ops.skycomponent_ops import restore_skycomponent
+
+    clean_beam = fit_psf(psf)
+    restored = restore_cube(
+        current, psf=psf, residual=residual, clean_beam=clean_beam
+    )
+    if components is not None and components.ncomp > 0:
+        restored = restore_skycomponent(restored, components, clean_beam)
+    return restored
 
 
 def _imaging_kwargs(kwargs: dict) -> dict:

@@ -11,6 +11,7 @@ All functions are jnp-based, differentiable, and vmap/jit friendly.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -212,14 +213,15 @@ def simulate_point(dist_uvw, l, m):
         ]
     )
     phase = -2.0 * jnp.pi * jnp.einsum("...s,s->...", dist_uvw, s)
-    return jnp.exp(1j * phase)
+    # lax.complex avoids a host-side complex constant (axon-safe)
+    return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 
 def visibility_shift(uvw, vis, dl, dm):
     """Shift visibilities by (dl, dm) (coordinate_support.py:548-563)."""
     uvw = jnp.asarray(uvw)
     phase = -2.0 * jnp.pi * (uvw[..., 0] * dl + uvw[..., 1] * dm)
-    return vis * jnp.exp(1j * phase)
+    return vis * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 
 def uvw_transform(uvw, transform_matrix):
