@@ -1,0 +1,92 @@
+"""Scaling-efficiency harness (BASELINE config 5 infrastructure).
+
+Measures distributed invert + gain solve wall time at 1/2/4/8 devices on
+whatever mesh is available and reports efficiency relative to 1 device.
+On this environment it runs on the virtual CPU mesh (one real TPU chip is
+tunnelled), so the numbers validate the *harness and sharding*, not ICI
+bandwidth; on a real pod slice the same script reports true scaling.
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python bench_scaling.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    sys.path.insert(0, ".")
+    import jax
+
+    if jax.config.jax_platforms in (None, "", "axon,cpu"):
+        # default to the virtual CPU mesh when only the tunnel chip exists
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from ska_sdp_func_python_tpu.models import (
+        SkyComponents,
+        create_named_configuration,
+        create_visibility,
+    )
+    from ska_sdp_func_python_tpu.ops import (
+        create_image_from_visibility,
+        dft_skycomponent_visibility,
+    )
+    from ska_sdp_func_python_tpu.parallel import (
+        distributed_invert,
+        distributed_solve_gaintable,
+        make_mesh,
+    )
+
+    ndev_all = len(jax.devices())
+    cfg = create_named_configuration("LOW", rmax=1000.0)
+    vis = create_visibility(cfg, np.linspace(-0.1, 0.1, 4), [1.2e8])
+    model = create_image_from_visibility(vis, npixel=256, nchan=1)
+    comps = SkyComponents.from_lists(
+        [[0.0, np.deg2rad(-35.0)]], [[[1.0]]], vis.frequency
+    )
+    vis = dft_skycomponent_visibility(vis, comps)
+    print(
+        f"# {cfg.nants} stations, "
+        f"{vis.ntimes * vis.nbaselines / 1e3:.0f}k vis, devices={ndev_all}",
+        file=sys.stderr,
+    )
+
+    results = {}
+    sizes = [n for n in (1, 2, 4, 8) if n <= ndev_all]
+    for n in sizes:
+        mesh = make_mesh(devices=jax.devices()[:n], axis_names=("data",))
+
+        def run():
+            d, s = distributed_invert(vis, model, mesh)
+            gt = distributed_solve_gaintable(vis, None, mesh)
+            d.pixels.block_until_ready()
+            gt.gain.block_until_ready()
+
+        run()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run()
+            times.append(time.perf_counter() - t0)
+        results[n] = min(times)
+    base = results[sizes[0]] * sizes[0]
+    for n in sizes:
+        eff = base / (results[n] * n)
+        print(
+            json.dumps(
+                {
+                    "metric": f"selfcal_step_scaling_{n}dev",
+                    "value": round(results[n] * 1e3, 1),
+                    "unit": "ms",
+                    "vs_baseline": round(eff, 3),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

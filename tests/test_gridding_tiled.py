@@ -151,3 +151,38 @@ def test_pallas_unit_kernel_interpret(rng):
     np.testing.assert_allclose(
         np.asarray(tr), np.asarray(tr_ref), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("case", ["all_same_cell", "single", "all_outside"])
+def test_tiled_grid_edge_cases(rng, case):
+    npixel = 128
+    if case == "all_same_cell":
+        n = 1000
+        u = jnp.full((n,), 43.3)
+        v = jnp.full((n,), 77.7)
+    elif case == "single":
+        n = 1
+        u = jnp.asarray([30.2])
+        v = jnp.asarray([99.9])
+    else:
+        n = 500
+        u = jnp.asarray(rng.uniform(-400, -100, n))
+        v = jnp.asarray(rng.uniform(npixel + 100, npixel + 400, n))
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    ref, _ = convolutional_grid(u, v, vals, npixel, 8)
+    fast = tiled_grid(u, v, vals, npixel=npixel, support=8, tile=32, unit=64)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=1e-11, err_msg=case
+    )
+    from ska_sdp_func_python_tpu.ops.gridding_tiled import tiled_degrid
+    from ska_sdp_func_python_tpu.ops.gridding import convolutional_degrid
+
+    grid = jnp.asarray(
+        rng.normal(size=(npixel, npixel))
+        + 1j * rng.normal(size=(npixel, npixel))
+    )
+    dref, _ = convolutional_degrid(u, v, grid, 8)
+    dfast = tiled_degrid(u, v, grid, support=8, tile=32, unit=64)
+    np.testing.assert_allclose(
+        np.asarray(dfast), np.asarray(dref), atol=1e-11, err_msg=case
+    )
