@@ -12,7 +12,7 @@ import dataclasses
 from functools import partial
 
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401 - part of public typing surface
 
 __all__ = ["GridData"]
 

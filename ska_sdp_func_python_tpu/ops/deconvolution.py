@@ -256,8 +256,6 @@ def _mmclean_cube(dirty, psf, sensitivity, window, **kwargs):
     else:
         sens_taylor = None
     if window is not None:
-        from .cleaners import create_scalestack  # noqa: F401
-
         w_taylor = calculate_image_frequency_moments(
             dirty.replace(pixels=window.astype(dirty.pixels.dtype)),
             nmoment=nmoment,

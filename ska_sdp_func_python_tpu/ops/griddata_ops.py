@@ -217,10 +217,21 @@ def grid_visibility_to_griddata(
 ):
     """Grid weighted visibility onto a GridData (gridding.py:160-255).
 
-    Returns (GridData, sumwt [nchan, npol]).
+    Returns (GridData, sumwt [nchan, npol]). The body is jitted: one
+    dispatch per call (deep eager queues are unreliable on the axon
+    tunnel, and compiled is what we want on TPU anyway).
     """
     if cf is None:
         cf = create_pswf_convolutionfunction(8, oversampling, nw=max(nw, 1))
+    return _grid_visibility_to_griddata_jit(
+        vis, griddata, cf, oversampling, nw, wstep
+    )
+
+
+@partial(jax.jit, static_argnames=("oversampling", "nw", "wstep"))
+def _grid_visibility_to_griddata_jit(
+    vis, griddata, cf, oversampling, nw, wstep
+):
     support = cf.shape[-1]
     nchan_g, npol = griddata.pixels.shape[:2]
     mfs = nchan_g == 1 and vis.nchan > 1
@@ -281,9 +292,19 @@ def degrid_visibility_from_griddata(
     vis: Visibility, griddata: GridData, cf=None, oversampling: int = 16,
     nw: int = 1, wstep: float = 0.0,
 ) -> Visibility:
-    """Degrid visibility from a GridData (gridding.py:502-590)."""
+    """Degrid visibility from a GridData (gridding.py:502-590). Jitted body
+    (single dispatch)."""
     if cf is None:
         cf = create_pswf_convolutionfunction(8, oversampling, nw=max(nw, 1))
+    return _degrid_visibility_from_griddata_jit(
+        vis, griddata, cf, oversampling, nw, wstep
+    )
+
+
+@partial(jax.jit, static_argnames=("oversampling", "nw", "wstep"))
+def _degrid_visibility_from_griddata_jit(
+    vis, griddata, cf, oversampling, nw, wstep
+):
     support = cf.shape[-1]
     nchan_g, npol = griddata.pixels.shape[:2]
     mfs = nchan_g == 1 and vis.nchan > 1

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.image import Image, create_image
-from ..models.polarisation import convert_pol_frame, npol as _frame_npol
+from ..models.polarisation import convert_pol_frame
 from ..models.visibility import Visibility, C_M_S
 from .fft import extract_mid, fft, ifft, pad_mid
 from .gridding import (

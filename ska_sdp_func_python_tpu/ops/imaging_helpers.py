@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..models.image import Image
 from .imaging import normalise_sumwt
 from .taylor import calculate_image_frequency_moments
 

@@ -17,7 +17,7 @@ from ..models.components import SkyModel
 from ..models.visibility import Visibility
 from .dft import dft_skycomponent_visibility
 from .gain_ops import apply_gaintable
-from .imaging import invert_visibility, normalise_sumwt, predict_visibility
+from .imaging import invert_visibility, predict_visibility
 from .skycomponent_ops import apply_beam_to_skycomponent
 from .visibility_ops import concatenate_visibility
 

@@ -24,11 +24,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.image import Image
 from ..models.visibility import Visibility
-from ..ops.gridding import grid_correction
 from ..ops.imaging import invert_core, normalise_sumwt, predict_core
 from ..ops.solvers import solve_gains_core
 from ..models.gaintable import GainTable, create_gaintable_from_visibility

@@ -7,7 +7,6 @@ these are the framework-native equivalents returning plain dicts.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["qa_image", "qa_gain_table", "qa_visibility"]
