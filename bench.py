@@ -1,4 +1,5 @@
-"""Benchmark: Mvis gridded/s on the w-stacked invert (BASELINE.md config 3).
+"""Benchmark: Mvis gridded/s on the w-stacked invert (BASELINE.md config 3:
+10M visibilities, 1024^2, w-correction).
 
 Grids N visibilities (stokesI, f32/c64) onto a 1024^2 image with w-stacking
 on the available accelerator and reports throughput as one JSON line:
@@ -31,7 +32,7 @@ def main():
     from ska_sdp_func_python_tpu.ops.imaging import invert_core
 
     rng = np.random.default_rng(7)
-    nvis = int(2e6)
+    nvis = int(10e6)
     npixel = 1024
     cellsize = 5e-5
     nw = 8
