@@ -108,6 +108,12 @@ def tiled_grid(
         tid = jnp.where(in_grid, tid, ntiles * nplanes)
         u_all, v_all, vals_all, tid_all = u_pix, v_pix, vals, tid
         ntot = ntiles
+    elif plane_frac is None:
+        # nearest-plane assignment: one entry per visibility
+        ntot = ntiles * nplanes
+        tid = (plane_idx * ntiles + tv * ntile_axis + tu).astype(jnp.int32)
+        tid = jnp.where(in_grid, tid, jnp.asarray(ntot, jnp.int32))
+        u_all, v_all, vals_all, tid_all = u_pix, v_pix, vals, tid
     else:
         # duplicate each vis onto its two neighbouring w-planes
         frac = plane_frac.astype(vals.dtype)
@@ -365,6 +371,18 @@ def tiled_degrid(
         u_all, v_all, tid_all = u_pix, v_pix, tid
         wgt_all = jnp.where(in_grid, jnp.ones_like(u_pix), 0.0)
         n_entries = nvis
+    elif plane_frac is None:
+        # nearest-plane assignment: one entry per visibility
+        ntot = ntiles * nplanes
+        base = tv * ntile_axis + tu
+        tid = jnp.where(
+            in_grid,
+            (plane_idx * ntiles + base).astype(jnp.int32),
+            jnp.asarray(ntot, jnp.int32),
+        )
+        u_all, v_all, tid_all = u_pix, v_pix, tid
+        wgt_all = jnp.where(in_grid, jnp.ones_like(u_pix), 0.0)
+        n_entries = nvis
     else:
         frac = plane_frac.astype(rdtype)
         base = tv * ntile_axis + tu
@@ -492,6 +510,6 @@ def tiled_degrid(
     vr_o = vr_o[:n_entries]
     vi_o = vi_o[:n_entries]
     vals = jax.lax.complex(vr_o, vi_o)
-    if plane_idx is None:
+    if plane_idx is None or plane_frac is None or n_entries == nvis:
         return vals
     return vals[:nvis] + vals[nvis:]

@@ -84,17 +84,26 @@ def fill_vis_for_psf(vis: Visibility) -> Visibility:
 # --------------------------------------------------------------------------
 
 
-def _w_planes(w, nw: int):
-    """Linear w-plane decomposition: per-vis plane index + fraction."""
+def _w_planes(w, nw: int, w_interp: str = "linear"):
+    """W-plane decomposition: per-vis plane index + fraction.
+
+    ``w_interp="linear"`` splits each vis between its two neighbouring
+    planes; ``"nearest"`` assigns the closest plane only (frac None) —
+    about 1.5x faster gridding at ~2x the w-approximation error; use
+    ~2x the plane count for the same accuracy.
+    """
     wmin = jnp.min(w)
     wmax = jnp.max(w)
     wstep = jnp.maximum((wmax - wmin) / max(nw - 1, 1), 1e-30)
     t = (w - wmin) / wstep
-    p0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, nw - 2) if nw > 1 else (
-        jnp.zeros(w.shape, dtype=jnp.int32)
-    )
-    frac = jnp.clip(t - p0, 0.0, 1.0) if nw > 1 else jnp.zeros_like(w)
     plane_w = wmin + wstep * jnp.arange(nw)
+    if nw <= 1:
+        return jnp.zeros(w.shape, dtype=jnp.int32), jnp.zeros_like(w), plane_w
+    if w_interp == "nearest":
+        p0 = jnp.clip(jnp.round(t).astype(jnp.int32), 0, nw - 1)
+        return p0, None, plane_w
+    p0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, nw - 2)
+    frac = jnp.clip(t - p0, 0.0, 1.0)
     return p0, frac, plane_w
 
 
@@ -115,6 +124,7 @@ def _tile_for(npad: int) -> int:
         "do_wstacking",
         "padding",
         "gridder",
+        "w_interp",
     ),
 )
 def invert_core(
@@ -131,6 +141,7 @@ def invert_core(
     do_wstacking: bool = True,
     padding: int = 2,
     gridder: str = "tiled",
+    w_interp: str = "linear",
 ):
     """Grid + FFT + w-stack one (channel, pol) visibility block.
 
@@ -164,7 +175,7 @@ def invert_core(
             )
             dirty = (npad * npad) * ifft(grid)
         else:
-            p0, frac, plane_w = _w_planes(w, nw)
+            p0, frac, plane_w = _w_planes(w, nw, w_interp)
             # smaller units for many w-planes: bounds the one-padded-unit-
             # per-tile overhead (nplanes*ntiles tiles) in the matmul stage
             grids = tiled_grid(

@@ -183,3 +183,79 @@ class TestCleanPhysics:
         )
         assert float(jnp.max(jnp.abs(r))) < 0.5 * np.max(np.abs(dirty))
         assert float(jnp.sum(jnp.abs(c))) > 0
+
+
+class TestWindowedAndSensitivityParity:
+    def test_msclean_with_window_matches(self, rng):
+        ref = reference_oracle.load_cleaners()
+        dirty, psf = _make_dirty_psf(rng)
+        window = np.zeros_like(dirty)
+        window[20:44, 16:48] = 1.0
+        c_ref, r_ref = ref.msclean(
+            dirty.copy(), psf.copy(), window, None, 0.1, 0.0, 25,
+            [0, 3, 10], 0.01,
+        )
+        c, r = msclean(
+            jnp.asarray(dirty), jnp.asarray(psf), jnp.asarray(window),
+            None, gain=0.1, thresh=0.0, niter=25, scales=[0, 3, 10],
+            fracthresh=0.01,
+        )
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r), r_ref, atol=1e-8)
+
+    def test_msclean_with_sensitivity_matches(self, rng):
+        ref = reference_oracle.load_cleaners()
+        dirty, psf = _make_dirty_psf(rng)
+        yy, xx = np.mgrid[0:64, 0:64]
+        sens = 1.0 / (1.0 + 0.001 * ((yy - 32) ** 2 + (xx - 32) ** 2))
+        sens /= sens.max()
+        c_ref, r_ref = ref.msclean(
+            dirty.copy(), psf.copy(), None, sens, 0.1, 0.0, 25,
+            [0, 3, 10], 0.01,
+        )
+        c, r = msclean(
+            jnp.asarray(dirty), jnp.asarray(psf), None, jnp.asarray(sens),
+            gain=0.1, thresh=0.0, niter=25, scales=[0, 3, 10],
+            fracthresh=0.01,
+        )
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r), r_ref, atol=1e-8)
+
+    def test_msmfs_with_window_matches(self, rng):
+        ref = reference_oracle.load_cleaners()
+        nmoment, n = 2, 48
+        d0, psf0 = _make_dirty_psf(rng, n=n, nsrc=6)
+        d1, _ = _make_dirty_psf(rng, n=n, nsrc=6)
+        dirty = np.stack([d0, 0.2 * d1])
+        psf = np.stack([psf0 / (1.0 + m) for m in range(2 * nmoment)])
+        window = np.zeros((n, n))
+        window[10:38, 8:40] = 1.0
+        c_ref, r_ref = ref.msmfsclean(
+            dirty.copy(), psf.copy(), window, None, 0.1, 0.0, 15,
+            [0, 4], 0.01, "RASCIL",
+        )
+        c, r = msmfsclean(
+            jnp.asarray(dirty), jnp.asarray(psf), jnp.asarray(window),
+            None, gain=0.1, thresh=0.0, niter=15, scales=[0, 4],
+            fracthresh=0.01, findpeak="RASCIL",
+        )
+        np.testing.assert_allclose(np.asarray(c), c_ref, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(r), r_ref, atol=1e-8)
+
+    def test_hogbom_complex_with_window(self, rng):
+        ref = reference_oracle.load_cleaners()
+        dq, psf = _make_dirty_psf(rng)
+        du, _ = _make_dirty_psf(rng)
+        window = np.zeros_like(dq)
+        window[16:48, 16:48] = 1.0
+        cq_r, cu_r, rq_r, ru_r = ref.hogbom_complex(
+            dq.copy(), du.copy(), psf.copy(), psf.copy(), window,
+            0.1, 0.0, 25, 0.01,
+        )
+        cq, cu, rq, ru = hogbom_complex(
+            jnp.asarray(dq), jnp.asarray(du), jnp.asarray(psf),
+            jnp.asarray(psf), jnp.asarray(window),
+            gain=0.1, niter=25, fracthresh=0.01,
+        )
+        np.testing.assert_allclose(np.asarray(cq), cq_r, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(rq), rq_r, atol=1e-10)
