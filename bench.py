@@ -35,7 +35,7 @@ def main():
     nvis = int(10e6)
     npixel = 1024
     cellsize = 5e-5
-    nw = 16  # nearest-w with 2x planes == linear-w nw=8 accuracy
+    nw = 8
     support = 8
 
     # synthetic uv coverage filling ~1/3 of the padded band
@@ -62,7 +62,6 @@ def main():
             support=support,
             nw=nw,
             do_wstacking=True,
-            w_interp="nearest",
         )
         return dirty, sumwt
 

@@ -88,9 +88,10 @@ def _w_planes(w, nw: int, w_interp: str = "linear"):
     """W-plane decomposition: per-vis plane index + fraction.
 
     ``w_interp="linear"`` splits each vis between its two neighbouring
-    planes; ``"nearest"`` assigns the closest plane only (frac None) —
-    about 1.5x faster gridding at ~2x the w-approximation error; use
-    ~2x the plane count for the same accuracy.
+    planes (second-order accurate in the plane spacing); ``"nearest"``
+    assigns the closest plane only — classic WSClean-style w-stacking,
+    first-order accurate but ~1.5x faster (half the sorted entries).
+    Measured at 256^2/32 planes: linear ~1e-5, nearest ~2e-3 peak error.
     """
     wmin = jnp.min(w)
     wmax = jnp.max(w)
@@ -265,7 +266,14 @@ def invert_core(
 
 @partial(
     jax.jit,
-    static_argnames=("support", "nw", "do_wstacking", "padding", "gridder"),
+    static_argnames=(
+        "support",
+        "nw",
+        "do_wstacking",
+        "padding",
+        "gridder",
+        "w_interp",
+    ),
 )
 def predict_core(
     u,
@@ -279,6 +287,7 @@ def predict_core(
     do_wstacking: bool = True,
     padding: int = 2,
     gridder: str = "tiled",
+    w_interp: str = "linear",
 ):
     """Degrid visibilities from an image plane (adjoint of invert_core).
 
@@ -307,7 +316,7 @@ def predict_core(
             return tiled_degrid(
                 u_pix, v_pix, grid, support=support, tile=ts
             )
-        p0, frac, plane_w = _w_planes(w, nw)
+        p0, frac, plane_w = _w_planes(w, nw, w_interp)
         fov = npad * cellsize
 
         def make_grid(wp):

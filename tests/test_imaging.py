@@ -176,3 +176,33 @@ class TestAdvise:
             assert key in advice
         assert advice["cellsize"] > 0
         assert advice["npixels2"] >= 2
+
+
+class TestWInterpAccuracy:
+    def test_nearest_doubled_planes_matches_linear(self):
+        """nearest-w with 2x planes has comparable predict accuracy to
+        linear-w (the basis of the fast bench configuration)."""
+        from ska_sdp_func_python_tpu.ops.imaging import predict_core
+
+        vis, model = _vis_and_image()
+        comps = _point_comps(model, [(12, 9)])
+        vis_dft = dft_skycomponent_visibility(vis, comps)
+        pixels = jnp.zeros_like(model.pixels)
+        pixels = pixels.at[0, 0, NPIX // 2 + 9, NPIX // 2 + 12].set(1.0)
+        uvw_l = vis.uvw_lambda
+        uu = uvw_l[..., 0].reshape(-1)
+        vv = uvw_l[..., 1].reshape(-1)
+        ww = uvw_l[..., 2].reshape(-1)
+        truth = np.asarray(vis_dft.vis[..., 0]).reshape(-1)
+        errs = {}
+        for mode, nw in (("linear", 16), ("nearest", 32)):
+            vals = predict_core(
+                uu, vv, ww, pixels[0, 0], cellsize=model.cellsize,
+                support=8, nw=nw, do_wstacking=True, w_interp=mode,
+            )
+            errs[mode] = float(np.max(np.abs(np.asarray(vals) - truth)))
+        # linear interp is second-order accurate; nearest (classic
+        # w-stacking) is first-order — both must beat no-w-correction
+        assert errs["linear"] < 1e-4, errs
+        assert errs["nearest"] < 1e-2, errs
+        assert errs["linear"] < errs["nearest"], errs
