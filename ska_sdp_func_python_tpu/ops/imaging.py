@@ -141,7 +141,7 @@ def invert_core(
     nw: int = 1,
     do_wstacking: bool = True,
     padding: int = 2,
-    gridder: str = "tiled",
+    gridder: str | None = None,
     w_interp: str = "linear",
 ):
     """Grid + FFT + w-stack one (channel, pol) visibility block.
@@ -161,12 +161,23 @@ def invert_core(
     v_pix = v * scale + npad // 2
     weighted = vals * wgt.astype(vals.dtype)
 
-    if gridder == "tiled":
-        from .gridding_tiled import tiled_grid
+    if gridder is None:
+        # fused Pallas path on accelerators (4.8x the XLA tiled pipeline at
+        # the 10M-vis BASELINE config); tiled XLA on CPU (tests)
+        gridder = "tiled" if jax.default_backend() == "cpu" else "fused"
+    if gridder in ("tiled", "fused"):
+        if gridder == "fused":
+            from .gridding_fused import fused_grid_wstack as _grid_fn
+
+            grid_kw = {}
+        else:
+            from .gridding_tiled import tiled_grid as _grid_fn
+
+            grid_kw = {"unit": 256}
 
         ts = _tile_for(npad)
         if not do_wstacking or nw <= 1:
-            grid = tiled_grid(
+            grid = _grid_fn(
                 u_pix,
                 v_pix,
                 weighted,
@@ -179,7 +190,7 @@ def invert_core(
             p0, frac, plane_w = _w_planes(w, nw, w_interp)
             # smaller units for many w-planes: bounds the one-padded-unit-
             # per-tile overhead (nplanes*ntiles tiles) in the matmul stage
-            grids = tiled_grid(
+            grids = _grid_fn(
                 u_pix,
                 v_pix,
                 weighted,
@@ -189,7 +200,7 @@ def invert_core(
                 support=support,
                 nplanes=nw,
                 tile=ts,
-                unit=256,
+                **grid_kw,
             )
             fov = npad * cellsize
 
