@@ -35,6 +35,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _HAVE_PALLAS = True
 try:  # pragma: no cover - environment probe
@@ -43,7 +44,7 @@ try:  # pragma: no cover - environment probe
 except Exception:  # pragma: no cover
     _HAVE_PALLAS = False
 
-__all__ = ["fused_grid_wstack", "fused_available"]
+__all__ = ["fused_grid_wstack", "fused_degrid_wstack", "fused_available"]
 
 LANE = 128
 
@@ -364,3 +365,321 @@ def fused_grid_wstack(
     if squeeze:
         return grids[0]
     return grids
+
+
+# ---------------------------------------------------------------------------
+# fused degrid (predict): adjoint of the fused gridder
+# ---------------------------------------------------------------------------
+
+
+def _degrid_kernel(
+    slot_seg_ref,
+    slot_col_ref,
+    seg_starts_ref,
+    seg_counts_ref,
+    payload_ref,
+    tlo_r_ref,
+    tlo_i_ref,
+    thi_r_ref,
+    thi_i_ref,
+    out_r_ref,
+    out_i_ref,
+    out_idx_ref,
+    *,
+    buf: int,
+    support: int,
+    chunk: int,
+    ntiles: int,
+    ntile_axis: int,
+    tile: int,
+    nseg: int,
+    sentinel: float,
+    wstacked: bool,
+):
+    """One program per chunk-aligned slot of the sorted entry stream.
+
+    All inputs are block-spec'd (auto-pipelined): payload [8, chunk] chunk
+    column, and the [1, buf, buf] lower/upper plane tiles selected by the
+    prefetched slot->segment map. Outputs one [1, chunk] value row per slot
+    plus the pass-through entry index (f32-bitcast) for the back-sort.
+    """
+    i = pl.program_id(0)
+    seg = slot_seg_ref[i]  # in [0, nseg]; nseg = trash (out-of-grid)
+    col = slot_col_ref[i]
+    start = seg_starts_ref[seg]
+    count = seg_counts_ref[seg]
+    segc = jnp.minimum(seg, nseg - 1)
+    t = segc % ntiles
+    tv0 = jnp.float32(0) + (t // ntile_axis * tile)
+    tu0 = jnp.float32(0) + (t % ntile_axis * tile)
+
+    beta = 2.3 * support
+    half = support / 2.0
+    r = jax.lax.broadcasted_iota(jnp.int32, (buf, chunk), 0).astype(
+        jnp.float32
+    )
+    gidx = col * chunk + jax.lax.broadcasted_iota(
+        jnp.int32, (1, chunk), 1
+    )
+    valid = (gidx >= start) & (gidx < start + count)
+    live = valid & (seg < nseg)
+
+    data = payload_ref[...]
+    uu = data[0][None, :]
+    vv = data[1][None, :]
+    frac = jnp.where(live, data[2][None, :], 0.0)
+    idx_bits = jnp.where(valid, data[3][None, :], sentinel)
+
+    def es(offs):
+        nu = offs / half
+        nu2 = jnp.clip(nu * nu, 0.0, 1.0)
+        k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
+        return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
+
+    kv = es(tv0 + r - vv)  # [buf, chunk]
+    ku = es(tu0 + r - uu)
+    livef = jnp.where(live, 1.0, 0.0)
+
+    # val[c] = sum_x ( sum_r T[r, x] kv[r, c] ) ku[x, c]
+    dn = (((0,), (0,)), ((), ()))  # contract r -> [x, c]
+
+    def tile_vals(t_ref):
+        a = jax.lax.dot_general(
+            t_ref[0], kv, dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.sum(a * ku, axis=0, keepdims=True)  # [1, chunk]
+
+    if wstacked:
+        w0 = (1.0 - frac) * livef
+        w1 = frac * livef
+        out_r_ref[...] = tile_vals(tlo_r_ref) * w0 + tile_vals(thi_r_ref) * w1
+        out_i_ref[...] = tile_vals(tlo_i_ref) * w0 + tile_vals(thi_i_ref) * w1
+    else:
+        out_r_ref[...] = tile_vals(tlo_r_ref) * livef
+        out_i_ref[...] = tile_vals(tlo_i_ref) * livef
+    out_idx_ref[...] = idx_bits
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "support",
+        "nplanes",
+        "tile",
+        "chunk",
+        "interpret",
+    ),
+)
+def fused_degrid_wstack(
+    u_pix,
+    v_pix,
+    grids,
+    plane_idx=None,
+    plane_frac=None,
+    *,
+    support: int = 8,
+    nplanes: int = 1,
+    tile: int = 64,
+    chunk: int = 512,
+    interpret: bool | None = None,
+):
+    """Degrid visibilities from (optionally w-stacked) grids: the adjoint of
+    :func:`fused_grid_wstack`, same contract as tiled_degrid.
+
+    One N-entry sort by (w-plane, uv-tile) segment, one Pallas program per
+    chunk slot (entries block-aligned within their segment), value =
+    kv^T . T . ku with both plane weights applied in-kernel, and a single
+    back-sort on the pass-through entry index restores the original order.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    u_pix = u_pix.astype(jnp.float32)
+    v_pix = v_pix.astype(jnp.float32)
+    if grids.ndim == 2:
+        grids = grids[None]
+    grids = grids.astype(jnp.complex64)
+    npixel = grids.shape[-1]
+    half = support // 2
+    ts = tile
+    buf = ts + support
+    ntile_axis = npixel // ts
+    if ntile_axis * ts != npixel:
+        raise ValueError(f"tile {ts} must divide npixel {npixel}")
+    ntiles = ntile_axis * ntile_axis
+    wstacked = plane_idx is not None and plane_frac is not None and nplanes > 1
+    nearest = plane_idx is not None and plane_frac is None and nplanes > 1
+    if wstacked:
+        nseg = ntiles * (nplanes - 1)
+    elif nearest:
+        nseg = ntiles * nplanes
+    else:
+        nseg = ntiles
+
+    iu0 = jnp.floor(u_pix).astype(jnp.int32) - (half - 1)
+    iv0 = jnp.floor(v_pix).astype(jnp.int32) - (half - 1)
+    in_grid = (
+        (iu0 >= 0)
+        & (iu0 + support <= npixel)
+        & (iv0 >= 0)
+        & (iv0 + support <= npixel)
+    )
+    iu0c = jnp.clip(iu0, 0, npixel - support)
+    iv0c = jnp.clip(iv0, 0, npixel - support)
+    base = (iv0c // ts) * ntile_axis + (iu0c // ts)
+    if wstacked:
+        p0 = jnp.clip(plane_idx, 0, nplanes - 2)
+        frac = plane_frac.astype(jnp.float32)
+        seg = (p0 * ntiles + base).astype(jnp.int32)
+    elif nearest:
+        p0 = jnp.clip(plane_idx, 0, nplanes - 1)
+        frac = jnp.zeros_like(u_pix)
+        seg = (p0 * ntiles + base).astype(jnp.int32)
+    else:
+        frac = jnp.zeros_like(u_pix)
+        seg = base.astype(jnp.int32)
+    seg = jnp.where(in_grid, seg, jnp.asarray(nseg, jnp.int32))
+
+    n = u_pix.shape[0]
+    idx_bits = jax.lax.bitcast_convert_type(
+        jnp.arange(n, dtype=jnp.int32), jnp.float32
+    )
+    seg_s, u_s, v_s, f_s, ib_s = jax.lax.sort(
+        (seg, u_pix, v_pix, frac, idx_bits), num_keys=1
+    )
+    npad = (-n) % chunk + chunk
+    pz = jnp.zeros((npad,), jnp.float32)  # pad entries are never valid
+    u_s = jnp.concatenate([u_s, pz])
+    v_s = jnp.concatenate([v_s, pz])
+    f_s = jnp.concatenate([f_s, pz])
+    ib_s = jnp.concatenate([ib_s, pz])
+    z = jnp.zeros_like(u_s)
+    payload = jnp.stack([u_s, v_s, f_s, ib_s, z, z, z, z])  # [8, Npad]
+
+    # segment bounds INCLUDING the trash segment (out-of-grid entries must
+    # still return their pass-through index for the back-sort)
+    counts_p = jnp.bincount(seg_s, length=nseg + 1).astype(jnp.int32)
+    starts_p = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(counts_p)[:-1].astype(jnp.int32)]
+    )
+    acol = starts_p // chunk
+    ecol = (starts_p + counts_p + chunk - 1) // chunk
+    slot_counts = jnp.maximum(ecol - acol, 0)
+    slot_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(slot_counts).astype(jnp.int32)]
+    )
+    nslots = n // chunk + nseg + 3
+    sidx = jnp.arange(nslots, dtype=jnp.int32)
+    slot_seg = (
+        jnp.searchsorted(slot_offsets, sidx, side="right") - 1
+    ).astype(jnp.int32)
+    slot_seg_c = jnp.clip(slot_seg, 0, nseg)
+    slot_col = acol[slot_seg_c] + (sidx - slot_offsets[slot_seg_c])
+    slot_valid = sidx < slot_offsets[-1]
+    ncols = payload.shape[1] // chunk
+    # unused slots point at the all-pad final column (beyond every
+    # segment's range), so they emit only sentinels
+    slot_col = jnp.where(
+        slot_valid, jnp.clip(slot_col, 0, ncols - 1), ncols - 1
+    )
+    slot_seg = jnp.where(slot_valid, slot_seg_c, nseg)
+
+    tiles = jax.vmap(lambda g: _extract_tiles_f(g, ts, support))(grids)
+    tiles = tiles.reshape(nplanes * ntiles, buf, buf)
+    tiles_r = jnp.real(tiles)
+    tiles_i = jnp.imag(tiles)
+
+    # back-sort key for masked lanes: the f32 bit pattern of int32(n),
+    # which sorts after every real entry index
+    sentinel_bits = float(np.asarray(n, np.int32).view(np.float32))
+
+    def lo_map(i, ss, sc, st, ct):
+        return (jnp.minimum(ss[i], nseg - 1), 0, 0)
+
+    def hi_map(i, ss, sc, st, ct):
+        return (jnp.minimum(ss[i], nseg - 1) + (ntiles if wstacked else 0),
+                0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nslots,),
+        in_specs=[
+            pl.BlockSpec(
+                (8, chunk), lambda i, ss, sc, st, ct: (0, sc[i]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, buf, buf), lo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, buf, buf), lo_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, buf, buf), hi_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, buf, buf), hi_map, memory_space=pltpu.VMEM),
+        ],
+        # [1, nslots*chunk] row layout: Mosaic requires the block's
+        # second-to-last dim be 8-divisible or equal the array dim
+        out_specs=(
+            pl.BlockSpec(
+                (1, chunk), lambda i, ss, sc, st, ct: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, chunk), lambda i, ss, sc, st, ct: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, chunk), lambda i, ss, sc, st, ct: (0, i),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+    )
+    kernel = partial(
+        _degrid_kernel,
+        buf=buf,
+        support=support,
+        chunk=chunk,
+        ntiles=ntiles,
+        ntile_axis=ntile_axis,
+        tile=ts,
+        nseg=nseg,
+        sentinel=sentinel_bits,
+        wstacked=wstacked,
+    )
+    out_r, out_i, out_ib = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        interpret=interpret,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, nslots * chunk), jnp.float32),
+            jax.ShapeDtypeStruct((1, nslots * chunk), jnp.float32),
+            jax.ShapeDtypeStruct((1, nslots * chunk), jnp.float32),
+        ),
+    )(slot_seg, slot_col, starts_p, counts_p, payload, tiles_r, tiles_i,
+      tiles_r, tiles_i)
+
+    key = jax.lax.bitcast_convert_type(out_ib.reshape(-1), jnp.int32)
+    _, vr_o, vi_o = jax.lax.sort(
+        (key, out_r.reshape(-1), out_i.reshape(-1)), num_keys=1
+    )
+    return jax.lax.complex(vr_o[:n], vi_o[:n])
+
+
+def _extract_tiles_f(grid, ts: int, support: int):
+    """All (ts+S)^2 overlapping tiles of an [n, n] grid as
+    [ntv*ntu, buf, buf] via reshapes + rolls (no gather)."""
+    n = grid.shape[-1]
+    ntv = n // ts
+    buf = ts + support
+
+    def blocks(g):
+        return g.reshape(ntv, ts, ntv, ts).transpose(0, 2, 1, 3)
+
+    a = blocks(grid)
+    b = blocks(jnp.roll(grid, -ts, axis=1))[..., :, :support]
+    c = blocks(jnp.roll(grid, -ts, axis=0))[..., :support, :]
+    d = blocks(jnp.roll(jnp.roll(grid, -ts, axis=0), -ts, axis=1))[
+        ..., :support, :support
+    ]
+    top = jnp.concatenate([a, b], axis=-1)
+    bottom = jnp.concatenate([c, d], axis=-1)
+    out = jnp.concatenate([top, bottom], axis=-2)
+    return out.reshape(ntv * ntv, buf, buf)

@@ -297,7 +297,7 @@ def predict_core(
     nw: int = 1,
     do_wstacking: bool = True,
     padding: int = 2,
-    gridder: str = "tiled",
+    gridder: str | None = None,
     w_interp: str = "linear",
 ):
     """Degrid visibilities from an image plane (adjoint of invert_core).
@@ -318,13 +318,22 @@ def predict_core(
 
     from .gridding import pswf_kernel_weights
 
-    if gridder == "tiled":
-        from .gridding_tiled import tiled_degrid
+    if gridder is None:
+        gridder = "tiled" if jax.default_backend() == "cpu" else "fused"
+    if gridder in ("tiled", "fused"):
+        if gridder == "fused":
+            from .gridding_fused import fused_degrid_wstack as _degrid_fn
+
+            degrid_kw = {}
+        else:
+            from .gridding_tiled import tiled_degrid as _degrid_fn
+
+            degrid_kw = {"unit": 256}
 
         ts = _tile_for(npad)
         if not do_wstacking or nw <= 1:
             grid = fft(img_c)
-            return tiled_degrid(
+            return _degrid_fn(
                 u_pix, v_pix, grid, support=support, tile=ts
             )
         p0, frac, plane_w = _w_planes(w, nw, w_interp)
@@ -335,7 +344,7 @@ def predict_core(
             return fft(img_c * wb)
 
         grids = jax.lax.map(make_grid, plane_w)
-        return tiled_degrid(
+        return _degrid_fn(
             u_pix,
             v_pix,
             grids,
@@ -344,7 +353,7 @@ def predict_core(
             support=support,
             nplanes=nw,
             tile=ts,
-            unit=256,
+            **degrid_kw,
         )
 
     chunk = 131072  # bound the [chunk, S, S] gather temporaries

@@ -110,3 +110,89 @@ def test_fused_invert_core_matches_tiled(rng):
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
     )
+
+
+# ---------------------------------------------------------------------------
+# fused degrid (predict adjoint)
+# ---------------------------------------------------------------------------
+
+from ska_sdp_func_python_tpu.ops.gridding_tiled import tiled_degrid
+from ska_sdp_func_python_tpu.ops.gridding_fused import fused_degrid_wstack
+
+
+@pytest.mark.parametrize("npixel,tile", [(256, 64), (128, 32)])
+def test_fused_degrid_single_plane_matches_tiled(rng, npixel, tile):
+    n = 3000
+    u = jnp.asarray(rng.uniform(-20, npixel + 20, n))
+    v = jnp.asarray(rng.uniform(-20, npixel + 20, n))
+    grid = jnp.asarray(
+        rng.normal(size=(npixel, npixel))
+        + 1j * rng.normal(size=(npixel, npixel))
+    ).astype(jnp.complex64)
+    ref = tiled_degrid(u, v, grid, support=8, tile=tile, unit=256)
+    fast = fused_degrid_wstack(
+        u, v, grid, support=8, tile=tile, interpret=True
+    )
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
+    )
+
+
+def test_fused_degrid_wstack_matches_tiled(rng):
+    npixel, nplanes = 256, 5
+    n = 4000
+    u = jnp.asarray(rng.uniform(4, npixel - 12, n))
+    v = jnp.asarray(rng.uniform(4, npixel - 12, n))
+    grids = jnp.asarray(
+        rng.normal(size=(nplanes, npixel, npixel))
+        + 1j * rng.normal(size=(nplanes, npixel, npixel))
+    ).astype(jnp.complex64)
+    p0 = jnp.asarray(rng.integers(0, nplanes - 1, n))
+    frac = jnp.asarray(rng.uniform(0, 1, n))
+    ref = tiled_degrid(
+        u, v, grids, p0, frac,
+        support=8, nplanes=nplanes, tile=64, unit=256,
+    )
+    fast = fused_degrid_wstack(
+        u, v, grids, p0, frac,
+        support=8, nplanes=nplanes, tile=64, interpret=True,
+    )
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
+    )
+
+
+def test_fused_degrid_out_of_grid_zero(rng):
+    npixel = 128
+    n = 300
+    u = jnp.asarray(rng.uniform(-200, -50, n))  # all out of grid
+    v = jnp.asarray(rng.uniform(4, npixel - 12, n))
+    grid = jnp.asarray(
+        rng.normal(size=(npixel, npixel))
+        + 1j * rng.normal(size=(npixel, npixel))
+    ).astype(jnp.complex64)
+    out = fused_degrid_wstack(
+        u, v, grid, support=8, tile=32, interpret=True
+    )
+    assert out.shape == (n,)
+    assert float(jnp.max(jnp.abs(out))) == 0.0
+
+
+def test_fused_predict_core_matches_tiled(rng):
+    from ska_sdp_func_python_tpu.ops.imaging import predict_core
+
+    npixel = 128
+    n = 2000
+    u = jnp.asarray(rng.uniform(-500, 500, n))
+    v = jnp.asarray(rng.uniform(-500, 500, n))
+    w = jnp.asarray(rng.uniform(-30, 30, n))
+    img = jnp.asarray(rng.normal(size=(npixel, npixel)))
+    kw = dict(cellsize=5e-4, support=8, nw=4, do_wstacking=True)
+    ref = predict_core(u, v, w, img, gridder="tiled", **kw)
+    fast = predict_core(u, v, w, img, gridder="fused", **kw)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
+    )
