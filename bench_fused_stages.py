@@ -36,7 +36,8 @@ LANE = 128
 
 
 def fetch(x):
-    return float(np.asarray(jax.tree_util.tree_leaves(x)[0].ravel()[0]))
+    leaf = jax.tree_util.tree_leaves(x)[0].ravel()[0]
+    return float(np.asarray(jnp.real(leaf)))
 
 
 def timeit(name, fn, *args, reps=3):

@@ -273,10 +273,9 @@ def fused_grid_wstack(
         [u_s, v_s, f_s, vr_s, vi_s, z, z, z]
     )  # [8, Npad]: sublane dim padded to the (8, 128) f32 tile
 
-    counts = jnp.bincount(seg_s, length=nseg + 1)[:nseg].astype(jnp.int32)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts)[:-1].astype(jnp.int32)]
-    )
+    from .gridding_tiled import sorted_seg_bounds
+
+    starts, counts = sorted_seg_bounds(seg_s, nseg)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -558,11 +557,9 @@ def fused_degrid_wstack(
 
     # segment bounds INCLUDING the trash segment (out-of-grid entries must
     # still return their pass-through index for the back-sort)
-    counts_p = jnp.bincount(seg_s, length=nseg + 1).astype(jnp.int32)
-    starts_p = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32),
-         jnp.cumsum(counts_p)[:-1].astype(jnp.int32)]
-    )
+    from .gridding_tiled import sorted_seg_bounds
+
+    starts_p, counts_p = sorted_seg_bounds(seg_s, nseg + 1)
     acol = starts_p // chunk
     ecol = (starts_p + counts_p + chunk - 1) // chunk
     slot_counts = jnp.maximum(ecol - acol, 0)

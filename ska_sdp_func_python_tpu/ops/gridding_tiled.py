@@ -35,6 +35,19 @@ from .gridding import es_kernel
 __all__ = ["tiled_grid", "tiled_degrid"]
 
 
+def sorted_seg_bounds(seg_s, nbins: int):
+    """(starts, counts) of each bin in an already-sorted key array.
+
+    Replaces ``bincount`` + ``cumsum``: a 10M-entry bincount is a
+    scatter-add (~100 ms on one v5e); binary search over the sorted keys
+    is ~1 ms for thousands of bins.
+    """
+    edges = jnp.searchsorted(
+        seg_s, jnp.arange(nbins + 1, dtype=seg_s.dtype), side="left"
+    ).astype(jnp.int32)
+    return edges[:-1], edges[1:] - edges[:-1]
+
+
 def _dense_kernel(tile0, pix, length: int, support: int):
     """Kernel values over ``length`` consecutive cells starting at tile0.
 
@@ -148,10 +161,7 @@ def tiled_grid(
         num_keys=1,
     )
 
-    counts = jnp.bincount(tid_s, length=ntot + 1)[:ntot]
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
-    )
+    starts, counts = sorted_seg_bounds(tid_s, ntot)
 
     # units: fixed-size chunks of the sorted stream, one tile per unit
     unit_counts = -(-counts // unit)  # ceil
@@ -406,10 +416,7 @@ def tiled_degrid(
     # (even out-of-grid ones, whose weights are zero) owns exactly one unit
     # slot — required for the position-preserving back-sort below
     ntot_p = ntot + 1
-    counts = jnp.bincount(tid_s, length=ntot_p)
-    starts = jnp.concatenate(
-        [jnp.zeros((1,), counts.dtype), jnp.cumsum(counts)[:-1]]
-    )
+    starts, counts = sorted_seg_bounds(tid_s, ntot_p)
     unit_counts = -(-counts // unit)
     unit_offsets = jnp.concatenate(
         [jnp.zeros((1,), unit_counts.dtype), jnp.cumsum(unit_counts)]
