@@ -276,6 +276,48 @@ def fused_grid_wstack(
     from .gridding_tiled import sorted_seg_bounds
 
     starts, counts = sorted_seg_bounds(seg_s, nseg)
+    grids = _grid_execute(
+        starts,
+        counts,
+        payload,
+        npixel=npixel,
+        support=support,
+        nplanes=nplanes,
+        nseg_planes=nseg_planes,
+        nplanes_out=nplanes_out,
+        wstacked=wstacked,
+        tile=ts,
+        chunk=chunk,
+        interpret=interpret,
+    )
+    if squeeze:
+        return grids[0]
+    return grids
+
+
+def _grid_execute(
+    starts,
+    counts,
+    payload,
+    *,
+    npixel: int,
+    support: int,
+    nplanes: int,
+    nseg_planes: int,
+    nplanes_out: int,
+    wstacked: bool,
+    tile: int,
+    chunk: int,
+    interpret: bool,
+):
+    """Pallas segment kernel + plane combine + overlap-add assemble over a
+    prepared (sorted) payload stream. Shared by :func:`fused_grid_wstack`
+    and the plan path (gridding_plan.py)."""
+    ts = tile
+    buf = ts + support
+    ntile_axis = npixel // ts
+    ntiles = ntile_axis * ntile_axis
+    nseg = ntiles * nseg_planes
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -360,10 +402,7 @@ def fused_grid_wstack(
         grid = grid + jnp.roll(jnp.roll(flatten(d), ts, axis=0), ts, axis=1)
         return grid
 
-    grids = jax.vmap(assemble)(acc)
-    if squeeze:
-        return grids[0]
-    return grids
+    return jax.vmap(assemble)(acc)
 
 
 # ---------------------------------------------------------------------------
@@ -394,6 +433,7 @@ def _degrid_kernel(
     nseg: int,
     sentinel: float,
     wstacked: bool,
+    idx_row: int = 3,
 ):
     """One program per chunk-aligned slot of the sorted entry stream.
 
@@ -427,7 +467,7 @@ def _degrid_kernel(
     uu = data[0][None, :]
     vv = data[1][None, :]
     frac = jnp.where(live, data[2][None, :], 0.0)
-    idx_bits = jnp.where(valid, data[3][None, :], sentinel)
+    idx_bits = jnp.where(valid, data[idx_row][None, :], sentinel)
 
     def es(offs):
         nu = offs / half
@@ -560,6 +600,39 @@ def fused_degrid_wstack(
     from .gridding_tiled import sorted_seg_bounds
 
     starts_p, counts_p = sorted_seg_bounds(seg_s, nseg + 1)
+    nslots = n // chunk + nseg + 3
+    ncols = payload.shape[1] // chunk
+    slot_seg, slot_col = _degrid_slots(
+        starts_p, counts_p, nslots=nslots, ncols=ncols, nseg=nseg,
+        chunk=chunk,
+    )
+    vr_o, vi_o = _degrid_execute(
+        slot_seg,
+        slot_col,
+        starts_p,
+        counts_p,
+        payload,
+        grids,
+        n=n,
+        nslots=nslots,
+        npixel=npixel,
+        support=support,
+        nplanes=nplanes,
+        nseg=nseg,
+        wstacked=wstacked,
+        tile=ts,
+        chunk=chunk,
+        interpret=interpret,
+    )
+    return jax.lax.complex(vr_o, vi_o)
+
+
+def _degrid_slots(starts_p, counts_p, *, nslots, ncols, nseg, chunk):
+    """Map each chunk-aligned Pallas slot to its (segment, payload column).
+
+    Each segment owns the chunk columns spanning its slice of the sorted
+    stream; entries in a shared boundary column appear in two slots and are
+    masked to exactly one by the kernel's [start, start+count) check."""
     acol = starts_p // chunk
     ecol = (starts_p + counts_p + chunk - 1) // chunk
     slot_counts = jnp.maximum(ecol - acol, 0)
@@ -567,7 +640,6 @@ def fused_degrid_wstack(
         [jnp.zeros((1,), jnp.int32),
          jnp.cumsum(slot_counts).astype(jnp.int32)]
     )
-    nslots = n // chunk + nseg + 3
     sidx = jnp.arange(nslots, dtype=jnp.int32)
     slot_seg = (
         jnp.searchsorted(slot_offsets, sidx, side="right") - 1
@@ -575,13 +647,42 @@ def fused_degrid_wstack(
     slot_seg_c = jnp.clip(slot_seg, 0, nseg)
     slot_col = acol[slot_seg_c] + (sidx - slot_offsets[slot_seg_c])
     slot_valid = sidx < slot_offsets[-1]
-    ncols = payload.shape[1] // chunk
     # unused slots point at the all-pad final column (beyond every
     # segment's range), so they emit only sentinels
     slot_col = jnp.where(
         slot_valid, jnp.clip(slot_col, 0, ncols - 1), ncols - 1
     )
     slot_seg = jnp.where(slot_valid, slot_seg_c, nseg)
+    return slot_seg, slot_col
+
+
+def _degrid_execute(
+    slot_seg,
+    slot_col,
+    starts_p,
+    counts_p,
+    payload,
+    grids,
+    *,
+    n: int,
+    nslots: int,
+    npixel: int,
+    support: int,
+    nplanes: int,
+    nseg: int,
+    wstacked: bool,
+    tile: int,
+    chunk: int,
+    interpret: bool,
+    idx_row: int = 3,
+):
+    """Pallas degrid kernel + back-sort over prepared slot maps. Shared by
+    :func:`fused_degrid_wstack` and the plan path (gridding_plan.py).
+    Returns (vr, vi) [n] in the order given by the payload's idx_row."""
+    ts = tile
+    buf = ts + support
+    ntile_axis = npixel // ts
+    ntiles = ntile_axis * ntile_axis
 
     tiles = jax.vmap(lambda g: _extract_tiles_f(g, ts, support))(grids)
     tiles = tiles.reshape(nplanes * ntiles, buf, buf)
@@ -640,6 +741,7 @@ def fused_degrid_wstack(
         nseg=nseg,
         sentinel=sentinel_bits,
         wstacked=wstacked,
+        idx_row=idx_row,
     )
     out_r, out_i, out_ib = pl.pallas_call(
         kernel,
@@ -657,7 +759,7 @@ def fused_degrid_wstack(
     _, vr_o, vi_o = jax.lax.sort(
         (key, out_r.reshape(-1), out_i.reshape(-1)), num_keys=1
     )
-    return jax.lax.complex(vr_o[:n], vi_o[:n])
+    return vr_o[:n], vi_o[:n]
 
 
 def _extract_tiles_f(grid, ts: int, support: int):

@@ -16,6 +16,7 @@ Sign conventions (verified against the DFT in tests/test_imaging.py):
 
 from __future__ import annotations
 
+from dataclasses import dataclass as _dataclass
 from functools import partial
 
 import jax
@@ -38,6 +39,10 @@ __all__ = [
     "visibility_recentre",
     "invert_visibility",
     "predict_visibility",
+    "ImagingPlan",
+    "make_imaging_plan",
+    "invert_with_plan",
+    "predict_with_plan",
     "shift_vis_to_image",
     "normalise_sumwt",
     "fill_vis_for_psf",
@@ -433,6 +438,183 @@ def predict_core(
         ),
     ).reshape(-1)[:n]
     return vals
+
+
+# --------------------------------------------------------------------------
+# reusable imaging plans
+# --------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["gp", "plane_w"],
+    meta_fields=[
+        "npixel",
+        "npad",
+        "cellsize",
+        "support",
+        "nw",
+        "do_wstacking",
+    ],
+)
+@_dataclass(frozen=True)
+class ImagingPlan:
+    """Precomputed invert/predict geometry for one set of (u, v, w).
+
+    The reference re-bins uvw on every ducc0 call (imaging/ng.py:146-293);
+    imaging pipelines (CLEAN major cycles, self-cal) call invert/predict
+    repeatedly on identical coordinates, so the N-entry segment sort —
+    ~40% of an invert at the 10M-vis BASELINE config — is hoisted here
+    and amortised (see ops/gridding_plan.py).
+    """
+
+    gp: object  # GridPlan over the padded uv grid
+    plane_w: jax.Array  # [nw] w-plane centres
+    npixel: int
+    npad: int
+    cellsize: float
+    support: int
+    nw: int
+    do_wstacking: bool
+
+
+def make_imaging_plan(
+    u,
+    v,
+    w,
+    *,
+    npixel: int,
+    cellsize: float,
+    support: int = 8,
+    nw: int = 1,
+    do_wstacking: bool = True,
+    padding: int = 2,
+    w_interp: str = "linear",
+    chunk: int = 512,
+) -> ImagingPlan:
+    """Build a reusable plan for :func:`invert_with_plan` /
+    :func:`predict_with_plan` (same contract as invert_core/predict_core).
+    """
+    from .gridding_plan import make_grid_plan
+
+    npad = padding * npixel
+    scale = npad * cellsize
+    u_pix = (-u * scale + npad // 2).astype(jnp.float32)
+    v_pix = (v * scale + npad // 2).astype(jnp.float32)
+    wstack = do_wstacking and nw > 1
+    if wstack:
+        p0, frac, plane_w = _w_planes(w, nw, w_interp)
+        nplanes = nw
+    else:
+        p0, frac = None, None
+        plane_w = jnp.zeros((1,), dtype=jnp.float32)
+        nplanes = 1
+    gp = make_grid_plan(
+        u_pix,
+        v_pix,
+        p0,
+        frac,
+        npixel=npad,
+        support=support,
+        nplanes=nplanes,
+        tile=_tile_for(npad),
+        chunk=chunk,
+    )
+    return ImagingPlan(
+        gp=gp,
+        plane_w=plane_w,
+        npixel=npixel,
+        npad=npad,
+        cellsize=float(cellsize),
+        support=support,
+        nw=nw,
+        do_wstacking=do_wstacking,
+    )
+
+
+@partial(jax.jit, static_argnames=("values_sorted", "interpret"))
+def invert_with_plan(
+    plan: ImagingPlan,
+    vals,
+    wgt=None,
+    *,
+    values_sorted: bool = False,
+    interpret: bool | None = None,
+):
+    """Grid + FFT + w-stack using a precomputed plan.
+
+    With ``values_sorted=True`` both ``vals`` and ``wgt`` must already be
+    in plan order (``sort_values``), skipping the per-call value sort.
+    Returns (dirty [npixel, npixel] real, sumwt scalar).
+    """
+    from .gridding_plan import grid_with_plan
+
+    npad = plan.npad
+    weighted = vals if wgt is None else vals * wgt.astype(vals.dtype)
+    grids = grid_with_plan(
+        plan.gp, weighted, values_sorted=values_sorted, interpret=interpret
+    )
+    wstack = plan.do_wstacking and plan.nw > 1
+    if wstack:
+        fov = npad * plan.cellsize
+
+        def accum(carry, inputs):
+            g, wp = inputs
+            img = (npad * npad) * ifft(g)
+            wb = w_beam(npad, fov, wp).astype(img.dtype)
+            return carry + img * wb, None
+
+        dirty0 = jnp.zeros_like(grids[0])
+        dirty, _ = jax.lax.scan(accum, dirty0, (grids, plan.plane_w))
+    else:
+        dirty = (npad * npad) * ifft(grids)
+    corr = grid_correction(npad, plan.support, dtype=jnp.float32)
+    dirty = jnp.real(dirty) / corr
+    dirty = extract_mid(dirty, plan.npixel)
+    sumwt = (
+        jnp.asarray(vals.shape[0], jnp.float32)
+        if wgt is None
+        else jnp.sum(wgt)
+    )
+    return dirty, sumwt
+
+
+@partial(jax.jit, static_argnames=("to_sorted", "interpret"))
+def predict_with_plan(
+    plan: ImagingPlan,
+    image,
+    *,
+    to_sorted: bool = False,
+    interpret: bool | None = None,
+):
+    """Degrid model-image visibilities using a precomputed plan.
+
+    ``to_sorted=True`` returns plan-ordered values that can feed straight
+    back into ``invert_with_plan(values_sorted=True)`` (e.g. residual
+    visibilities in a major-cycle loop) with no per-call sorting at all.
+    """
+    from .gridding_plan import degrid_with_plan
+
+    npad = plan.npad
+    corr = grid_correction(npad, plan.support, dtype=jnp.float32)
+    img_pad = pad_mid(image, npad)
+    img_c = (img_pad / corr).astype(
+        jnp.result_type(image.dtype, jnp.complex64)
+    )
+    wstack = plan.do_wstacking and plan.nw > 1
+    if wstack:
+        fov = npad * plan.cellsize
+
+        def make_grid(wp):
+            wb = jnp.conj(w_beam(npad, fov, wp)).astype(img_c.dtype)
+            return fft(img_c * wb)
+
+        grids = jax.lax.map(make_grid, plan.plane_w)
+    else:
+        grids = fft(img_c)[None]
+    return degrid_with_plan(
+        plan.gp, grids, to_sorted=to_sorted, interpret=interpret
+    )
 
 
 # --------------------------------------------------------------------------

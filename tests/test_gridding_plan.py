@@ -1,0 +1,235 @@
+"""Parity tests for reusable gridding plans (interpret mode on CPU)
+against the one-shot fused Pallas paths."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ska_sdp_func_python_tpu.ops.gridding_fused import (
+    fused_available,
+    fused_degrid_wstack,
+    fused_grid_wstack,
+)
+from ska_sdp_func_python_tpu.ops.gridding_plan import (
+    degrid_with_plan,
+    grid_with_plan,
+    make_grid_plan,
+    sort_values,
+    unsort_values,
+)
+
+pytestmark = pytest.mark.skipif(
+    not fused_available(), reason="pallas unavailable"
+)
+
+
+def _case(rng, npixel, nplanes, n, wstack=True):
+    u = jnp.asarray(rng.uniform(-20, npixel + 20, n))
+    v = jnp.asarray(rng.uniform(-20, npixel + 20, n))
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    if nplanes > 1:
+        p0 = jnp.asarray(
+            rng.integers(0, nplanes - 1 if wstack else nplanes, n)
+        )
+        frac = jnp.asarray(rng.uniform(0, 1, n)) if wstack else None
+    else:
+        p0, frac = None, None
+    return u, v, vals, p0, frac
+
+
+def test_plan_grid_matches_fused_wstack(rng):
+    npixel, nplanes, n = 256, 5, 4000
+    u, v, vals, p0, frac = _case(rng, npixel, nplanes, n)
+    ref = fused_grid_wstack(
+        u, v, vals, p0, frac,
+        npixel=npixel, support=8, nplanes=nplanes, tile=64, interpret=True,
+    )
+    plan = make_grid_plan(
+        u, v, p0, frac, npixel=npixel, support=8, nplanes=nplanes, tile=64
+    )
+    fast = grid_with_plan(plan, vals, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_plan_grid_matches_fused_single(rng):
+    npixel, n = 128, 2500
+    u, v, vals, _, _ = _case(rng, npixel, 1, n)
+    ref = fused_grid_wstack(
+        u, v, vals, npixel=npixel, support=8, tile=32, interpret=True
+    )
+    plan = make_grid_plan(u, v, npixel=npixel, support=8, tile=32)
+    fast = grid_with_plan(plan, vals, interpret=True)
+    assert fast.shape == ref.shape
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_plan_degrid_matches_fused(rng):
+    npixel, nplanes, n = 256, 5, 4000
+    u, v, _, p0, frac = _case(rng, npixel, nplanes, n)
+    grids = jnp.asarray(
+        rng.normal(size=(nplanes, npixel, npixel))
+        + 1j * rng.normal(size=(nplanes, npixel, npixel))
+    ).astype(jnp.complex64)
+    ref = fused_degrid_wstack(
+        u, v, grids, p0, frac,
+        support=8, nplanes=nplanes, tile=64, interpret=True,
+    )
+    plan = make_grid_plan(
+        u, v, p0, frac, npixel=npixel, support=8, nplanes=nplanes, tile=64
+    )
+    fast = degrid_with_plan(plan, grids, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=1e-5
+    )
+
+
+def test_plan_sorted_domain_roundtrip(rng):
+    """sorted values -> grid -> degrid(to_sorted) -> unsort == plain."""
+    npixel, nplanes, n = 128, 4, 3000
+    u, v, vals, p0, frac = _case(rng, npixel, nplanes, n)
+    plan = make_grid_plan(
+        u, v, p0, frac, npixel=npixel, support=8, nplanes=nplanes, tile=32
+    )
+    vals_s = sort_values(plan, vals)
+    # round-trip through sort/unsort is the identity
+    np.testing.assert_allclose(
+        np.asarray(unsort_values(plan, vals_s)), np.asarray(vals),
+        atol=1e-7,
+    )
+    g_plain = grid_with_plan(plan, vals, interpret=True)
+    g_sorted = grid_with_plan(
+        plan, vals_s, values_sorted=True, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(g_sorted), np.asarray(g_plain), atol=1e-6
+    )
+    d_plain = degrid_with_plan(plan, g_plain, interpret=True)
+    d_sorted = degrid_with_plan(
+        plan, g_plain, to_sorted=True, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(unsort_values(plan, d_sorted)), np.asarray(d_plain),
+        atol=1e-5,
+    )
+
+
+def test_plan_reuse_multiple_value_sets(rng):
+    """One plan, several gridding calls with different values."""
+    npixel, nplanes, n = 128, 4, 2000
+    u, v, vals, p0, frac = _case(rng, npixel, nplanes, n)
+    plan = make_grid_plan(
+        u, v, p0, frac, npixel=npixel, support=8, nplanes=nplanes, tile=32
+    )
+    for _ in range(2):
+        vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+        ref = fused_grid_wstack(
+            u, v, vals, p0, frac,
+            npixel=npixel, support=8, nplanes=nplanes, tile=32,
+            interpret=True,
+        )
+        fast = grid_with_plan(plan, vals, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(ref), atol=1e-5
+        )
+
+
+# ---------------------------------------------------------------------------
+# imaging-level plans
+# ---------------------------------------------------------------------------
+
+from ska_sdp_func_python_tpu.ops.imaging import (
+    invert_core,
+    predict_core,
+    make_imaging_plan,
+    invert_with_plan,
+    predict_with_plan,
+)
+
+
+def _uvw_case(rng, n=2000):
+    u = jnp.asarray(rng.uniform(-500, 500, n))
+    v = jnp.asarray(rng.uniform(-500, 500, n))
+    w = jnp.asarray(rng.uniform(-30, 30, n))
+    return u, v, w
+
+
+def test_imaging_plan_invert_matches_core(rng):
+    npixel, n = 128, 2000
+    u, v, w = _uvw_case(rng, n)
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    wgt = jnp.asarray(rng.uniform(0.5, 1.5, n))
+    kw = dict(cellsize=5e-4, support=8, nw=4, do_wstacking=True)
+    ref, sw_ref = invert_core(
+        u, v, w, vals, wgt, npixel=npixel, gridder="fused", **kw
+    )
+    plan = make_imaging_plan(u, v, w, npixel=npixel, **kw)
+    fast, sw = invert_with_plan(plan, vals, wgt, interpret=True)
+    assert abs(float(sw) - float(sw_ref)) < 1e-3
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
+    )
+
+
+def test_imaging_plan_predict_matches_core(rng):
+    npixel, n = 128, 2000
+    u, v, w = _uvw_case(rng, n)
+    img = jnp.asarray(rng.normal(size=(npixel, npixel)))
+    kw = dict(cellsize=5e-4, support=8, nw=4, do_wstacking=True)
+    ref = predict_core(u, v, w, img, gridder="fused", **kw)
+    plan = make_imaging_plan(u, v, w, npixel=npixel, **kw)
+    fast = predict_with_plan(plan, img, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
+    )
+
+
+def test_imaging_plan_no_wstack(rng):
+    npixel, n = 128, 1500
+    u, v, w = _uvw_case(rng, n)
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    wgt = jnp.ones(n)
+    kw = dict(cellsize=5e-4, support=8, nw=1, do_wstacking=False)
+    ref, _ = invert_core(
+        u, v, w, vals, wgt, npixel=npixel, gridder="fused", **kw
+    )
+    plan = make_imaging_plan(u, v, w, npixel=npixel, **kw)
+    fast, _ = invert_with_plan(plan, vals, wgt, interpret=True)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
+    )
+
+
+def test_imaging_plan_sorted_residual_loop(rng):
+    """Major-cycle pattern in the sorted domain: obs sorted once,
+    predict(to_sorted) - subtract - invert(values_sorted) with no
+    per-cycle sorts; matches the plain-order result."""
+    npixel, n = 128, 2000
+    u, v, w = _uvw_case(rng, n)
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    wgt = jnp.asarray(rng.uniform(0.5, 1.5, n))
+    img = jnp.asarray(rng.normal(size=(npixel, npixel)) * 0.1)
+    kw = dict(cellsize=5e-4, support=8, nw=4, do_wstacking=True)
+    plan = make_imaging_plan(u, v, w, npixel=npixel, **kw)
+
+    # plain order
+    model_vis = predict_with_plan(plan, img, interpret=True)
+    ref, _ = invert_with_plan(plan, vals - model_vis, wgt, interpret=True)
+
+    # sorted domain
+    obs_s = sort_values(plan.gp, vals)
+    wgt_s = jnp.real(sort_values(plan.gp, wgt))
+    model_s = predict_with_plan(plan, img, to_sorted=True, interpret=True)
+    fast, _ = invert_with_plan(
+        plan, obs_s - model_s, wgt_s, values_sorted=True, interpret=True
+    )
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
+    )
