@@ -43,6 +43,8 @@ __all__ = [
     "make_imaging_plan",
     "invert_with_plan",
     "predict_with_plan",
+    "VisibilityImagingPlan",
+    "make_visibility_plan",
     "shift_vis_to_image",
     "normalise_sumwt",
     "fill_vis_for_psf",
@@ -622,6 +624,75 @@ def predict_with_plan(
 # --------------------------------------------------------------------------
 
 
+@_dataclass(frozen=True)
+class VisibilityImagingPlan:
+    """Per-image-channel :class:`ImagingPlan` set for one (Visibility,
+    Image template) pair, plus the driver settings it was built for.
+
+    Built once by :func:`make_visibility_plan` and passed as ``plan=`` to
+    :func:`invert_visibility` / :func:`predict_visibility`; the geometry
+    sort is then shared across polarisations, PSF+dirty inverts, and every
+    major cycle of a pipeline (the reference re-bins uvw inside ducc0 on
+    every call, imaging/ng.py:146-293).
+    """
+
+    plans: tuple  # one ImagingPlan per image channel
+    support: int
+    nw: int
+    do_wstacking: bool
+    mfs: bool
+    npixel: int
+    nchan: int
+
+
+def make_visibility_plan(
+    vis: Visibility,
+    model: Image,
+    context: str = "ng",
+    support: int = 8,
+    nw: int | None = None,
+    **kwargs,
+) -> VisibilityImagingPlan:
+    """Precompute gridding geometry for ``invert_visibility`` /
+    ``predict_visibility`` on these (vis, model) coordinates."""
+    if context == "awprojection":
+        raise ValueError("plans are not supported for awprojection")
+    do_wstacking = context not in ("2d",) and kwargs.get(
+        "do_wstacking", True
+    )
+    nchan_img = model.nchan
+    nwp = _nw_for(vis, model, do_wstacking, nw)
+    mfs = nchan_img == 1 and vis.nchan > 1
+    uvw_l = vis.uvw_lambda
+    plans = []
+    for ichan in range(nchan_img):
+        fsel = slice(None) if mfs else slice(ichan, ichan + 1)
+        uu = uvw_l[:, :, fsel, 0].reshape(-1)
+        vv = uvw_l[:, :, fsel, 1].reshape(-1)
+        ww = uvw_l[:, :, fsel, 2].reshape(-1)
+        plans.append(
+            make_imaging_plan(
+                uu,
+                vv,
+                ww,
+                npixel=model.npixel,
+                cellsize=model.cellsize,
+                support=support,
+                nw=nwp,
+                do_wstacking=do_wstacking,
+            )
+        )
+    return VisibilityImagingPlan(
+        plans=tuple(plans),
+        support=support,
+        nw=nwp,
+        do_wstacking=do_wstacking,
+        mfs=mfs,
+        npixel=model.npixel,
+        nchan=nchan_img,
+    )
+
+
 def _nw_for(vis: Visibility, im: Image, do_wstacking: bool, nw=None) -> int:
     """Static w-plane count: reference-style heuristic from the maximum |w|
     and field of view (imaging/base.py:699-744)."""
@@ -648,6 +719,7 @@ def invert_visibility(
     context: str = "ng",
     support: int = 8,
     nw: int | None = None,
+    plan: VisibilityImagingPlan | None = None,
     **kwargs,
 ):
     """Visibility -> dirty image / PSF (imaging/imaging.py:58-105,
@@ -655,6 +727,8 @@ def invert_visibility(
 
     Contexts: "2d" (no w-correction), "ng"/"wg" (w-stacking; one TPU kernel
     serves both reference backends), "awprojection" (CF-driven path).
+    Pass ``plan`` from :func:`make_visibility_plan` to reuse precomputed
+    gridding geometry (PSF+dirty, all pols, repeated major cycles).
     """
     if context == "awprojection":
         from .griddata_ops import invert_awprojection
@@ -700,22 +774,26 @@ def invert_visibility(
 
     for ichan in range(nchan_img):
         fsel = slice(None) if mfs else slice(ichan, ichan + 1)
-        uu, vv, ww = chan_rows(fsel)
+        if plan is None:
+            uu, vv, ww = chan_rows(fsel)
         for pol in range(npol_img):
             vals = ms[:, :, fsel, pol].reshape(-1)
             wv = wgt[:, :, fsel, pol].reshape(-1)
-            dirty, swt = invert_core(
-                uu,
-                vv,
-                ww,
-                vals,
-                wv,
-                npixel=npixel,
-                cellsize=model.cellsize,
-                support=support,
-                nw=nwp,
-                do_wstacking=do_wstacking,
-            )
+            if plan is not None:
+                dirty, swt = invert_with_plan(plan.plans[ichan], vals, wv)
+            else:
+                dirty, swt = invert_core(
+                    uu,
+                    vv,
+                    ww,
+                    vals,
+                    wv,
+                    npixel=npixel,
+                    cellsize=model.cellsize,
+                    support=support,
+                    nw=nwp,
+                    do_wstacking=do_wstacking,
+                )
             pixels = pixels.at[ichan, pol].set(
                 dirty.astype(pixels.dtype)
             )
@@ -733,11 +811,13 @@ def predict_visibility(
     context: str = "ng",
     support: int = 8,
     nw: int | None = None,
+    plan: VisibilityImagingPlan | None = None,
     **kwargs,
 ) -> Visibility:
     """Model image -> visibility (imaging/imaging.py:28-57, ng.py:38-143).
 
-    Contexts: "2d", "ng"/"wg", "awprojection".
+    Contexts: "2d", "ng"/"wg", "awprojection". Pass ``plan`` from
+    :func:`make_visibility_plan` to reuse precomputed gridding geometry.
     """
     if context == "awprojection":
         from .griddata_ops import predict_awprojection
@@ -757,21 +837,27 @@ def predict_visibility(
     newvis = czeros(vis.vis.shape[:3] + (npol_img,), cdtype)
     for ichan in range(nchan_img):
         fsel = slice(None) if mfs else slice(ichan, ichan + 1)
-        uu = uvw_l[:, :, fsel, 0].reshape(-1)
-        vv = uvw_l[:, :, fsel, 1].reshape(-1)
-        ww = uvw_l[:, :, fsel, 2].reshape(-1)
         tb_shape = uvw_l[:, :, fsel, 0].shape
+        if plan is None:
+            uu = uvw_l[:, :, fsel, 0].reshape(-1)
+            vv = uvw_l[:, :, fsel, 1].reshape(-1)
+            ww = uvw_l[:, :, fsel, 2].reshape(-1)
         for pol in range(npol_img):
-            vals = predict_core(
-                uu,
-                vv,
-                ww,
-                model.pixels[ichan, pol],
-                cellsize=model.cellsize,
-                support=support,
-                nw=nwp,
-                do_wstacking=do_wstacking,
-            )
+            if plan is not None:
+                vals = predict_with_plan(
+                    plan.plans[ichan], model.pixels[ichan, pol]
+                )
+            else:
+                vals = predict_core(
+                    uu,
+                    vv,
+                    ww,
+                    model.pixels[ichan, pol],
+                    cellsize=model.cellsize,
+                    support=support,
+                    nw=nwp,
+                    do_wstacking=do_wstacking,
+                )
             newvis = newvis.at[:, :, fsel, pol].add(
                 vals.reshape(tb_shape).astype(cdtype)
             )

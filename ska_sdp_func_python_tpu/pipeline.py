@@ -33,7 +33,11 @@ from .ops.calibration_chain import (
 )
 from .ops.deconvolution import deconvolve_cube, restore_cube
 from .ops.dft import dft_skycomponent_visibility
-from .ops.imaging import invert_visibility, predict_visibility
+from .ops.imaging import (
+    invert_visibility,
+    make_visibility_plan,
+    predict_visibility,
+)
 from .ops.visibility_ops import subtract_visibility
 
 log = logging.getLogger("ska-sdp-func-python-tpu")
@@ -96,18 +100,20 @@ def continuum_imaging(
 
     :return: (deconvolved model Image, residual Image, restored Image)
     """
+    ikw = _imaging_kwargs(kwargs)
+    ikw["plan"] = _plan_for(
+        vis, model, context, ikw, kwargs.pop("use_plan", None)
+    )
     psf, _ = invert_visibility(
-        vis, model, dopsf=True, context=context, **_imaging_kwargs(kwargs)
+        vis, model, dopsf=True, context=context, **ikw
     )
     current = model.replace(pixels=jnp.zeros_like(model.pixels))
     residual = None
     for cycle in range(nmajor):
-        mvis = _predict_model(
-            vis, current, components, context, **_imaging_kwargs(kwargs)
-        )
+        mvis = _predict_model(vis, current, components, context, **ikw)
         rvis = subtract_visibility(vis, mvis)
         residual, _ = invert_visibility(
-            rvis, model, context=context, **_imaging_kwargs(kwargs)
+            rvis, model, context=context, **ikw
         )
         comp, _ = deconvolve_cube(residual, psf, **kwargs)
         current = current.replace(pixels=current.pixels + comp.pixels)
@@ -138,8 +144,12 @@ def ical(
     """
     if controls is None:
         controls = create_calibration_controls()
+    ikw = _imaging_kwargs(kwargs)
+    ikw["plan"] = _plan_for(
+        vis, model, context, ikw, kwargs.pop("use_plan", None)
+    )
     psf, _ = invert_visibility(
-        vis, model, dopsf=True, context=context, **_imaging_kwargs(kwargs)
+        vis, model, dopsf=True, context=context, **ikw
     )
     if state is not None:
         current, gaintables, start = state.model, state.gaintables, state.cycle
@@ -150,9 +160,7 @@ def ical(
     cvis = vis
     residual = None
     for cycle in range(start, nmajor):
-        mvis = _predict_model(
-            vis, current, components, context, **_imaging_kwargs(kwargs)
-        )
+        mvis = _predict_model(vis, current, components, context, **ikw)
         cvis, gaintables = calibrate_chain(
             vis,
             mvis,
@@ -163,7 +171,7 @@ def ical(
         )
         rvis = subtract_visibility(cvis, mvis)
         residual, _ = invert_visibility(
-            rvis, model, context=context, **_imaging_kwargs(kwargs)
+            rvis, model, context=context, **ikw
         )
         comp, _ = deconvolve_cube(residual, psf, **kwargs)
         current = current.replace(pixels=current.pixels + comp.pixels)
@@ -200,3 +208,18 @@ def _imaging_kwargs(kwargs: dict) -> dict:
     """Split imaging-relevant kwargs from clean kwargs."""
     keys = ("support", "nw", "do_wstacking")
     return {k: kwargs[k] for k in keys if k in kwargs}
+
+
+def _plan_for(vis, model, context, ikw, use_plan=None):
+    """One gridding-geometry plan shared by PSF, residual inverts, and
+    model predicts across all major cycles (uvw never change).
+
+    Defaults to TPU only: the plan path runs the fused Pallas kernels,
+    which on CPU would fall back to slow interpret mode."""
+    if use_plan is None:
+        import jax
+
+        use_plan = jax.default_backend() != "cpu"
+    if not use_plan or context == "awprojection":
+        return None
+    return make_visibility_plan(vis, model, context=context, **ikw)

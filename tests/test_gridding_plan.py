@@ -233,3 +233,100 @@ def test_imaging_plan_sorted_residual_loop(rng):
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
     )
+
+
+# ---------------------------------------------------------------------------
+# data-model driver plans (invert_visibility / predict_visibility plan=)
+# ---------------------------------------------------------------------------
+
+from simul import make_visibility
+from ska_sdp_func_python_tpu.ops.imaging import (
+    create_image_from_visibility,
+    invert_visibility,
+    make_visibility_plan,
+    predict_visibility,
+)
+
+
+def _vis_model(nchan=2, npixel=128):
+    vis = make_visibility(nants=8, ntimes=2, nchan=nchan, rmax=300.0)
+    model = create_image_from_visibility(
+        vis, npixel=npixel, oversampling=4.0, nchan=1
+    )
+    return vis, model
+
+
+def test_driver_invert_with_plan_matches_plain(rng):
+    vis, model = _vis_model()
+    vis = vis.replace(
+        vis=jnp.asarray(
+            rng.normal(size=vis.vis.shape)
+            + 1j * rng.normal(size=vis.vis.shape)
+        ).astype(vis.vis.dtype)
+    )
+    kw = dict(context="ng", nw=4)
+    # plain path on CPU uses the tiled gridder; force fused for parity
+    import ska_sdp_func_python_tpu.ops.imaging as imaging_mod
+
+    ref, sw_ref = invert_visibility(vis, model, **kw)
+    plan = make_visibility_plan(vis, model, **kw)
+    fast, sw = invert_visibility(vis, model, plan=plan, **kw)
+    np.testing.assert_allclose(
+        np.asarray(sw), np.asarray(sw_ref), rtol=1e-5
+    )
+    scale = float(jnp.max(jnp.abs(ref.pixels))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast.pixels), np.asarray(ref.pixels),
+        atol=3e-5 * scale,
+    )
+
+
+def test_driver_predict_with_plan_matches_plain(rng):
+    vis, model = _vis_model()
+    model = model.replace(
+        pixels=jnp.asarray(
+            rng.normal(size=model.pixels.shape)
+        ).astype(model.pixels.dtype)
+    )
+    kw = dict(context="ng", nw=4)
+    ref = predict_visibility(vis, model, **kw)
+    plan = make_visibility_plan(vis, model, **kw)
+    fast = predict_visibility(vis, model, plan=plan, **kw)
+    scale = float(jnp.max(jnp.abs(ref.vis))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast.vis), np.asarray(ref.vis), atol=3e-5 * scale
+    )
+
+
+def test_pipeline_use_plan_smoke(rng):
+    """continuum_imaging with use_plan=True (plan path forced on CPU)
+    recovers a point source like the plain path."""
+    from ska_sdp_func_python_tpu.models import SkyComponents
+    from ska_sdp_func_python_tpu.ops.dft import (
+        dft_skycomponent_visibility,
+    )
+    from ska_sdp_func_python_tpu.pipeline import continuum_imaging
+
+    vis, model = _vis_model(nchan=1, npixel=64)
+    ra, dec = model.pixel_to_radec(32 + 6, 32 - 4)
+    comps = SkyComponents.from_lists(
+        [[float(ra), float(dec)]],
+        np.full((1, 1, 1), 1.5),
+        model.frequency,
+    )
+    vis = dft_skycomponent_visibility(vis, comps)
+    out = {}
+    for use_plan in (False, True):
+        current, residual, _ = continuum_imaging(
+            vis, model, nmajor=2, context="ng", nw=2,
+            use_plan=use_plan, niter=50,
+        )
+        out[use_plan] = (current.pixels, residual.pixels)
+        assert float(jnp.max(current.pixels)) > 0.1  # converging
+    # the plan path must reproduce the plain path
+    np.testing.assert_allclose(
+        np.asarray(out[True][0]), np.asarray(out[False][0]), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out[True][1]), np.asarray(out[False][1]), atol=2e-5
+    )
