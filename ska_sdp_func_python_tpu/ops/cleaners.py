@@ -36,6 +36,18 @@ __all__ = [
     "create_scalestack",
     "convolve_scalestack",
     "convolve_convolve_scalestack",
+    "argmax",
+    "overlapIndices",
+    "find_max_abs_stack",
+    "spheroidal_function",
+    "calculate_scale_moment_residual",
+    "calculate_scale_scale_moment_moment_psf",
+    "calculate_scale_inverse_moment_moment_hessian",
+    "calculate_scale_moment_principal_solution",
+    "find_optimum_scale_zero_moment",
+    "find_global_optimum",
+    "update_scale_moment_residual",
+    "update_moment_model",
 ]
 
 
@@ -515,3 +527,159 @@ def msmfsclean(
         findpeak,
     )
     return model, pmax * smres_out[0]
+
+
+# ---------------------------------------------------------------------------
+# reference-named public minor-cycle helpers (cleaners.py:235-277, 565-684,
+# 901-1031, 1107-1157). The batched loops above fuse these; they are exposed
+# standalone for API parity and for callers composing their own cycles.
+# ---------------------------------------------------------------------------
+
+
+def argmax(a):
+    """Unravelled index of the maximum (cleaners.py:270-277)."""
+    a = jnp.asarray(a)
+    return jnp.unravel_index(jnp.argmax(a), a.shape)
+
+
+def overlapIndices(res, psf, peakx, peaky):
+    """Overlap limits of a PSF centred at (peakx, peaky) within res
+    (cleaners.py:235-268). Host-side integer math; returns
+    ((res x0, x1, y0, y1), (psf x0, x1, y0, y1))."""
+    nx, ny = res.shape[0], res.shape[1]
+    px_half, py_half = psf.shape[0] // 2, psf.shape[1] // 2
+    res_lower = (max(0, peakx - px_half), max(0, peaky - py_half))
+    res_upper = (min(nx, peakx + px_half), min(peaky + py_half, ny))
+    psf_lower = (
+        max(0, px_half + (res_lower[0] - peakx)),
+        max(0, py_half + (res_lower[1] - peaky)),
+    )
+    psf_upper = (
+        min(psf.shape[0], px_half + (res_upper[0] - peakx)),
+        min(py_half + (res_upper[1] - peaky), psf.shape[1]),
+    )
+    return (
+        (res_lower[0], res_upper[0], res_lower[1], res_upper[1]),
+        (psf_lower[0], psf_upper[0], psf_lower[1], psf_upper[1]),
+    )
+
+
+def find_max_abs_stack(stack, sensitivity, windowstack, couplingmatrix):
+    """Peak of |stack/coupling| over (scale, y, x) (cleaners.py:565-610).
+
+    :return: (x, y, scale) indices of the absolute maximum
+    """
+    stack = jnp.asarray(stack)
+    resid = stack / jnp.diagonal(jnp.asarray(couplingmatrix))[
+        :, None, None
+    ]
+    if windowstack is not None:
+        resid = resid * jnp.asarray(windowstack)
+    if sensitivity is not None:
+        resid = resid * jnp.asarray(sensitivity)
+    nscales, ny, nx = resid.shape
+    flat = jnp.argmax(jnp.abs(resid))
+    scale = flat // (ny * nx)
+    rem = flat % (ny * nx)
+    return rem // nx, rem % nx, scale
+
+
+def spheroidal_function(vnu):
+    """Schwab PSWF (m=6, alpha=1) rational approximation
+    (cleaners.py:613-683); vectorised over ``vnu`` (0 outside |nu|<=1)."""
+    vnu = jnp.abs(jnp.asarray(vnu, dtype=jnp.float64))
+    from .pswf import grdsf
+
+    value, _ = grdsf(jnp.clip(vnu, 0.0, 1.0))
+    return jnp.where(vnu > 1.0, 0.0, value)
+
+
+def calculate_scale_moment_principal_solution(smresidual, ihsmmpsf):
+    """Decouple moments per scale: einsum smn,smxy->snxy
+    (cleaners.py:1107-1122)."""
+    return jnp.einsum(
+        "smn,smxy->snxy", jnp.asarray(ihsmmpsf), jnp.asarray(smresidual)
+    )
+
+
+def find_optimum_scale_zero_moment(smpsol, sensitivity, windowstack):
+    """Peak of the zero-moment decoupled residual (cleaners.py:1125-1157).
+
+    :return: (x, y, scale). The (x, y) are found on the unwindowed image
+        of the optimum scale, as in the reference.
+    """
+    smpsol = jnp.asarray(smpsol)
+    search = smpsol[:, 0]
+    if windowstack is not None:
+        search = search * jnp.asarray(windowstack)
+    if sensitivity is not None:
+        search = search * jnp.asarray(sensitivity)
+    nscales, ny, nx = search.shape
+    scale = jnp.argmax(
+        jnp.max(jnp.abs(search).reshape(nscales, -1), axis=1)
+    )
+    inner = jnp.abs(
+        jax.lax.dynamic_slice(
+            smpsol, (scale, 0, 0, 0), (1, 1, ny, nx)
+        )[0, 0]
+    )
+    flat = jnp.argmax(inner)
+    return flat // nx, flat % nx, scale
+
+
+def find_global_optimum(
+    hsmmpsf, ihsmmpsf, smresidual, windowstack, sensitivity, findpeak
+):
+    """Optimum (scale, x, y, moment values) for one MSMFS minor cycle
+    (cleaners.py:901-974); Algorithm1 / CASA / RASCIL variants."""
+    smpsol = calculate_scale_moment_principal_solution(
+        smresidual, ihsmmpsf
+    )
+    if findpeak == "CASA":
+        dchisq = 2.0 * jnp.einsum(
+            "smxy,smxy->sxy", smpsol, jnp.asarray(smresidual)
+        ) - jnp.einsum(
+            "smn,smxy,snxy->sxy", jnp.asarray(hsmmpsf), smpsol, smpsol
+        )
+        mx, my, mscale = find_optimum_scale_zero_moment(
+            dchisq[:, None], sensitivity, windowstack
+        )
+    else:  # Algorithm1 / RASCIL
+        mx, my, mscale = find_optimum_scale_zero_moment(
+            smpsol, sensitivity, windowstack
+        )
+    nmoment = smpsol.shape[1]
+    mval = jax.lax.dynamic_slice(
+        smpsol, (mscale, 0, mx, my), (1, nmoment, 1, 1)
+    )[0, :, 0, 0]
+    return mscale, mx, my, mval
+
+
+def update_scale_moment_residual(
+    smresidual, ssmmpsf, lhs, rhs, gain, mscale, mval
+):
+    """Subtract the scaled component from the scale-moment residuals
+    (cleaners.py:977-1003, Algorithm 1 lines 30-32). Functional: returns
+    the updated array."""
+    smresidual = jnp.asarray(smresidual)
+    patch = jnp.einsum(
+        "stqxy,q->stxy",
+        jnp.asarray(ssmmpsf)[
+            mscale, :, :, :, rhs[0] : rhs[1], rhs[2] : rhs[3]
+        ],
+        jnp.asarray(mval),
+    )
+    return smresidual.at[:, :, lhs[0] : lhs[1], lhs[2] : lhs[3]].add(
+        -gain * patch
+    )
+
+
+def update_moment_model(m_model, scalestack, lhs, rhs, gain, mscale, mval):
+    """Add the scaled blob to the moment model (cleaners.py:1006-1031,
+    Algorithm 1 lines 28-33). Functional: returns the updated array."""
+    m_model = jnp.asarray(m_model)
+    blob = jnp.asarray(scalestack)[
+        mscale, rhs[0] : rhs[1], rhs[2] : rhs[3]
+    ]
+    add = gain * jnp.asarray(mval)[:, None, None] * blob[None]
+    return m_model.at[:, lhs[0] : lhs[1], lhs[2] : lhs[3]].add(add)

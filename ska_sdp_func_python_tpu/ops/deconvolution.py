@@ -40,6 +40,13 @@ __all__ = [
     "find_window",
     "bound_psf",
     "common_arguments",
+    "check_psf_peak",
+    "find_window_list",
+    "bound_psf_list",
+    "hogbom_kernel_list",
+    "complex_hogbom_kernel_list",
+    "msclean_kernel_list",
+    "mmclean_kernel_list",
 ]
 
 
@@ -435,3 +442,97 @@ def radler_deconvolve_list(dirty_list, psf_list, **kwargs):
         **kwargs,
     )
     return comp_list
+
+
+# ---------------------------------------------------------------------------
+# reference-named list-API kernels (deconvolution.py:265-948). The cube
+# drivers above batch channels on device; these wrappers keep the
+# reference's [chan]-list calling convention for pipeline compatibility.
+# ---------------------------------------------------------------------------
+
+
+def check_psf_peak(psf_list):
+    """Assert every PSF in the list has unit peak
+    (deconvolution.py:265-279)."""
+    for ipsf, psf in enumerate(psf_list):
+        pmax = float(jnp.max(psf.pixels))
+        if abs(pmax - 1.0) > 1e-6:
+            raise ValueError(
+                f"check_psf_peak: PSF {ipsf} does not have unit peak "
+                f"{pmax}"
+            )
+    return True
+
+
+def find_window_list(dirty_list, prefix="", window_shape=None, **kwargs):
+    """Clean windows for a list of dirty images
+    (deconvolution.py:282-350)."""
+    return [
+        find_window(d, window_shape=window_shape, **kwargs)
+        for d in dirty_list
+    ]
+
+
+def bound_psf_list(dirty_list, prefix="", psf_list=None, psf_support=None):
+    """Crop each PSF in a list to +/- psf_support pixels
+    (deconvolution.py:352-392)."""
+    return [
+        bound_psf(d, p, psf_support=psf_support)
+        for d, p in zip(dirty_list, psf_list)
+    ]
+
+
+def _kernel_list(algorithm, dirty_list, psf_list, window_list, 
+                 sensitivity_list=None, prefix="", **kwargs):
+    if window_list is not None:
+        kwargs = dict(kwargs)
+        w0 = window_list[0]
+        kwargs.setdefault("mask", getattr(w0, "pixels", w0))
+    kwargs.pop("algorithm", None)
+    return deconvolve_list(
+        dirty_list, psf_list, sensitivity_list=sensitivity_list,
+        prefix=prefix, algorithm=algorithm, **kwargs,
+    )
+
+
+def hogbom_kernel_list(
+    dirty_list, prefix, psf_list, window_list=None, **kwargs
+):
+    """Hogbom CLEAN over a channel list (deconvolution.py:543-642)."""
+    return _kernel_list(
+        "hogbom", dirty_list, psf_list, window_list, prefix=prefix,
+        **kwargs,
+    )
+
+
+def complex_hogbom_kernel_list(
+    dirty_list, psf_list, window_list=None, **kwargs
+):
+    """Complex Hogbom CLEAN of stokesIQUV channel lists
+    (deconvolution.py:394-511)."""
+    return _kernel_list(
+        "hogbom-complex", dirty_list, psf_list, window_list, **kwargs
+    )
+
+
+def msclean_kernel_list(
+    dirty_list, prefix, psf_list, window_list=None,
+    sensitivity_list=None, **kwargs,
+):
+    """MultiScale CLEAN over a channel list (deconvolution.py:827-946)."""
+    return _kernel_list(
+        "msclean", dirty_list, psf_list, window_list,
+        sensitivity_list=sensitivity_list, prefix=prefix, **kwargs,
+    )
+
+
+def mmclean_kernel_list(
+    dirty_list, prefix, psf_list, window_list=None,
+    sensitivity_list=None, **kwargs,
+):
+    """MultiScale Multi-Frequency CLEAN over a channel list
+    (deconvolution.py:645-824)."""
+    return _kernel_list(
+        "mmclean", dirty_list, psf_list, window_list,
+        sensitivity_list=sensitivity_list, prefix=prefix, **kwargs,
+    )

@@ -22,6 +22,8 @@ from ..models.visibility import Visibility
 from ..utils.coordinates import radec_to_lmn
 
 __all__ = [
+    "dft_cpu_looped",
+    "dft_gpu_raw_kernel",
     "extract_direction_and_flux",
     "dft_kernel",
     "dft_skycomponent_visibility",
@@ -131,3 +133,15 @@ def idft_visibility_skycomponent(vis: Visibility, sc: SkyComponents):
             )
         )
     return sc.replace(flux=flux), weight
+
+
+def dft_cpu_looped(direction_cosines, vfluxes, uvw_lambda, *args):
+    """Reference-named entry (imaging/dft.py:265-285): on TPU the same
+    einsum kernel serves every backend."""
+    return dft_kernel(direction_cosines, vfluxes, uvw_lambda)
+
+
+def dft_gpu_raw_kernel(direction_cosines, vfluxes, uvw_lambda, *args):
+    """Reference-named entry (imaging/dft.py:288-337): the accelerator
+    path is the same jitted einsum kernel (no cupy RawModule needed)."""
+    return dft_kernel(direction_cosines, vfluxes, uvw_lambda)

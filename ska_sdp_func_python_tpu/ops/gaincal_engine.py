@@ -122,3 +122,26 @@ def gaincal(
         if parset.get("gaincal.applysolution") == "true":
             out = apply_gaintable(out, gt, inverse=True)
     return out
+
+
+def dp3_gaincal(
+    vis,
+    calibration_context,
+    global_solution=True,
+    skymodel_filename=None,
+    solutions_filename=None,
+    modelvis=None,
+    **kwargs,
+):
+    """Reference-named parset-driven gaincal entry
+    (calibration/dp3_calibration.py:88-102): served by the framework's own
+    batched solver instead of the external C++ DP3 step. The DP3 skymodel
+    file is replaced by an explicit ``modelvis`` (None calibrates against
+    a unit point source, DP3's default test model)."""
+    return gaincal(
+        vis,
+        modelvis,
+        calibration_context=calibration_context,
+        global_solution=global_solution,
+        **kwargs,
+    )

@@ -27,6 +27,8 @@ from .gridding import grid_correction, grid_weights_nearest, reweight_imaging_we
 from .pswf import grdsf, w_beam
 
 __all__ = [
+    "convolution_mapping_visibility",
+    "spatial_mapping",
     "create_pswf_convolutionfunction",
     "create_awterm_convolutionfunction",
     "create_griddata_from_image",
@@ -464,3 +466,62 @@ def predict_awprojection(
         vis, gd, cf=cf, nw=cf.shape[0], **kwargs
     )
     return shift_vis_to_image(newvis, model, tangent=True, inverse=True)
+
+
+def spatial_mapping(
+    griddata: GridData, u, v, w, cf=None, oversampling: int = 16,
+    nw: int = 1, wstep: float = 0.0,
+):
+    """Map per-row (u, v, w) [wavelengths] into grid coordinates
+    (grid_data/gridding.py:60-157).
+
+    With a CF: returns (pu_grid, pu_offset, pv_grid, pv_offset, pwc_grid,
+    pwc_fraction) — integer cell, oversampled sub-cell offset, and w-plane
+    index/fraction. Without: (pu_grid, pv_grid, pu_conj, pv_conj).
+    The reference routes this through two astropy WCS objects; the grid
+    WCS reduces to the affine u_pix = -u*n*cellsize + n//2 (see GridData).
+    """
+    npixel = griddata.npixel
+    scale = npixel * griddata.cellsize
+    u = jnp.asarray(u)
+    v = jnp.asarray(v)
+    w = jnp.asarray(w)
+    u_pix = -u * scale + npixel // 2
+    v_pix = v * scale + npixel // 2
+    if cf is None:
+        pu = jnp.round(u_pix).astype(jnp.int32)
+        pv = jnp.round(v_pix).astype(jnp.int32)
+        puc = jnp.round(u * scale + npixel // 2).astype(jnp.int32)
+        pvc = jnp.round(-v * scale + npixel // 2).astype(jnp.int32)
+        return pu, pv, puc, pvc
+    if hasattr(cf, "shape"):
+        nw = cf.shape[0]
+        oversampling = cf.shape[1]
+    iu = jnp.floor(u_pix).astype(jnp.int32)
+    iv = jnp.floor(v_pix).astype(jnp.int32)
+    fu = jnp.round((u_pix - iu) * oversampling).astype(jnp.int32)
+    fv = jnp.round((v_pix - iv) * oversampling).astype(jnp.int32)
+    iu = jnp.where(fu >= oversampling, iu + 1, iu)
+    fu = jnp.where(fu >= oversampling, 0, fu)
+    iv = jnp.where(fv >= oversampling, iv + 1, iv)
+    fv = jnp.where(fv >= oversampling, 0, fv)
+    if nw > 1 and wstep > 0.0:
+        pw_pix = w / wstep + nw // 2
+        pw = jnp.clip(jnp.round(pw_pix).astype(jnp.int32), 0, nw - 1)
+        pw_frac = pw_pix - pw
+    else:
+        pw = jnp.zeros(u_pix.shape, dtype=jnp.int32)
+        pw_frac = jnp.zeros_like(u_pix)
+    return iu, fu, iv, fv, pw, pw_frac
+
+
+def convolution_mapping_visibility(
+    vis: Visibility, griddata: GridData, chan: int, cf=None, **kwargs
+):
+    """Visibility -> grid/CF mapping for one channel
+    (grid_data/gridding.py:33-58)."""
+    uvw_l = vis.uvw_lambda
+    u = jnp.nan_to_num(uvw_l[..., chan, 0].reshape(-1))
+    v = jnp.nan_to_num(uvw_l[..., chan, 1].reshape(-1))
+    w = jnp.nan_to_num(uvw_l[..., chan, 2].reshape(-1))
+    return spatial_mapping(griddata, u, v, w, cf=cf, **kwargs)

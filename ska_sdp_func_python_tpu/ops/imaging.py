@@ -45,6 +45,11 @@ __all__ = [
     "predict_with_plan",
     "VisibilityImagingPlan",
     "make_visibility_plan",
+    "predict_ng",
+    "invert_ng",
+    "predict_wg",
+    "invert_wg",
+    "rad_deg_arcsec",
     "shift_vis_to_image",
     "normalise_sumwt",
     "fill_vis_for_psf",
@@ -991,3 +996,48 @@ def advise_wide_field(
         "time_sampling_image": time_sampling_image,
         "freq_sampling_image": freq_sampling_image,
     }
+
+
+# --------------------------------------------------------------------------
+# reference-named backend entries (imaging/ng.py:38,146, imaging/wg.py:35,
+# 157): on TPU one fused kernel serves both the ducc0 and CUDA contracts.
+# --------------------------------------------------------------------------
+
+
+def predict_ng(bvis, model, **kwargs):
+    """Reference-named nifty-gridder predict (ng.py:38-143)."""
+    kwargs.pop("context", None)
+    return predict_visibility(bvis, model, context="ng", **kwargs)
+
+
+def invert_ng(bvis, model, dopsf=False, normalise=True, **kwargs):
+    """Reference-named nifty-gridder invert (ng.py:146-294)."""
+    kwargs.pop("context", None)
+    return invert_visibility(
+        bvis, model, dopsf=dopsf, normalise=normalise, context="ng",
+        **kwargs,
+    )
+
+
+def predict_wg(bvis, model, **kwargs):
+    """Reference-named GPU-gridder predict (wg.py:35-154)."""
+    kwargs.pop("context", None)
+    return predict_visibility(bvis, model, context="wg", **kwargs)
+
+
+def invert_wg(bvis, model, dopsf=False, normalise=True, **kwargs):
+    """Reference-named GPU-gridder invert (wg.py:157-303)."""
+    kwargs.pop("context", None)
+    return invert_visibility(
+        bvis, model, dopsf=dopsf, normalise=normalise, context="wg",
+        **kwargs,
+    )
+
+
+def rad_deg_arcsec(x):
+    """Stringify x in radian, degree, and arcsec forms
+    (imaging/base.py:793-802)."""
+    return (
+        f"{x:.3g} (rad) {180.0 * x / np.pi:.3g} (deg) "
+        f"{3600.0 * 180.0 * x / np.pi:.3g} (asec)"
+    )

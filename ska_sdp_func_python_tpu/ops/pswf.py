@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 
 __all__ = [
+    "coordinateBounds",
+    "coordinates2Offset",
     "coordinate_bounds",
     "coordinates",
     "coordinates2",
@@ -133,3 +135,8 @@ def w_beam(
     if remove_shift:
         cp = cp / cp[-1, -1]
     return cp
+
+
+# reference-style names (fft_coordinates.py:18,66)
+coordinateBounds = coordinate_bounds
+coordinates2Offset = coordinates2_offset

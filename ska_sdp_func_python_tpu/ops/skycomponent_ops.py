@@ -444,3 +444,31 @@ def calculate_skycomponent_taylor_terms(
     w = moment_weights(sc.frequency, reference_frequency, nmoment)
     pinv = jnp.linalg.pinv(w, rcond=1e-7)
     return jnp.einsum("mc,ncp->nmp", pinv.astype(sc.flux.dtype), sc.flux)
+
+
+def find_skycomponent_matches_atomic(comps_test, comps_ref, tol=1e-7):
+    """Brute-force (non-catalog) match of candidates to a reference set
+    (sky_component/operations.py:129-153); many-to-one allowed.
+
+    :return: list of (test index, ref index, separation rad)
+    """
+    seps = np.asarray(
+        find_separation_skycomponents(comps_test, comps_ref)
+    )  # [ntest, nref]
+    matches = []
+    for test in range(comps_test.ncomp):
+        best = int(np.argmin(seps[test, :]))
+        if seps[test, best] < tol:
+            matches.append((test, best, float(seps[test, best])))
+    return matches
+
+
+def select_neighbouring_components(comps, target_comps):
+    """Assign each component to its nearest target
+    (sky_component/operations.py:205-225).
+
+    :return: (indices into target_comps [ncomp], separations [ncomp] rad)
+    """
+    seps = find_separation_skycomponents(comps, target_comps)  # [ncomp, ntgt]
+    idx = jnp.argmin(seps, axis=1)
+    return idx, jnp.min(seps, axis=1)

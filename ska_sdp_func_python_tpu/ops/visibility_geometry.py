@@ -41,3 +41,12 @@ def calculate_visibility_azel(vis: Visibility, location):
 def calculate_visibility_transit_time(vis: Visibility, location):
     """(visibility_geometry.py:60-70)."""
     return calculate_transit_time(location, vis.time[0], vis.phasecentre)
+
+
+def get_direction_time_location(bvis: Visibility):
+    """(location, utc time, phase direction) triple used by the geometry
+    helpers (visibility/visibility_geometry.py:24-43)."""
+    location = getattr(
+        getattr(bvis, "configuration", None), "location", None
+    )
+    return location, bvis.time, bvis.phasecentre

@@ -322,3 +322,17 @@ def expand_polarizations(data, dtype=None):
     else:
         out = out.at[..., 0].set(data[..., 0]).at[..., 3].set(data[..., 0])
     return out
+
+
+def concatenate_visibility_frequency(bvis_list):
+    """Concatenate a channel-ordered list of Visibilities in frequency
+    (visibility/operations.py:75-83)."""
+    return concatenate_visibility(bvis_list, dim="frequency")
+
+
+def calculate_visibility_uvw_lambda(vis: Visibility) -> Visibility:
+    """Recompute per-channel uvw in wavelengths from uvw [m]
+    (visibility/base.py:48-57). Our Visibility derives ``uvw_lambda`` on
+    access; this returns the (unchanged) dataset for API parity."""
+    _ = vis.uvw_lambda
+    return vis

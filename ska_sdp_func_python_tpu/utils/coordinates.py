@@ -274,3 +274,70 @@ def azel_to_hadec(az, el, latitude):
         + jnp.cos(latitude) * jnp.cos(el) * jnp.cos(az)
     )
     return ha, dec
+
+
+def ecef_to_lla(x, y, z):
+    """ECEF -> (lat rad, lon rad, alt m), Bowring's method
+    (util/coordinate_support.py:88-127)."""
+    a = 6378137.00000000
+    b = 6356752.31424518
+    e2 = (a**2 - b**2) / a**2
+    ep2 = (a**2 - b**2) / b**2
+    p = jnp.sqrt(x**2 + y**2)
+    lon = jnp.arctan2(y, x)
+    theta = jnp.arctan2(z * a, p * b)
+    lat = jnp.arctan2(
+        z + ep2 * b * jnp.sin(theta) ** 3,
+        p - e2 * a * jnp.cos(theta) ** 3,
+    )
+    n = a / jnp.sqrt(1.0 - e2 * jnp.sin(lat) ** 2)
+    alt = p / jnp.cos(lat) - n
+    return lat, lon, alt
+
+
+def enu_to_eci(enu, lat):
+    """[east, north, up] -> earth-centred-inertial [x, y, z]
+    (util/coordinate_support.py:130-148)."""
+    enu = jnp.asarray(enu)
+    e, n, u = enu[..., 0], enu[..., 1], enu[..., 2]
+    x = -jnp.sin(lat) * n + u * jnp.cos(lat)
+    y = e
+    z = n * jnp.cos(lat) + u * jnp.sin(lat)
+    return jnp.stack([x, y, z], axis=-1)
+
+
+def eci_to_enu(eci, lat):
+    """Inverse of :func:`enu_to_eci` (util/coordinate_support.py:151-168)."""
+    eci = jnp.asarray(eci)
+    x, y, z = eci[..., 0], eci[..., 1], eci[..., 2]
+    e = y
+    n = -jnp.sin(lat) * x + z * jnp.cos(lat)
+    u = jnp.cos(lat) * x + z * jnp.sin(lat)
+    return jnp.stack([e, n, u], axis=-1)
+
+
+def uvw_to_eci(uvw, ha, dec):
+    """(u,v,w) -> ECI; identity pass-through mirroring the reference
+    (util/coordinate_support.py:310-332, which notes the rotation is not
+    applied)."""
+    return jnp.asarray(uvw)
+
+
+def lmn_to_skycoord(lmn, phasecentre):
+    """Direction cosines (l, m, n) -> (ra, dec) radians about a
+    phase centre (util/coordinate_support.py:463-490)."""
+    l_c, m_c = lmn[0], lmn[1]
+    return lmn_to_radec(l_c, m_c, phasecentre[0], phasecentre[1])
+
+
+def simulate_point_antenna(dist_uvw, l, m):
+    """Per-antenna phasor for a unit point source at (l, m): the one-sided
+    factor of :func:`simulate_point` (util/coordinate_support.py:521-548)."""
+    dist_uvw = jnp.asarray(dist_uvw)
+    n_m1 = jnp.sqrt(1.0 - l**2 - m**2) - 1.0
+    phase = -2.0 * jnp.pi * (
+        dist_uvw[..., 0] * l + dist_uvw[..., 1] * m + dist_uvw[..., 2] * n_m1
+    )
+    from ..config import expi
+
+    return expi(phase)
