@@ -57,8 +57,7 @@ def _seg_kernel(
     starts_ref,
     counts_ref,
     payload_hbm,
-    tr_ref,
-    ti_ref,
+    out_ref,
     scratch,
     sems,
     *,
@@ -69,14 +68,22 @@ def _seg_kernel(
     ntile_axis: int,
     tile: int,
     nplanes_out: int,
+    precision=None,
+    depth: int = 2,
 ):
     """One program per (plane, tile) segment.
 
     payload_hbm: [8, N] f32 rows (u, v, frac, vr, vi, pads) sorted by
     segment.
-    tr_ref/ti_ref: [1, nplanes_out*buf, buf] output tile accumulators
-    (plane-major rows) for the lower/upper w-plane halves.
-    scratch: [2, 8, chunk] double-buffered VMEM chunks; sems: DMA((2,)).
+    out_ref: [1, 2*nplanes_out*buf, buf] output tile accumulator with
+    row blocks [re_lo; (re_hi;) im_lo(; im_hi)] — all four products come
+    out of ONE [2*nplanes_out*buf, chunk] x [buf, chunk] MXU contraction
+    (better MXU row-tile packing than four separate [buf, chunk] dots,
+    and a single output-block write per program).
+    scratch: [depth, 8, chunk] VMEM chunk ring; sems: DMA((depth,)).
+    ``depth`` outstanding DMAs bound the stream-walk latency; measured
+    performance is VPU-throughput-bound on the dense [buf, chunk]
+    elementwise kernel evaluation, so depth 2 suffices.
     """
     seg = pl.program_id(0)
     start = starts_ref[seg]
@@ -96,8 +103,7 @@ def _seg_kernel(
     )
     cix = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
 
-    tr_ref[...] = jnp.zeros(tr_ref.shape, tr_ref.dtype)
-    ti_ref[...] = jnp.zeros(ti_ref.shape, ti_ref.dtype)
+    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
     def get_dma(slot, i):
         return pltpu.make_async_copy(
@@ -106,9 +112,12 @@ def _seg_kernel(
             sems.at[slot],
         )
 
-    @pl.when(nchunks > 0)
-    def _():
-        get_dma(0, 0).start()
+    # keep depth-1 DMAs in flight; the slot refilled at iteration i is the
+    # one consumed at iteration i-1, so no in-flight slot is ever being read
+    for d in range(depth - 1):
+        @pl.when(d < nchunks)
+        def _(d=d):
+            get_dma(d, d).start()
 
     def es(offs):
         nu = offs / half
@@ -116,15 +125,16 @@ def _seg_kernel(
         k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
         return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
 
-    dn = (((1,), (1,)), ((), ()))  # contract chunk axis -> [buf, buf]
+    dn = (((1,), (1,)), ((), ()))  # contract chunk axis -> [rows, buf]
 
     def body(i, _):
-        slot = i % 2
+        nxt = i + depth - 1
 
-        @pl.when(i + 1 < nchunks)
+        @pl.when(nxt < nchunks)
         def _():
-            get_dma(1 - slot, i + 1).start()
+            get_dma(nxt % depth, nxt).start()
 
+        slot = i % depth
         get_dma(slot, i).wait()
         data = scratch[slot]  # [8, chunk]
         gidx = aligned + i * chunk + cix  # [1, chunk]
@@ -136,28 +146,23 @@ def _seg_kernel(
         vi = jnp.where(valid, data[4][None, :], 0.0)
         kv = es(tv0 + r - vv)  # [buf, chunk]
         ku = es(tu0 + r - uu)
-        w0 = 1.0 - frac
-        w1 = frac
         if nplanes_out == 1:
-            tr_ref[0, :, :] += jax.lax.dot_general(
-                kv * vr, ku, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
-            ti_ref[0, :, :] += jax.lax.dot_general(
-                kv * vi, ku, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
+            lhs = jnp.concatenate([kv * vr, kv * vi], axis=0)
         else:
-            tr_ref[0, :buf, :] += jax.lax.dot_general(
-                kv * (vr * w0), ku, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
-            tr_ref[0, buf:, :] += jax.lax.dot_general(
-                kv * (vr * w1), ku, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
-            ti_ref[0, :buf, :] += jax.lax.dot_general(
-                kv * (vi * w0), ku, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
-            ti_ref[0, buf:, :] += jax.lax.dot_general(
-                kv * (vi * w1), ku, dimension_numbers=dn,
-                preferred_element_type=jnp.float32)
+            w0 = 1.0 - frac
+            w1 = frac
+            lhs = jnp.concatenate(
+                [
+                    kv * (vr * w0),
+                    kv * (vr * w1),
+                    kv * (vi * w0),
+                    kv * (vi * w1),
+                ],
+                axis=0,
+            )
+        out_ref[0, :, :] += jax.lax.dot_general(
+            lhs, ku, dimension_numbers=dn,
+            preferred_element_type=jnp.float32, precision=precision)
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
@@ -172,6 +177,7 @@ def _seg_kernel(
         "tile",
         "chunk",
         "interpret",
+        "matmul_precision",
     ),
 )
 def fused_grid_wstack(
@@ -187,6 +193,7 @@ def fused_grid_wstack(
     tile: int = 64,
     chunk: int = 512,
     interpret: bool | None = None,
+    matmul_precision: str | None = None,
 ):
     """Grid (optionally w-stacked) visibilities with the fused Pallas path.
 
@@ -289,6 +296,7 @@ def fused_grid_wstack(
         tile=ts,
         chunk=chunk,
         interpret=interpret,
+        precision=matmul_precision,
     )
     if squeeze:
         return grids[0]
@@ -309,6 +317,8 @@ def _grid_execute(
     tile: int,
     chunk: int,
     interpret: bool,
+    precision=None,
+    depth: int = 8,
 ):
     """Pallas segment kernel + plane combine + overlap-add assemble over a
     prepared (sorted) payload stream. Shared by :func:`fused_grid_wstack`
@@ -323,21 +333,14 @@ def _grid_execute(
         num_scalar_prefetch=2,
         grid=(nseg,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(
-            pl.BlockSpec(
-                (1, nplanes_out * buf, buf),
-                lambda s, starts, counts: (s, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, nplanes_out * buf, buf),
-                lambda s, starts, counts: (s, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        out_specs=pl.BlockSpec(
+            (1, 2 * nplanes_out * buf, buf),
+            lambda s, starts, counts: (s, 0, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((depth, 8, chunk), jnp.float32),
+            pltpu.SemaphoreType.DMA((depth,)),
         ],
     )
     kernel = partial(
@@ -349,35 +352,36 @@ def _grid_execute(
         ntile_axis=ntile_axis,
         tile=ts,
         nplanes_out=nplanes_out,
+        precision=precision,
+        depth=depth,
     )
-    tr, ti = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
-        out_shape=(
-            jax.ShapeDtypeStruct((nseg, nplanes_out * buf, buf), jnp.float32),
-            jax.ShapeDtypeStruct((nseg, nplanes_out * buf, buf), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (nseg, 2 * nplanes_out * buf, buf), jnp.float32
         ),
     )(starts, counts, payload)
 
     if wstacked:
-        # combine the lower/upper halves into per-plane tile stacks:
-        # plane p receives seg (p, :) lower halves and seg (p-1, :) uppers
-        tr = tr.reshape(nseg_planes, ntiles, 2, buf, buf)
-        ti = ti.reshape(nseg_planes, ntiles, 2, buf, buf)
+        # row blocks [re_lo; re_hi; im_lo; im_hi]; combine lower/upper
+        # halves into per-plane tile stacks: plane p receives seg (p, :)
+        # lower halves and seg (p-1, :) uppers
+        o = out.reshape(nseg_planes, ntiles, 4, buf, buf)
         zt = jnp.zeros((1, ntiles, buf, buf), jnp.float32)
         acc_r = (
-            jnp.concatenate([tr[:, :, 0], zt], axis=0)
-            + jnp.concatenate([zt, tr[:, :, 1]], axis=0)
+            jnp.concatenate([o[:, :, 0], zt], axis=0)
+            + jnp.concatenate([zt, o[:, :, 1]], axis=0)
         )
         acc_i = (
-            jnp.concatenate([ti[:, :, 0], zt], axis=0)
-            + jnp.concatenate([zt, ti[:, :, 1]], axis=0)
+            jnp.concatenate([o[:, :, 2], zt], axis=0)
+            + jnp.concatenate([zt, o[:, :, 3]], axis=0)
         )
         acc = jax.lax.complex(acc_r, acc_i)  # [nplanes, ntiles, buf, buf]
         acc = acc.reshape(nplanes, ntile_axis, ntile_axis, buf, buf)
     else:
-        acc = jax.lax.complex(tr[:, :buf], ti[:, :buf])
+        acc = jax.lax.complex(out[:, :buf], out[:, buf:])
         acc = acc.reshape(nseg_planes, ntile_axis, ntile_axis, buf, buf)
 
     def assemble(tiles):
@@ -434,6 +438,7 @@ def _degrid_kernel(
     sentinel: float,
     wstacked: bool,
     idx_row: int = 3,
+    precision=None,
 ):
     """One program per chunk-aligned slot of the sorted entry stream.
 
@@ -485,7 +490,7 @@ def _degrid_kernel(
     def tile_vals(t_ref):
         a = jax.lax.dot_general(
             t_ref[0], kv, dimension_numbers=dn,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.float32, precision=precision,
         )
         return jnp.sum(a * ku, axis=0, keepdims=True)  # [1, chunk]
 
@@ -508,6 +513,7 @@ def _degrid_kernel(
         "tile",
         "chunk",
         "interpret",
+        "matmul_precision",
     ),
 )
 def fused_degrid_wstack(
@@ -522,6 +528,7 @@ def fused_degrid_wstack(
     tile: int = 64,
     chunk: int = 512,
     interpret: bool | None = None,
+    matmul_precision: str | None = None,
 ):
     """Degrid visibilities from (optionally w-stacked) grids: the adjoint of
     :func:`fused_grid_wstack`, same contract as tiled_degrid.
@@ -623,6 +630,7 @@ def fused_degrid_wstack(
         tile=ts,
         chunk=chunk,
         interpret=interpret,
+        precision=matmul_precision,
     )
     return jax.lax.complex(vr_o, vi_o)
 
@@ -675,6 +683,7 @@ def _degrid_execute(
     chunk: int,
     interpret: bool,
     idx_row: int = 3,
+    precision=None,
 ):
     """Pallas degrid kernel + back-sort over prepared slot maps. Shared by
     :func:`fused_degrid_wstack` and the plan path (gridding_plan.py).
@@ -742,6 +751,7 @@ def _degrid_execute(
         sentinel=sentinel_bits,
         wstacked=wstacked,
         idx_row=idx_row,
+        precision=precision,
     )
     out_r, out_i, out_ib = pl.pallas_call(
         kernel,

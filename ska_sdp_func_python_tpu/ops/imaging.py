@@ -454,7 +454,7 @@ def predict_core(
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["gp", "plane_w"],
+    data_fields=["gp", "plane_w", "wb_r", "wb_i", "corr_c"],
     meta_fields=[
         "npixel",
         "npad",
@@ -472,11 +472,18 @@ class ImagingPlan:
     imaging pipelines (CLEAN major cycles, self-cal) call invert/predict
     repeatedly on identical coordinates, so the N-entry segment sort —
     ~40% of an invert at the 10M-vis BASELINE config — is hoisted here
-    and amortised (see ops/gridding_plan.py).
+    and amortised (see ops/gridding_plan.py). The central w-beam stack and
+    grid-correction are precomputed too: the padded outer 3/4 of each
+    image plane is discarded by ``extract_mid`` anyway, so the per-call
+    w-stack multiply/accumulate only ever touches the central
+    ``npixel**2`` region.
     """
 
     gp: object  # GridPlan over the padded uv grid
     plane_w: jax.Array  # [nw] w-plane centres
+    wb_r: jax.Array | None  # [nw, npixel, npixel] central Re(w_beam)
+    wb_i: jax.Array | None  # [nw, npixel, npixel] central Im(w_beam)
+    corr_c: jax.Array  # [npixel, npixel] central grid correction
     npixel: int
     npad: int
     cellsize: float
@@ -527,9 +534,24 @@ def make_imaging_plan(
         tile=_tile_for(npad),
         chunk=chunk,
     )
+    if wstack:
+        fov = npad * cellsize
+        wb = jax.lax.map(
+            lambda wp: extract_mid(w_beam(npad, fov, wp), npixel), plane_w
+        )
+        wb_r = jnp.real(wb).astype(jnp.float32)
+        wb_i = jnp.imag(wb).astype(jnp.float32)
+    else:
+        wb_r = wb_i = None
+    corr_c = extract_mid(
+        grid_correction(npad, support, dtype=jnp.float32), npixel
+    )
     return ImagingPlan(
         gp=gp,
         plane_w=plane_w,
+        wb_r=wb_r,
+        wb_i=wb_i,
+        corr_c=corr_c,
         npixel=npixel,
         npad=npad,
         cellsize=float(cellsize),
@@ -563,21 +585,15 @@ def invert_with_plan(
     )
     wstack = plan.do_wstacking and plan.nw > 1
     if wstack:
-        fov = npad * plan.cellsize
-
-        def accum(carry, inputs):
-            g, wp = inputs
-            img = (npad * npad) * ifft(g)
-            wb = w_beam(npad, fov, wp).astype(img.dtype)
-            return carry + img * wb, None
-
-        dirty0 = jnp.zeros_like(grids[0])
-        dirty, _ = jax.lax.scan(accum, dirty0, (grids, plan.plane_w))
+        # batched per-plane IFFT, then beam-multiply + plane-sum on the
+        # central npixel^2 only (the padded outer region is discarded)
+        ctr = extract_mid(ifft(grids), plan.npixel)  # [nw, np, np]
+        dirty = jnp.sum(
+            jnp.real(ctr) * plan.wb_r - jnp.imag(ctr) * plan.wb_i, axis=0
+        )
     else:
-        dirty = (npad * npad) * ifft(grids)
-    corr = grid_correction(npad, plan.support, dtype=jnp.float32)
-    dirty = jnp.real(dirty) / corr
-    dirty = extract_mid(dirty, plan.npixel)
+        dirty = jnp.real(extract_mid(ifft(grids), plan.npixel))
+    dirty = dirty * jnp.float32(npad * npad) / plan.corr_c
     sumwt = (
         jnp.asarray(vals.shape[0], jnp.float32)
         if wgt is None
@@ -603,22 +619,17 @@ def predict_with_plan(
     from .gridding_plan import degrid_with_plan
 
     npad = plan.npad
-    corr = grid_correction(npad, plan.support, dtype=jnp.float32)
-    img_pad = pad_mid(image, npad)
-    img_c = (img_pad / corr).astype(
+    # the image is zero outside the central npixel^2, so the correction and
+    # the (conjugate) w-beam multiplies only happen there, pre-padding
+    z = (image / plan.corr_c).astype(
         jnp.result_type(image.dtype, jnp.complex64)
     )
     wstack = plan.do_wstacking and plan.nw > 1
     if wstack:
-        fov = npad * plan.cellsize
-
-        def make_grid(wp):
-            wb = jnp.conj(w_beam(npad, fov, wp)).astype(img_c.dtype)
-            return fft(img_c * wb)
-
-        grids = jax.lax.map(make_grid, plan.plane_w)
+        zc = z[None] * jax.lax.complex(plan.wb_r, -plan.wb_i).astype(z.dtype)
+        grids = fft(pad_mid(zc, npad))  # batched over planes
     else:
-        grids = fft(img_c)[None]
+        grids = fft(pad_mid(z, npad))[None]
     return degrid_with_plan(
         plan.gp, grids, to_sorted=to_sorted, interpret=interpret
     )
