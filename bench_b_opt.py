@@ -78,51 +78,108 @@ def host_payload(ts):
     return payload, starts.astype(np.int32), counts
 
 
-def make_stage_b(ts, chunk, precision, with_asm=False):
-    from ska_sdp_func_python_tpu.ops.gridding_fused import _grid_execute
+def np_tap_payload(payload, ts):
+    """Numpy mirror of gridding_fused._payload_stack (24-row tap form)."""
+    u_s, v_s, f_s, r3, r4 = payload[:5]
+    half = SUPPORT // 2
+    beta = 2.3 * SUPPORT
+    iu0 = np.floor(u_s).astype(np.int32) - (half - 1)
+    iv0 = np.floor(v_s).astype(np.int32) - (half - 1)
+    iu0c = np.clip(iu0, 0, NPAD - SUPPORT)
+    iv0c = np.clip(iv0, 0, NPAD - SUPPORT)
 
-    if with_asm:
-        @jax.jit
-        def stage_b(payload, starts, counts):
-            grids = _grid_execute(
-                starts, counts, payload,
-                npixel=NPAD, support=SUPPORT, nplanes=NW,
-                nseg_planes=NSEGP, nplanes_out=2, wstacked=True,
-                tile=ts, chunk=chunk, interpret=False, precision=precision,
-            )
-            return jnp.sum(jnp.real(grids)), jnp.sum(jnp.abs(grids[0, ::97]))
-        return stage_b
+    def taps(pix, i0):
+        k = np.arange(SUPPORT, dtype=np.float32)[:, None]
+        nu = (i0.astype(np.float32)[None, :] + k - pix[None, :]) / (
+            SUPPORT / 2.0)
+        nu2 = np.clip(nu * nu, 0.0, 1.0)
+        t = np.exp(beta * (np.sqrt(1.0 - nu2) - 1.0)).astype(np.float32)
+        return np.where(np.abs(nu) < 1.0, t, 0.0).astype(np.float32)
+
+    def rot8(t8, idx):
+        rel8 = idx % 8
+        out = np.zeros_like(t8)
+        for s in range(8):
+            out += np.where(rel8[None, :] == s, np.roll(t8, s, axis=0), 0.0)
+        return out.astype(np.float32)
+
+    rel_u = (iu0c % ts).astype(np.float32)
+    rel_v = (iv0c % ts).astype(np.float32)
+    z = np.zeros_like(u_s)
+    head = np.stack([rel_u, rel_v, f_s, r3, r4, z, z, z])
+    return np.concatenate(
+        [head, rot8(taps(u_s, iu0c), iu0c), rot8(taps(v_s, iv0c), iv0c)]
+    ).astype(np.float32)
+
+
+def make_stage_b(ts, chunk, precision, with_asm=False):
+    """with_asm: full _grid_execute (kernel + combine + assemble).
+    Otherwise: the pallas slot kernel alone (raw [nseg, 4buf, buf] out)."""
+    from functools import partial as _partial
 
     from ska_sdp_func_python_tpu.ops.gridding_fused import (
-        _seg_kernel, pl, pltpu)
+        _grid_execute, _grid_slot_kernel, _grid_slots, pl, pltpu)
+
     nta = NPAD // ts
-    ntiles = nta * nta
-    nseg = ntiles * NSEGP
+    nseg = nta * nta * NSEGP
     buf = ts + SUPPORT
 
     @jax.jit
     def stage_b(payload, starts, counts):
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nseg,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-            out_specs=pl.BlockSpec(
-                (1, 4 * buf, buf), lambda s, st, ct: (s, 0, 0),
-                memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                pltpu.VMEM((2, 8, chunk), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+        # pad the payload columns to a chunk multiple for the block spec
+        extra = (-payload.shape[1]) % chunk + chunk
+        payload_p = jnp.pad(payload, ((0, 0), (0, extra)))
+        vals = jnp.concatenate(
+            [payload_p[3:5],
+             jnp.zeros((6, payload_p.shape[1]), jnp.float32)])
+        nslots = NVIS // chunk + nseg + 3
+        slot_seg, slot_col, slot_first = _grid_slots(
+            starts, counts, nslots=nslots,
+            ncols=payload_p.shape[1] // chunk, nseg=nseg, chunk=chunk,
         )
-        kernel = partial(_seg_kernel, buf=buf, support=SUPPORT,
-                         chunk=chunk, ntiles=ntiles, ntile_axis=nta,
-                         tile=ts, nplanes_out=2, precision=precision)
+        if with_asm:
+            grids = _grid_execute(
+                starts, counts, slot_seg, slot_col, slot_first, payload_p,
+                vals, npixel=NPAD, support=SUPPORT, nplanes=NW,
+                nseg_planes=NSEGP, nplanes_out=2, wstacked=True,
+                tile=ts, chunk=chunk, interpret=False, precision=precision,
+            )
+            return (jnp.sum(jnp.real(grids)),
+                    jnp.sum(jnp.abs(grids[0, ::97])))
+        nrows = payload_p.shape[0]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=(nslots,),
+            in_specs=[
+                pl.BlockSpec(
+                    (nrows, chunk),
+                    lambda i, sg, sc, fi, st, ct: (0, sc[i]),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (2, chunk),
+                    lambda i, sg, sc, fi, st, ct: (0, sc[i]),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 4 * buf, buf),
+                lambda i, sg, sc, fi, st, ct: (sg[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        kernel = _partial(
+            _grid_slot_kernel, buf=buf, support=SUPPORT, chunk=chunk,
+            ntiles=nta * nta, ntile_axis=nta, tile=ts, nplanes_out=2,
+            precision=precision, use_taps=nrows == 24,
+        )
         out = pl.pallas_call(
             kernel, grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (nseg, 4 * buf, buf), jnp.float32),
-        )(starts, counts, payload)
-        return jnp.sum(out), jnp.sum(jnp.abs(out[::97, :buf]))
+            out_shape=jax.ShapeDtypeStruct((nseg, 4 * buf, buf),
+                                           jnp.float32),
+        )(slot_seg, slot_col, slot_first, starts, counts, payload_p,
+          vals)
+        return jnp.sum(out[::97, 0]), jnp.sum(jnp.abs(out[::97, 0]))
 
     return stage_b
 
@@ -130,10 +187,13 @@ def make_stage_b(ts, chunk, precision, with_asm=False):
 def main():
     variants = sys.argv[1:] or ["64:512:none"]
     cache = {}
+    tap_cache = {}
     for vtag in variants:
         with_asm = vtag.endswith("+asm")
         core = vtag[:-4] if with_asm else vtag
-        tstr, cstr, pstr = core.split(":")
+        parts = core.split(":")
+        tstr, cstr, pstr = parts[:3]
+        tap = len(parts) > 3 and parts[3] == "tap"
         ts, chunk = int(tstr), int(cstr)
         precision = None if pstr == "none" else pstr
         if ts not in cache:
@@ -149,6 +209,16 @@ def main():
             print(f"ts={ts} h2d {time.perf_counter()-t0:.1f}s", flush=True)
             cache[ts] = (payload, starts, counts)
         payload, starts, counts = cache[ts]
+        if tap:
+            if ts not in tap_cache:
+                t0 = time.perf_counter()
+                tp = np_tap_payload(np.asarray(payload), ts)
+                print(f"ts={ts} tap prep {time.perf_counter()-t0:.1f}s",
+                      flush=True)
+                tp = jnp.asarray(tp)
+                float(np.asarray(tp[0, 0]))
+                tap_cache[ts] = tp
+            payload = tap_cache[ts]
         fn = make_stage_b(ts, chunk, precision, with_asm)
         t0 = time.perf_counter()
         out = fn(payload, starts, counts)

@@ -27,6 +27,19 @@ FFTs are cheap. This module removes all three:
 Payload layout: one [8, N] f32 array (u, v, frac, vr, vi, 3x pad) so
 each chunk is a single DMA; padding to 8 rows satisfies the TPU sublane
 tiling (DMA slices along the sublane dim must be 8-aligned).
+
+Third-generation refinement (the *tap payload*): the dense [buf, chunk]
+ES-kernel factor evaluation (exp+sqrt over every buffer row, though each
+visibility only touches ``support`` of them) dominated the kernel at
+~9x wasted VPU work. The separable kernel taps depend only on the
+coordinate fractions — not on the visibility values — so for the
+standard support-8 configuration they are precomputed once (at plan
+build / stream prep, amortised across calls) and shipped in an expanded
+[24, N] payload, pre-rotated so tap row ``m`` lands on buffer rows
+congruent to ``m`` (mod 8): 8 consecutive taps hit each row-class
+mod 8 exactly once. The kernel then reconstructs the dense factor with
+one 9x tile-broadcast plus a [rel, rel+8) window mask — ~7x fewer VPU
+ops than evaluating exp/sqrt densely, bit-identical results.
 """
 
 from __future__ import annotations
@@ -53,13 +66,91 @@ def fused_available() -> bool:
     return _HAVE_PALLAS
 
 
-def _seg_kernel(
+def use_tap_payload(support: int, tile: int) -> bool:
+    """Whether the precomputed-tap payload applies: the mod-8 rotation
+    trick needs the taps to span exactly one row-class cycle (support 8)
+    and the 9x tile-broadcast needs ``buf = tile + 8`` divisible by 8."""
+    return support == 8 and tile % 8 == 0
+
+
+def payload_nrows(support: int, tile: int) -> int:
+    return 24 if use_tap_payload(support, tile) else 8
+
+
+def _es_taps8(pix, i0, support: int):
+    """The ``support`` separable ES-kernel taps of each coordinate,
+    padded to 8 rows: taps[k, c] = es(i0_c + k - pix_c), the value the
+    in-kernel dense evaluation produces at buffer row i0_c + k."""
+    half = support / 2.0
+    beta = 2.3 * support
+    k = jnp.arange(support, dtype=jnp.float32)[:, None]
+    offs = i0.astype(jnp.float32)[None, :] + k - pix[None, :]
+    nu = offs / half
+    nu2 = jnp.clip(nu * nu, 0.0, 1.0)
+    t = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
+    t = jnp.where(jnp.abs(nu) < 1.0, t, 0.0)
+    if support < 8:
+        t = jnp.pad(t, ((0, 8 - support), (0, 0)))
+    return t
+
+
+def _rot8(taps8, idx):
+    """Rotate each column's 8 taps so tap k sits at row (idx + k) mod 8 —
+    i.e. out[m, c] = taps8[(m - idx_c) mod 8, c]."""
+    rel8 = (idx % 8).astype(jnp.int32)
+    out = jnp.zeros_like(taps8)
+    for s in range(8):
+        out = out + jnp.where(
+            rel8[None, :] == s, jnp.roll(taps8, s, axis=0), 0.0
+        )
+    return out
+
+
+def _value_rows(vr_s, vi_s):
+    """[8, Npad] value-row array (vr, vi, 6x zero pad rows) from padded
+    f32 rows — 8 rows so each kernel block is one aligned (8, chunk) DMA
+    (2-row blocks measured ~2x slower), built with a layout-trivial
+    concat+reshape (no complex interleave, no stack relayout)."""
+    npad = vr_s.shape[0]
+    return jnp.concatenate(
+        [vr_s, vi_s, jnp.zeros((6 * npad,), jnp.float32)]
+    ).reshape(8, npad)
+
+
+def _payload_stack(u_s, v_s, f_s, r3, r4, *, npixel, support, tile):
+    """Stack the sorted per-entry stream into the kernel payload.
+
+    Standard (support-8) configs get the 24-row tap payload:
+    [rel_u, rel_v, frac, r3, r4, pad, pad, pad, rot_ku x8, rot_kv x8];
+    other configs keep the 8-row coordinate payload
+    [u, v, frac, r3, r4, pad x3] and the kernels evaluate the ES factors
+    densely. r3/r4 are the two caller rows (values or back-sort indices).
+    """
+    z = jnp.zeros_like(u_s)
+    if not use_tap_payload(support, tile):
+        return jnp.stack([u_s, v_s, f_s, r3, r4, z, z, z])
+    half = support // 2
+    iu0 = jnp.floor(u_s).astype(jnp.int32) - (half - 1)
+    iv0 = jnp.floor(v_s).astype(jnp.int32) - (half - 1)
+    iu0c = jnp.clip(iu0, 0, npixel - support)
+    iv0c = jnp.clip(iv0, 0, npixel - support)
+    rel_u = (iu0c % tile).astype(jnp.float32)
+    rel_v = (iv0c % tile).astype(jnp.float32)
+    rot_ku = _rot8(_es_taps8(u_s, iu0c, support), iu0c)
+    rot_kv = _rot8(_es_taps8(v_s, iv0c, support), iv0c)
+    head = jnp.stack([rel_u, rel_v, f_s, r3, r4, z, z, z])
+    return jnp.concatenate([head, rot_ku, rot_kv])
+
+
+def _grid_slot_kernel(
+    slot_seg_ref,
+    slot_col_ref,
+    slot_first_ref,
     starts_ref,
     counts_ref,
-    payload_hbm,
+    payload_ref,
+    vals_ref,
     out_ref,
-    scratch,
-    sems,
     *,
     buf: int,
     support: int,
@@ -69,103 +160,115 @@ def _seg_kernel(
     tile: int,
     nplanes_out: int,
     precision=None,
-    depth: int = 2,
+    use_taps: bool = False,
 ):
-    """One program per (plane, tile) segment.
+    """One program per chunk-aligned slot of the sorted entry stream.
 
-    payload_hbm: [8, N] f32 rows (u, v, frac, vr, vi, pads) sorted by
-    segment.
-    out_ref: [1, 2*nplanes_out*buf, buf] output tile accumulator with
-    row blocks [re_lo; (re_hi;) im_lo(; im_hi)] — all four products come
-    out of ONE [2*nplanes_out*buf, chunk] x [buf, chunk] MXU contraction
-    (better MXU row-tile packing than four separate [buf, chunk] dots,
-    and a single output-block write per program).
-    scratch: [depth, 8, chunk] VMEM chunk ring; sems: DMA((depth,)).
-    ``depth`` outstanding DMAs bound the stream-walk latency; measured
-    performance is VPU-throughput-bound on the dense [buf, chunk]
-    elementwise kernel evaluation, so depth 2 suffices.
+    The payload ([8, N] coordinate rows or the 24-row tap form, see
+    ``_payload_stack``) and the [2, N] (vr, vi) value rows arrive as
+    auto-pipelined [nrows, chunk] / [2, chunk] blocks. Keeping the
+    values separate means the big geometry payload is never copied on a
+    plan-reuse call — only the two 4-byte value rows change per call.
+    Consecutive slots of the same segment map to the SAME output block
+    index, so the [1, 2*nplanes_out*buf, buf] tile accumulator stays
+    resident in VMEM across them (Mosaic only flushes on an index
+    change); the segment's first slot initialises it. This pipelined
+    slot structure is ~2x faster than a manual per-segment DMA walk —
+    the measured bottleneck was per-iteration DMA issue/wait overhead
+    on the scalar core, not bandwidth or compute.
+
+    Output row blocks [re_lo; (re_hi;) im_lo(; im_hi)]: all plane
+    products come out of ONE [2*nplanes_out*buf, chunk] x [buf, chunk]
+    MXU contraction.
     """
-    seg = pl.program_id(0)
+    i = pl.program_id(0)
+    seg = slot_seg_ref[i]
+    col = slot_col_ref[i]
     start = starts_ref[seg]
     count = counts_ref[seg]
-    t = seg % ntiles
-    tv0 = jnp.float32(0) + (t // ntile_axis * tile)
-    tu0 = jnp.float32(0) + (t % ntile_axis * tile)
 
-    aligned = (start // LANE) * LANE
-    off = start - aligned
-    nchunks = (off + count + chunk - 1) // chunk
-
-    beta = 2.3 * support
-    half = support / 2.0
     r = jax.lax.broadcasted_iota(jnp.int32, (buf, chunk), 0).astype(
         jnp.float32
     )
-    cix = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    gidx = col * chunk + jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+    valid = (gidx >= start) & (gidx < start + count)
+    data = payload_ref[...]
+    frac = jnp.where(valid, data[2][None, :], 0.0)
+    vr = jnp.where(valid, vals_ref[0][None, :], 0.0)
+    vi = jnp.where(valid, vals_ref[1][None, :], 0.0)
+    if use_taps:
+        rel_u = data[0][None, :]
+        rel_v = data[1][None, :]
+        reps = buf // 8
+        kv = jnp.concatenate([data[16:24]] * reps, axis=0)
+        kv = jnp.where((r >= rel_v) & (r < rel_v + support), kv, 0.0)
+        ku = jnp.concatenate([data[8:16]] * reps, axis=0)
+        ku = jnp.where((r >= rel_u) & (r < rel_u + support), ku, 0.0)
+    else:
+        t = seg % ntiles
+        tv0 = jnp.float32(0) + (t // ntile_axis * tile)
+        tu0 = jnp.float32(0) + (t % ntile_axis * tile)
+        beta = 2.3 * support
+        half = support / 2.0
 
-    out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        def es(offs):
+            nu = offs / half
+            nu2 = jnp.clip(nu * nu, 0.0, 1.0)
+            k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
+            return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
 
-    def get_dma(slot, i):
-        return pltpu.make_async_copy(
-            payload_hbm.at[:, pl.ds(aligned + i * chunk, chunk)],
-            scratch.at[slot],
-            sems.at[slot],
+        kv = es(tv0 + r - data[1][None, :])  # [buf, chunk]
+        ku = es(tu0 + r - data[0][None, :])
+    if nplanes_out == 1:
+        lhs = jnp.concatenate([kv * vr, kv * vi], axis=0)
+    else:
+        w0 = 1.0 - frac
+        w1 = frac
+        lhs = jnp.concatenate(
+            [kv * (vr * w0), kv * (vr * w1), kv * (vi * w0), kv * (vi * w1)],
+            axis=0,
         )
-
-    # keep depth-1 DMAs in flight; the slot refilled at iteration i is the
-    # one consumed at iteration i-1, so no in-flight slot is ever being read
-    for d in range(depth - 1):
-        @pl.when(d < nchunks)
-        def _(d=d):
-            get_dma(d, d).start()
-
-    def es(offs):
-        nu = offs / half
-        nu2 = jnp.clip(nu * nu, 0.0, 1.0)
-        k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
-        return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
-
     dn = (((1,), (1,)), ((), ()))  # contract chunk axis -> [rows, buf]
+    contrib = jax.lax.dot_general(
+        lhs, ku, dimension_numbers=dn,
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    first = slot_first_ref[i] == 1
 
-    def body(i, _):
-        nxt = i + depth - 1
+    @pl.when(first)
+    def _():
+        out_ref[0, :, :] = contrib
 
-        @pl.when(nxt < nchunks)
-        def _():
-            get_dma(nxt % depth, nxt).start()
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[0, :, :] += contrib
 
-        slot = i % depth
-        get_dma(slot, i).wait()
-        data = scratch[slot]  # [8, chunk]
-        gidx = aligned + i * chunk + cix  # [1, chunk]
-        valid = (gidx >= start) & (gidx < start + count)
-        uu = data[0][None, :]
-        vv = data[1][None, :]
-        frac = jnp.where(valid, data[2][None, :], 0.0)
-        vr = jnp.where(valid, data[3][None, :], 0.0)
-        vi = jnp.where(valid, data[4][None, :], 0.0)
-        kv = es(tv0 + r - vv)  # [buf, chunk]
-        ku = es(tu0 + r - uu)
-        if nplanes_out == 1:
-            lhs = jnp.concatenate([kv * vr, kv * vi], axis=0)
-        else:
-            w0 = 1.0 - frac
-            w1 = frac
-            lhs = jnp.concatenate(
-                [
-                    kv * (vr * w0),
-                    kv * (vr * w1),
-                    kv * (vi * w0),
-                    kv * (vi * w1),
-                ],
-                axis=0,
-            )
-        out_ref[0, :, :] += jax.lax.dot_general(
-            lhs, ku, dimension_numbers=dn,
-            preferred_element_type=jnp.float32, precision=precision)
-        return 0
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+def _grid_slots(starts, counts, *, nslots, ncols, nseg, chunk):
+    """Map each chunk-aligned Pallas slot to (segment, payload column,
+    is-first-slot). Like ``_degrid_slots`` but every segment gets at
+    least one slot — its output block must be initialised even when
+    empty — and unused tail slots alias the LAST segment (monotone
+    output index) with the all-pad final column (zero contribution)."""
+    acol = starts // chunk
+    ecol = (starts + counts + chunk - 1) // chunk
+    slot_counts = jnp.maximum(ecol - acol, 1)
+    slot_offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32),
+         jnp.cumsum(slot_counts).astype(jnp.int32)]
+    )
+    sidx = jnp.arange(nslots, dtype=jnp.int32)
+    slot_seg = (
+        jnp.searchsorted(slot_offsets, sidx, side="right") - 1
+    ).astype(jnp.int32)
+    segc = jnp.clip(slot_seg, 0, nseg - 1)
+    slot_col = acol[segc] + (sidx - slot_offsets[segc])
+    slot_first = (sidx == slot_offsets[segc]).astype(jnp.int32)
+    live = sidx < slot_offsets[-1]
+    slot_col = jnp.where(live, jnp.clip(slot_col, 0, ncols - 1), ncols - 1)
+    slot_seg = jnp.where(live, segc, nseg - 1)
+    slot_first = jnp.where(live, slot_first, 0)
+    return slot_seg, slot_col, slot_first
 
 
 @partial(
@@ -267,26 +370,36 @@ def fused_grid_wstack(
     n = u_s.shape[0]
     # the last segment's chunk window may overrun the stream tail by up to
     # one chunk: pad so every DMA stays in bounds
-    npad = (-n) % LANE + chunk
-    if npad:
-        pz = jnp.zeros((npad,), jnp.float32)
-        u_s = jnp.concatenate([u_s, pz])
-        v_s = jnp.concatenate([v_s, pz])
-        f_s = jnp.concatenate([f_s, pz])
-        vr_s = jnp.concatenate([vr_s, pz])
-        vi_s = jnp.concatenate([vi_s, pz])
+    npad = (-n) % chunk + chunk  # chunk-aligned + one all-pad tail column
+    pz = jnp.zeros((npad,), jnp.float32)
+    u_s = jnp.concatenate([u_s, pz])
+    v_s = jnp.concatenate([v_s, pz])
+    f_s = jnp.concatenate([f_s, pz])
+    vr_s = jnp.concatenate([vr_s, pz])
+    vi_s = jnp.concatenate([vi_s, pz])
+    vals = _value_rows(vr_s, vi_s)
     z = jnp.zeros_like(u_s)
-    payload = jnp.stack(
-        [u_s, v_s, f_s, vr_s, vi_s, z, z, z]
-    )  # [8, Npad]: sublane dim padded to the (8, 128) f32 tile
+    payload = _payload_stack(
+        u_s, v_s, f_s, z, z,
+        npixel=npixel, support=support, tile=ts,
+    )
 
     from .gridding_tiled import sorted_seg_bounds
 
     starts, counts = sorted_seg_bounds(seg_s, nseg)
+    nslots = n // chunk + nseg + 3
+    slot_seg, slot_col, slot_first = _grid_slots(
+        starts, counts, nslots=nslots,
+        ncols=payload.shape[1] // chunk, nseg=nseg, chunk=chunk,
+    )
     grids = _grid_execute(
         starts,
         counts,
+        slot_seg,
+        slot_col,
+        slot_first,
         payload,
+        vals,
         npixel=npixel,
         support=support,
         nplanes=nplanes,
@@ -306,7 +419,11 @@ def fused_grid_wstack(
 def _grid_execute(
     starts,
     counts,
+    slot_seg,
+    slot_col,
+    slot_first,
     payload,
+    vals,
     *,
     npixel: int,
     support: int,
@@ -318,33 +435,42 @@ def _grid_execute(
     chunk: int,
     interpret: bool,
     precision=None,
-    depth: int = 8,
 ):
-    """Pallas segment kernel + plane combine + overlap-add assemble over a
-    prepared (sorted) payload stream. Shared by :func:`fused_grid_wstack`
-    and the plan path (gridding_plan.py)."""
+    """Pallas slot kernel + plane combine + overlap-add assemble over a
+    prepared (sorted) payload stream and its [2, Npad] (vr, vi) value
+    rows. Shared by :func:`fused_grid_wstack` and the plan path
+    (gridding_plan.py)."""
     ts = tile
     buf = ts + support
     ntile_axis = npixel // ts
     ntiles = ntile_axis * ntile_axis
     nseg = ntiles * nseg_planes
+    nrows = payload.shape[0]
+    nslots = slot_seg.shape[0]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nseg,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        num_scalar_prefetch=5,
+        grid=(nslots,),
+        in_specs=[
+            pl.BlockSpec(
+                (nrows, chunk),
+                lambda i, sg, sc, fi, st, ct: (0, sc[i]),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (8, chunk),
+                lambda i, sg, sc, fi, st, ct: (0, sc[i]),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
         out_specs=pl.BlockSpec(
             (1, 2 * nplanes_out * buf, buf),
-            lambda s, starts, counts: (s, 0, 0),
+            lambda i, sg, sc, fi, st, ct: (sg[i], 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[
-            pltpu.VMEM((depth, 8, chunk), jnp.float32),
-            pltpu.SemaphoreType.DMA((depth,)),
-        ],
     )
     kernel = partial(
-        _seg_kernel,
+        _grid_slot_kernel,
         buf=buf,
         support=support,
         chunk=chunk,
@@ -353,7 +479,7 @@ def _grid_execute(
         tile=ts,
         nplanes_out=nplanes_out,
         precision=precision,
-        depth=depth,
+        use_taps=nrows == 24,
     )
     out = pl.pallas_call(
         kernel,
@@ -362,7 +488,19 @@ def _grid_execute(
         out_shape=jax.ShapeDtypeStruct(
             (nseg, 2 * nplanes_out * buf, buf), jnp.float32
         ),
-    )(starts, counts, payload)
+    )(slot_seg, slot_col, slot_first, starts, counts, payload, vals)
+
+    if use_tap_payload(support, tile) and ntile_axis % 2 == 0:
+        return _assemble_execute(
+            out,
+            nseg_planes=nseg_planes,
+            nplanes_out=nplanes_out,
+            wstacked=wstacked,
+            npixel=npixel,
+            tile=ts,
+            support=support,
+            interpret=interpret,
+        )
 
     if wstacked:
         # row blocks [re_lo; re_hi; im_lo; im_hi]; combine lower/upper
@@ -409,6 +547,169 @@ def _grid_execute(
     return jax.vmap(assemble)(acc)
 
 
+def _assemble_execute(
+    out,
+    *,
+    nseg_planes: int,
+    nplanes_out: int,
+    wstacked: bool,
+    npixel: int,
+    tile: int,
+    support: int,
+    interpret: bool,
+):
+    """Single-pass Pallas overlap-add: raw per-segment tile accumulators
+    [nseg, 2*nplanes_out*buf, buf] -> assembled complex plane grids.
+
+    Replaces the XLA combine/roll/transpose chain (which re-lays-out the
+    full grid volume several times, ~28 ms at the BASELINE config) with
+    one program per (plane, tile) that reads its own [ts, ts] core plus
+    the right/bottom/corner halo strips of its left/upper neighbours
+    (block-aligned because support == 8 and tile % 8 == 0). Wrap-around
+    neighbour indices are safe: edge halos are provably zero because
+    out-of-grid visibilities are weight-masked. For w-stacked grids,
+    plane p sums the lower-plane accumulator of segment-plane p and the
+    upper-plane accumulator of segment-plane p-1, masked at the ends.
+    """
+    ts = tile
+    buf = ts + support
+    nta = npixel // ts
+    ntiles = nta * nta
+    nplanes_total = nseg_planes + 1 if wstacked else nseg_planes
+    sources = ("lo", "hi") if wstacked else ("lo",)
+    # row-block index (in units of buf) of each (source, component) panel
+    if nplanes_out == 2:
+        rb = {("lo", "re"): 0, ("hi", "re"): 1,
+              ("lo", "im"): 2, ("hi", "im"): 3}
+    else:
+        rb = {("lo", "re"): 0, ("lo", "im"): 1}
+
+    def seg_of(p, tv, tu, src, dv, du):
+        ps = jnp.clip(p - (1 if src == "hi" else 0), 0, nseg_planes - 1)
+        return (
+            ps * ntiles
+            + ((tv + dv + nta) % nta) * nta
+            + ((tu + du + nta) % nta)
+        )
+
+    # Mosaic block rule: the last dim must be 128-divisible or the full
+    # array dim, so halo strips are fetched as full-width panels and
+    # sliced in-kernel; the [ts, ts] outputs pair up into (1, ts, 2*ts)
+    # blocks (each program writes its half; the block stays VMEM-resident
+    # across the even/odd pair before one flush).
+    in_specs = []
+    for src in sources:
+        for comp in ("re", "im"):
+            k = rb[(src, comp)]
+            in_specs += [
+                pl.BlockSpec(
+                    (1, buf, buf),
+                    lambda p, tv, tu, s=src, k=k:
+                    (seg_of(p, tv, tu, s, 0, 0), k, 0),
+                ),
+                pl.BlockSpec(
+                    (1, buf, buf),
+                    lambda p, tv, tu, s=src, k=k:
+                    (seg_of(p, tv, tu, s, 0, -1), k, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, buf),
+                    lambda p, tv, tu, s=src, k=k:
+                    (seg_of(p, tv, tu, s, -1, 0), (k * buf + ts) // 8, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 8, buf),
+                    lambda p, tv, tu, s=src, k=k:
+                    (seg_of(p, tv, tu, s, -1, -1),
+                     (k * buf + ts) // 8, 0),
+                ),
+            ]
+
+    def kernel(*refs):
+        in_refs = refs[:-2]
+        out_r, out_i = refs[-2:]
+        p = pl.program_id(0)
+        tu = pl.program_id(2)
+
+        # halo placement via exact one-hot contractions: Mosaic cannot
+        # pad/concat lane-offset slices, but a one-hot dot at HIGHEST
+        # precision reproduces the selected f32 values exactly
+        ii = jax.lax.broadcasted_iota(jnp.int32, (buf, ts), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (buf, ts), 1)
+        p_left = jnp.where(
+            (ii == jj + ts) & (jj < support), 1.0, 0.0
+        ).astype(jnp.float32)  # [buf, ts]: col ts+j -> col j
+        i2 = jax.lax.broadcasted_iota(jnp.int32, (ts, 8), 0)
+        j2 = jax.lax.broadcasted_iota(jnp.int32, (ts, 8), 1)
+        p_rows = jnp.where(i2 == j2, 1.0, 0.0).astype(
+            jnp.float32
+        )  # [ts, 8]: halo row j -> row j
+
+        def place_cols(x):  # [rows, buf] -> [rows, ts]
+            return jax.lax.dot_general(
+                x, p_left, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision="highest",
+            )
+
+        def place_rows(x):  # [8, ts] -> [ts, ts]
+            return jax.lax.dot_general(
+                p_rows, x, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision="highest",
+            )
+
+        def gather(self_b, left_b, up_b, corner_b):
+            a = self_b[0, :ts, :ts]
+            lft = place_cols(left_b[0, :ts, :])
+            up = place_rows(up_b[0][:, :ts])
+            cor = place_rows(place_cols(corner_b[0]))
+            return a + lft + up + cor
+
+        acc = {}
+        for si, src in enumerate(sources):
+            for ci, comp in enumerate(("re", "im")):
+                base = (si * 2 + ci) * 4
+                acc[(src, comp)] = gather(*in_refs[base:base + 4])
+        if wstacked:
+            lo_ok = jnp.where(p < nseg_planes, 1.0, 0.0)
+            hi_ok = jnp.where(p > 0, 1.0, 0.0)
+            acc_r = lo_ok * acc[("lo", "re")] + hi_ok * acc[("hi", "re")]
+            acc_i = lo_ok * acc[("lo", "im")] + hi_ok * acc[("hi", "im")]
+        else:
+            acc_r = acc[("lo", "re")]
+            acc_i = acc[("lo", "im")]
+        even = tu % 2 == 0
+
+        @pl.when(even)
+        def _():
+            out_r[0, :, :ts] = acc_r
+            out_i[0, :, :ts] = acc_i
+
+        @pl.when(jnp.logical_not(even))
+        def _():
+            out_r[0, :, ts:] = acc_r
+            out_i[0, :, ts:] = acc_i
+
+    out_r, out_i = pl.pallas_call(
+        kernel,
+        grid=(nplanes_total, nta, nta),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, ts, 2 * ts),
+                         lambda p, tv, tu: (p, tv, tu // 2)),
+            pl.BlockSpec((1, ts, 2 * ts),
+                         lambda p, tv, tu: (p, tv, tu // 2)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nplanes_total, npixel, npixel),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((nplanes_total, npixel, npixel),
+                                 jnp.float32),
+        ),
+        interpret=interpret,
+    )(*([out] * len(in_specs)))
+    return jax.lax.complex(out_r, out_i)
+
+
 # ---------------------------------------------------------------------------
 # fused degrid (predict): adjoint of the fused gridder
 # ---------------------------------------------------------------------------
@@ -439,6 +740,7 @@ def _degrid_kernel(
     wstacked: bool,
     idx_row: int = 3,
     precision=None,
+    use_taps: bool = False,
 ):
     """One program per chunk-aligned slot of the sorted entry stream.
 
@@ -469,19 +771,29 @@ def _degrid_kernel(
     live = valid & (seg < nseg)
 
     data = payload_ref[...]
-    uu = data[0][None, :]
-    vv = data[1][None, :]
     frac = jnp.where(live, data[2][None, :], 0.0)
     idx_bits = jnp.where(valid, data[idx_row][None, :], sentinel)
 
-    def es(offs):
-        nu = offs / half
-        nu2 = jnp.clip(nu * nu, 0.0, 1.0)
-        k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
-        return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
+    if use_taps:
+        rel_u = data[0][None, :]
+        rel_v = data[1][None, :]
+        reps = buf // 8
+        kv = jnp.concatenate([data[16:24]] * reps, axis=0)
+        kv = jnp.where((r >= rel_v) & (r < rel_v + support), kv, 0.0)
+        ku = jnp.concatenate([data[8:16]] * reps, axis=0)
+        ku = jnp.where((r >= rel_u) & (r < rel_u + support), ku, 0.0)
+    else:
+        uu = data[0][None, :]
+        vv = data[1][None, :]
 
-    kv = es(tv0 + r - vv)  # [buf, chunk]
-    ku = es(tu0 + r - uu)
+        def es(offs):
+            nu = offs / half
+            nu2 = jnp.clip(nu * nu, 0.0, 1.0)
+            k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
+            return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
+
+        kv = es(tv0 + r - vv)  # [buf, chunk]
+        ku = es(tu0 + r - uu)
     livef = jnp.where(live, 1.0, 0.0)
 
     # val[c] = sum_x ( sum_r T[r, x] kv[r, c] ) ku[x, c]
@@ -600,7 +912,9 @@ def fused_degrid_wstack(
     f_s = jnp.concatenate([f_s, pz])
     ib_s = jnp.concatenate([ib_s, pz])
     z = jnp.zeros_like(u_s)
-    payload = jnp.stack([u_s, v_s, f_s, ib_s, z, z, z, z])  # [8, Npad]
+    payload = _payload_stack(
+        u_s, v_s, f_s, ib_s, z, npixel=npixel, support=support, tile=ts
+    )
 
     # segment bounds INCLUDING the trash segment (out-of-grid entries must
     # still return their pass-through index for the back-sort)
@@ -692,6 +1006,7 @@ def _degrid_execute(
     buf = ts + support
     ntile_axis = npixel // ts
     ntiles = ntile_axis * ntile_axis
+    nrows = payload.shape[0]
 
     tiles = jax.vmap(lambda g: _extract_tiles_f(g, ts, support))(grids)
     tiles = tiles.reshape(nplanes * ntiles, buf, buf)
@@ -714,7 +1029,7 @@ def _degrid_execute(
         grid=(nslots,),
         in_specs=[
             pl.BlockSpec(
-                (8, chunk), lambda i, ss, sc, st, ct: (0, sc[i]),
+                (nrows, chunk), lambda i, ss, sc, st, ct: (0, sc[i]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, buf, buf), lo_map, memory_space=pltpu.VMEM),
@@ -752,6 +1067,7 @@ def _degrid_execute(
         wstacked=wstacked,
         idx_row=idx_row,
         precision=precision,
+        use_taps=nrows == 24,
     )
     out_r, out_i, out_ib = pl.pallas_call(
         kernel,

@@ -28,6 +28,9 @@ from .gridding_fused import (
     _degrid_execute,
     _degrid_slots,
     _grid_execute,
+    _grid_slots,
+    _payload_stack,
+    _value_rows,
 )
 from .gridding_tiled import sorted_seg_bounds
 
@@ -52,6 +55,9 @@ __all__ = [
         "counts_p",
         "slot_seg",
         "slot_col",
+        "gs_seg",
+        "gs_col",
+        "gs_first",
     ],
     meta_fields=[
         "n",
@@ -73,7 +79,9 @@ class GridPlan:
     ib_orig/ib_sorted are f32-bitcast i32 back-sort keys returning degrid
     outputs in original / sorted order. The grid path overwrites rows 3-4
     with the (sorted) visibility values, matching the grid kernel's
-    payload layout.
+    payload layout. Support-8 plans instead carry the 24-row tap payload
+    (rows 0-1 become in-tile offsets, rows 8-23 the precomputed rotated
+    ES taps — see gridding_fused._payload_stack); rows 2-4 are the same.
     """
 
     geo: jax.Array
@@ -84,6 +92,9 @@ class GridPlan:
     counts_p: jax.Array
     slot_seg: jax.Array
     slot_col: jax.Array
+    gs_seg: jax.Array
+    gs_col: jax.Array
+    gs_first: jax.Array
     n: int
     npixel: int
     support: int
@@ -188,8 +199,9 @@ def make_grid_plan(
     ib2 = jax.lax.bitcast_convert_type(
         jnp.arange(n + npad, dtype=jnp.int32), jnp.float32
     )
-    z = jnp.zeros_like(u_s)
-    geo = jnp.stack([u_s, v_s, f_s, ib_s, ib2, z, z, z])  # [8, Npad]
+    geo = _payload_stack(
+        u_s, v_s, f_s, ib_s, ib2, npixel=npixel, support=support, tile=tile
+    )  # [8 or 24, Npad]
 
     starts, counts = sorted_seg_bounds(seg_s, nseg)
     starts_p, counts_p = sorted_seg_bounds(seg_s, nseg + 1)
@@ -197,6 +209,14 @@ def make_grid_plan(
     slot_seg, slot_col = _degrid_slots(
         starts_p,
         counts_p,
+        nslots=nslots,
+        ncols=(n + npad) // chunk,
+        nseg=nseg,
+        chunk=chunk,
+    )
+    gs_seg, gs_col, gs_first = _grid_slots(
+        starts,
+        counts,
         nslots=nslots,
         ncols=(n + npad) // chunk,
         nseg=nseg,
@@ -211,6 +231,9 @@ def make_grid_plan(
         counts_p=counts_p,
         slot_seg=slot_seg,
         slot_col=slot_col,
+        gs_seg=gs_seg,
+        gs_col=gs_col,
+        gs_first=gs_first,
         n=n,
         npixel=npixel,
         support=support,
@@ -270,14 +293,20 @@ def grid_with_plan(
         vr_s = jnp.real(vals).astype(jnp.float32)
         vi_s = jnp.imag(vals).astype(jnp.float32)
     else:
-        vs = sort_values(plan, vals)
-        vr_s, vi_s = jnp.real(vs), jnp.imag(vs)
+        # sort straight to planar f32 rows (skipping the complex
+        # round-trip of sort_values, whose interleave/deinterleave is
+        # ~30 ms at 10M entries on a v5e)
+        _, vr_s, vi_s = jax.lax.sort(
+            (plan.rank, jnp.real(vals).astype(jnp.float32),
+             jnp.imag(vals).astype(jnp.float32)),
+            num_keys=1,
+        )
     npad = plan.geo.shape[1] - plan.n
     pz = jnp.zeros((npad,), jnp.float32)
-    payload = (
-        plan.geo
-        .at[3].set(jnp.concatenate([vr_s, pz]))
-        .at[4].set(jnp.concatenate([vi_s, pz]))
+    # values ride a separate [8, Npad] row array: the big geometry payload
+    # is reused untouched (no 1 GB-scale copy per call)
+    vals_rows = _value_rows(
+        jnp.concatenate([vr_s, pz]), jnp.concatenate([vi_s, pz])
     )
     if plan.wstacked:
         nseg_planes, nplanes_out = plan.nplanes - 1, 2
@@ -288,7 +317,11 @@ def grid_with_plan(
     grids = _grid_execute(
         plan.starts,
         plan.counts,
-        payload,
+        plan.gs_seg,
+        plan.gs_col,
+        plan.gs_first,
+        plan.geo,
+        vals_rows,
         npixel=plan.npixel,
         support=plan.support,
         nplanes=plan.nplanes,
