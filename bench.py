@@ -78,21 +78,43 @@ def main():
     plan = build_plan()
     plan_s = time.perf_counter() - t0
 
-    @jax.jit
-    def run(plan, vr, vi, wgt):
-        vals = jax.lax.complex(vr, vi)
-        return invert_with_plan(plan, vals, wgt)
+    # Per-dispatch overhead (remote-tunnel RTT + d2h fetch) is ~27 ms and
+    # would dominate a single-call timing, so the invert is chained K
+    # times inside ONE jit with a data dependence between iterations and
+    # the measured overhead of a trivial call is subtracted.
+    K = 4
 
-    d, s = run(plan, vr, vi, wgt)
+    @jax.jit
+    def run_k(plan, vr, vi, wgt):
+        vals = jax.lax.complex(vr, vi)
+        acc = None
+        for _ in range(K):
+            d, s = invert_with_plan(plan, vals, wgt)
+            eps = d[0, 0] * jnp.float32(1e-30)
+            vals = vals + jax.lax.complex(eps, eps)
+            acc = d if acc is None else acc + d
+        return acc, s
+
+    @jax.jit
+    def noop(x):
+        return x + 1.0
+
+    d, s = run_k(plan, vr, vi, wgt)
     # force a real device->host readback so timing is honest
-    checksum = float(np.asarray(jnp.sum(jnp.abs(d))))
+    checksum = float(np.asarray(jnp.sum(jnp.abs(d)))) / K
+    float(np.asarray(noop(jnp.float32(0.0))))
+    overhead = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(noop(jnp.float32(0.0))))
+        overhead = min(overhead, time.perf_counter() - t0)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        d, s = run(plan, vr, vi, wgt)
+        d, s = run_k(plan, vr, vi, wgt)
         float(np.asarray(jnp.max(jnp.abs(d))))
         times.append(time.perf_counter() - t0)
-    best = min(times)
+    best = (min(times) - overhead) / K
     mvis_per_s = nvis / best / 1e6
     baseline_cpu_mvis_s = 10.0
     print(
@@ -107,9 +129,10 @@ def main():
     )
     print(
         f"# planned invert {nvis/1e6:.1f} Mvis, {npixel}^2, nw={nw}, "
-        f"support={support}: best {best*1e3:.1f} ms over 3 runs "
-        f"(plan build {plan_s*1e3:.1f} ms, amortized over PSF+dirty+"
-        f"major cycles); checksum={checksum:.4g}; "
+        f"support={support}: best {best*1e3:.1f} ms steady-state "
+        f"(chained x{K}, {overhead*1e3:.1f} ms dispatch overhead "
+        f"subtracted; plan build {plan_s*1e3:.1f} ms, amortized over "
+        f"PSF+dirty+major cycles); checksum={checksum:.4g}; "
         f"device={jax.devices()[0]}",
         file=sys.stderr,
     )

@@ -23,5 +23,22 @@ import jax as _jax
 # gridding kernels. Highest = full f32 accumulation on the MXU.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: imaging-plan / gridder jit signatures take
+# 30-400 s to compile on TPU backends; caching makes every later process
+# start warm. Opt out with SKA_SDP_TPU_NO_JIT_CACHE=1 or by configuring
+# jax_compilation_cache_dir yourself before importing this package.
+import os as _os
+
+if (
+    not _os.environ.get("SKA_SDP_TPU_NO_JIT_CACHE")
+    and _jax.config.jax_compilation_cache_dir is None
+):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/ska_sdp_func_python_tpu/jax_cache"),
+    )
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 from . import models, ops, parallel, utils  # noqa: F401
 from . import pipeline  # noqa: F401

@@ -23,6 +23,7 @@ __all__ = [
     "czeros",
     "zeros_like_safe",
     "expi",
+    "frac_dot_turns",
 ]
 
 
@@ -85,3 +86,42 @@ def expi(phase):
     (axon-tunnel safe): lax.complex(cos, sin)."""
     phase = jnp.asarray(phase)
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+
+
+def frac_dot_turns(a, b):
+    """Fractional part, in turns, of ``sum_k a[..., k] * b[..., k]``.
+
+    Interferometric phases span thousands of turns (uvw up to ~1e5
+    wavelengths), so a plain f32 dot followed by cos/sin loses
+    ``|phase| * eps`` — the measured ~1e-4 on-chip visibility error. Here
+    each product is computed as four error-free partials via Dekker's
+    12-bit split (hi*hi, hi*lo, lo*hi exact in f32; lo*lo negligible) and
+    each partial is reduced mod 1 exactly (``x - round(x)`` is exact),
+    keeping the summed fraction accurate to a few f32 ulps regardless of
+    phase magnitude. In f64 the plain reduced dot is already accurate.
+
+    ``a`` and ``b`` must broadcast against each other with the contraction
+    axis last. Returns the dot in turns, reduced to roughly [-2, 2];
+    multiply by 2*pi before cos/sin.
+    """
+    a = jnp.asarray(a)
+    b = jnp.asarray(b)
+    if jnp.result_type(a.dtype, b.dtype) == jnp.float64:
+        d = jnp.einsum("...s,...s->...", a, b)
+        return d - jnp.round(d)
+
+    def frac(x):
+        return x - jnp.round(x)
+
+    def split(x):
+        c = jnp.float32(4097.0) * x  # 2**12 + 1
+        hi = c - (c - x)
+        return hi, x - hi
+
+    total = None
+    for k in range(a.shape[-1]):
+        xh, xl = split(a[..., k].astype(jnp.float32))
+        yh, yl = split(b[..., k].astype(jnp.float32))
+        t = frac(xh * yh) + frac(xh * yl) + frac(xl * yh) + xl * yl
+        total = t if total is None else total + t
+    return frac(total)

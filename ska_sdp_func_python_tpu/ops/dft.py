@@ -16,6 +16,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..config import frac_dot_turns
 from ..models.components import SkyComponents
 from ..models.polarisation import convert_pol_frame
 from ..models.visibility import Visibility
@@ -71,15 +72,20 @@ def extract_direction_and_flux(sc: SkyComponents, vis: Visibility):
 
 def dft_kernel(direction_cosines, vfluxes, uvw_lambda):
     """V[t,b,f,p] = sum_c S[c,f,p] exp(-2pi i uvw[t,b,f,:].lmn[c,:])
-    (dft.py:121-286, re-expressed as batched matmuls)."""
+    (dft.py:121-286, re-expressed as batched contractions).
+
+    The phase is reduced mod one turn with split-product compensation
+    (config.frac_dot_turns): phases span thousands of turns and a plain
+    f32 dot loses |phase|*eps (~1e-4 visibility error on TPU).
+    """
     rdtype = (
         jnp.float64 if vfluxes.dtype == jnp.complex128 else jnp.float32
     )
-    phase = (-2.0 * jnp.pi) * jnp.einsum(
-        "tbfs,cs->tbfc",
-        uvw_lambda.astype(rdtype),
-        direction_cosines.astype(rdtype),
-    )
+    turns = frac_dot_turns(
+        uvw_lambda.astype(rdtype)[..., None, :],
+        direction_cosines.astype(rdtype)[None, None, None, :, :],
+    )  # [t, b, f, c]
+    phase = (-2.0 * jnp.pi) * turns
     phasor = jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(
         vfluxes.dtype
     )
@@ -113,8 +119,9 @@ def idft_visibility_skycomponent(vis: Visibility, sc: SkyComponents):
     rdtype = (
         jnp.float64 if vis.vis.dtype == jnp.complex128 else jnp.float32
     )
-    phase = (-2.0 * jnp.pi) * jnp.einsum(
-        "tbfs,cs->tbfc", vis.uvw_lambda.astype(rdtype), lmn.astype(rdtype)
+    phase = (-2.0 * jnp.pi) * frac_dot_turns(
+        vis.uvw_lambda.astype(rdtype)[..., None, :],
+        lmn.astype(rdtype)[None, None, None, :, :],
     )
     conj_phasor = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase)).astype(
         vis.vis.dtype

@@ -50,9 +50,10 @@ def calculate_visibility_phasor(direction, vis: Visibility):
         vis.phasecentre[1],
     )
     s = jnp.stack([l, m, n1])
-    phase = -2.0 * jnp.pi * jnp.einsum("tbfs,s->tbf", vis.uvw_lambda, s)
-    from ..config import expi
+    from ..config import expi, frac_dot_turns
 
+    # split-compensated mod-1 phase: a plain f32 dot loses |phase|*eps
+    phase = -2.0 * jnp.pi * frac_dot_turns(vis.uvw_lambda, s)
     return expi(phase).astype(vis.vis.dtype)
 
 

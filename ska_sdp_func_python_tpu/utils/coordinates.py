@@ -212,7 +212,10 @@ def simulate_point(dist_uvw, l, m):
             jnp.sqrt(1.0 - l**2 - m**2) - 1.0,
         ]
     )
-    phase = -2.0 * jnp.pi * jnp.einsum("...s,s->...", dist_uvw, s)
+    from ..config import frac_dot_turns
+
+    # split-compensated mod-1 phase: a plain f32 dot loses |phase|*eps
+    phase = -2.0 * jnp.pi * frac_dot_turns(dist_uvw, s)
     # lax.complex avoids a host-side complex constant (axon-safe)
     return jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
@@ -220,7 +223,10 @@ def simulate_point(dist_uvw, l, m):
 def visibility_shift(uvw, vis, dl, dm):
     """Shift visibilities by (dl, dm) (coordinate_support.py:548-563)."""
     uvw = jnp.asarray(uvw)
-    phase = -2.0 * jnp.pi * (uvw[..., 0] * dl + uvw[..., 1] * dm)
+    from ..config import frac_dot_turns
+
+    s2 = jnp.stack([jnp.asarray(dl), jnp.asarray(dm)])
+    phase = -2.0 * jnp.pi * frac_dot_turns(uvw[..., 0:2], s2)
     return vis * jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
 
 
@@ -335,9 +341,8 @@ def simulate_point_antenna(dist_uvw, l, m):
     factor of :func:`simulate_point` (util/coordinate_support.py:521-548)."""
     dist_uvw = jnp.asarray(dist_uvw)
     n_m1 = jnp.sqrt(1.0 - l**2 - m**2) - 1.0
-    phase = -2.0 * jnp.pi * (
-        dist_uvw[..., 0] * l + dist_uvw[..., 1] * m + dist_uvw[..., 2] * n_m1
-    )
-    from ..config import expi
+    from ..config import expi, frac_dot_turns
 
+    s = jnp.stack([jnp.asarray(l), jnp.asarray(m), n_m1])
+    phase = -2.0 * jnp.pi * frac_dot_turns(dist_uvw, s)
     return expi(phase)

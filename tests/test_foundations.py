@@ -178,3 +178,46 @@ class TestPolarisation:
         )
         direct = convert_pol_frame(data, "linear", "circular")
         np.testing.assert_allclose(np.asarray(via), np.asarray(direct), atol=1e-12)
+
+
+class TestFracDotTurns:
+    """config.frac_dot_turns: split-compensated mod-1 phase reduction."""
+
+    def test_f32_accuracy_at_large_phase(self):
+        from ska_sdp_func_python_tpu.config import frac_dot_turns
+
+        rng = np.random.default_rng(0)
+        u32 = rng.uniform(-1e5, 1e5, (512, 3)).astype(np.float32)
+        l32 = rng.uniform(-0.1, 0.1, (512, 3)).astype(np.float32)
+        truth = np.einsum(
+            "ks,ks->k", u32.astype(np.float64), l32.astype(np.float64)
+        )
+        got = np.asarray(
+            frac_dot_turns(
+                jnp.asarray(u32, jnp.float32), jnp.asarray(l32, jnp.float32)
+            )
+        ).astype(np.float64)
+        # compare on the unit circle (mod-1 equivalence)
+        err = np.abs(
+            np.exp(2j * np.pi * truth) - np.exp(2j * np.pi * got)
+        )
+        assert err.max() < 5e-6
+        # plain f32 evaluation is orders of magnitude worse at this scale
+        plain = np.einsum("ks,ks->k", u32, l32).astype(np.float64)
+        errp = np.abs(
+            np.exp(2j * np.pi * truth) - np.exp(2j * np.pi * plain)
+        )
+        assert errp.max() > 50 * err.max()
+
+    def test_f64_matches_plain(self):
+        from ska_sdp_func_python_tpu.config import frac_dot_turns
+
+        rng = np.random.default_rng(1)
+        a = rng.uniform(-1e4, 1e4, (64, 3))
+        b = rng.uniform(-0.5, 0.5, (64, 3))
+        d = np.einsum("ks,ks->k", a, b)
+        got = np.asarray(frac_dot_turns(jnp.asarray(a), jnp.asarray(b)))
+        err = np.abs(
+            np.exp(2j * np.pi * d) - np.exp(2j * np.pi * got)
+        )
+        assert err.max() < 1e-10
