@@ -125,7 +125,14 @@ def w_beam(
     mx = -jnp.abs(mx)
     r2 = field_of_view**2 * (my**2 + mx**2)
     r2c = jnp.minimum(r2, 1.0)
-    ph = -2.0 * jnp.pi * w * (1.0 - jnp.sqrt(1.0 - r2c))
+    # stable 1 - sqrt(1-r2) (no cancellation at small r2), and a
+    # split-compensated mod-1 product: w spans up to ~1e4 wavelengths so
+    # a plain f32 w*(1-sqrt(...)) phase loses |phase|*eps
+    from ..config import frac_dot_turns
+
+    g = r2c / (1.0 + jnp.sqrt(1.0 - r2c))
+    turns = frac_dot_turns(jnp.asarray(w)[..., None], g[..., None])
+    ph = -2.0 * jnp.pi * turns
     ph = jnp.where(r2 >= 1.0, 0.0, ph)
     import jax
 

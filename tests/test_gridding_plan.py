@@ -330,3 +330,42 @@ def test_pipeline_use_plan_smoke(rng):
     np.testing.assert_allclose(
         np.asarray(out[True][1]), np.asarray(out[False][1]), atol=2e-5
     )
+
+
+def test_plan_grid_clustered_empty_segments(rng):
+    """Most (plane, tile) segments empty: the min-one-slot logic must
+    still zero-initialise every output block (slot-kernel regression)."""
+    npixel, nplanes, n = 256, 4, 600
+    # all entries inside one tile, one plane pair
+    u = jnp.asarray(rng.uniform(70.0, 90.0, n))
+    v = jnp.asarray(rng.uniform(70.0, 90.0, n))
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    p0 = jnp.asarray(np.full(n, 1, np.int32))
+    frac = jnp.asarray(rng.uniform(0, 1, n))
+    ref = fused_grid_wstack(
+        u, v, vals, p0, frac,
+        npixel=npixel, support=8, nplanes=nplanes, tile=64, interpret=True,
+    )
+    plan = make_grid_plan(
+        u, v, p0, frac, npixel=npixel, support=8, nplanes=nplanes, tile=64
+    )
+    fast = grid_with_plan(plan, vals, interpret=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-5)
+    # untouched planes must be exactly zero
+    assert float(jnp.max(jnp.abs(fast[3]))) == 0.0
+
+
+def test_plan_grid_all_out_of_grid(rng):
+    """Every entry out of grid: result must be exactly zero."""
+    npixel, n = 128, 200
+    u = jnp.asarray(rng.uniform(npixel + 10, npixel + 50, n))
+    v = jnp.asarray(rng.uniform(-60, -10, n))
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    plan = make_grid_plan(u, v, npixel=npixel, support=8, tile=32)
+    fast = grid_with_plan(plan, vals, interpret=True)
+    assert float(jnp.max(jnp.abs(fast))) == 0.0
+    back = degrid_with_plan(
+        plan, jnp.ones((npixel, npixel), jnp.complex64)[None],
+        interpret=True,
+    )
+    assert float(jnp.max(jnp.abs(back))) == 0.0
