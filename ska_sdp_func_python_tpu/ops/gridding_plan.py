@@ -40,6 +40,7 @@ __all__ = [
     "grid_with_plan",
     "degrid_with_plan",
     "sort_values",
+    "sort_values_real",
     "unsort_values",
 ]
 
@@ -256,6 +257,16 @@ def sort_values(plan: GridPlan, vals):
         num_keys=1,
     )
     return jax.lax.complex(vr_s, vi_s)
+
+
+@jax.jit
+def sort_values_real(plan: GridPlan, x):
+    """Bring a real per-visibility array (e.g. imaging weights) into the
+    plan's sorted order."""
+    _, x_s = jax.lax.sort(
+        (plan.rank, x.astype(jnp.float32)), num_keys=1
+    )
+    return x_s
 
 
 @jax.jit

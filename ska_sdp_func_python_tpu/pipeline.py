@@ -76,6 +76,127 @@ class SelfCalState:
         return cls(model=model, gaintables=blob["gaintables"], cycle=cycle)
 
 
+class _SortedWorkspace:
+    """Image-frame, plan-sorted visibility workspace for sort-free major
+    cycles.
+
+    The plan-based invert/predict spend ~40% of each call in per-call value
+    sorts (in and out of the gridder's segment order). A major-cycle loop
+    runs entirely in the *sorted domain*: observed values and weights are
+    sorted once here, model visibilities come out of
+    ``predict_with_plan(to_sorted=True)`` already sorted, the residual
+    subtraction is elementwise, and ``invert_with_plan(values_sorted=True)``
+    consumes it directly — zero per-cycle sorts. The reference has no
+    analogue (ducc0 re-bins uvw every call, imaging/ng.py:146-293).
+    """
+
+    def __init__(self, vis, model, plan, components=None):
+        from .models.polarisation import convert_pol_frame
+        from .ops.gridding_plan import sort_values, sort_values_real
+        from .ops.imaging import shift_vis_to_image
+
+        svis = shift_vis_to_image(vis, model)
+        ms = convert_pol_frame(
+            svis.flagged_vis,
+            vis.polarisation_frame,
+            model.polarisation_frame,
+            polaxis=3,
+        )
+        wgt = svis.flagged_imaging_weight
+        if wgt.shape[-1] != ms.shape[-1]:
+            wgt = jnp.broadcast_to(
+                wgt[..., :1], ms.shape[:-1] + (ms.shape[-1],)
+            )
+        comp_ms = None
+        if components is not None and components.ncomp > 0:
+            cvis = dft_skycomponent_visibility(
+                vis.replace(vis=zeros_like_safe(vis.vis)), components
+            )
+            cvis = shift_vis_to_image(cvis, model)
+            comp_ms = convert_pol_frame(
+                cvis.vis,
+                vis.polarisation_frame,
+                model.polarisation_frame,
+                polaxis=3,
+            )
+        self.plan = plan
+        self.npol = ms.shape[-1]
+        self.obs_s = []
+        self.wgt_s = []
+        self.comp_s = []
+        for ichan in range(plan.nchan):
+            fsel = slice(None) if plan.mfs else slice(ichan, ichan + 1)
+            gp = plan.plans[ichan].gp
+            obs_row, wgt_row, comp_row = [], [], []
+            for pol in range(self.npol):
+                obs_row.append(
+                    sort_values(gp, ms[:, :, fsel, pol].reshape(-1))
+                )
+                wgt_row.append(
+                    sort_values_real(gp, wgt[:, :, fsel, pol].reshape(-1))
+                )
+                if comp_ms is not None:
+                    comp_row.append(
+                        sort_values(
+                            gp, comp_ms[:, :, fsel, pol].reshape(-1)
+                        )
+                    )
+            self.obs_s.append(obs_row)
+            self.wgt_s.append(wgt_row)
+            self.comp_s.append(comp_row if comp_ms is not None else None)
+
+    def model_sorted(self, ichan: int, pol: int, current: Image | None):
+        """Plan-sorted model visibilities for one (channel, pol)."""
+        from .ops.imaging import predict_with_plan
+
+        model_s = None
+        if current is not None:
+            model_s = predict_with_plan(
+                self.plan.plans[ichan],
+                current.pixels[ichan, pol],
+                to_sorted=True,
+            )
+        if self.comp_s[ichan] is not None:
+            cs = self.comp_s[ichan][pol]
+            model_s = cs if model_s is None else model_s + cs
+        return model_s
+
+    def residual_invert(self, template: Image, current: Image | None):
+        """One sort-free major-cycle leg: predict (sorted) -> subtract ->
+        invert. Returns the normalised residual Image and sumwt."""
+        from .ops.imaging import invert_with_plan, normalise_sumwt
+
+        use_model = current is not None and bool(
+            jnp.max(jnp.abs(current.pixels)) > 0.0
+        )
+        pixels = jnp.zeros_like(template.pixels)
+        sumwt = jnp.zeros(
+            (self.plan.nchan, self.npol), dtype=jnp.float32
+        )
+        for ichan in range(self.plan.nchan):
+            for pol in range(self.npol):
+                model_s = self.model_sorted(
+                    ichan, pol, current if use_model else None
+                )
+                resid_s = (
+                    self.obs_s[ichan][pol]
+                    if model_s is None
+                    else self.obs_s[ichan][pol] - model_s
+                )
+                dirty, swt = invert_with_plan(
+                    self.plan.plans[ichan],
+                    resid_s,
+                    self.wgt_s[ichan][pol],
+                    values_sorted=True,
+                )
+                pixels = pixels.at[ichan, pol].set(
+                    dirty.astype(pixels.dtype)
+                )
+                sumwt = sumwt.at[ichan, pol].set(swt)
+        residual = normalise_sumwt(template.with_pixels(pixels), sumwt)
+        return residual, sumwt
+
+
 def _predict_model(vis, model, components, context, **kwargs):
     mvis = vis.replace(vis=zeros_like_safe(vis.vis))
     if model is not None and bool(jnp.max(jnp.abs(model.pixels)) > 0.0):
@@ -109,12 +230,23 @@ def continuum_imaging(
     )
     current = model.replace(pixels=jnp.zeros_like(model.pixels))
     residual = None
+    ws = (
+        _SortedWorkspace(vis, model, ikw["plan"], components)
+        if ikw.get("plan") is not None
+        else None
+    )
     for cycle in range(nmajor):
-        mvis = _predict_model(vis, current, components, context, **ikw)
-        rvis = subtract_visibility(vis, mvis)
-        residual, _ = invert_visibility(
-            rvis, model, context=context, **ikw
-        )
+        if ws is not None:
+            # sorted-domain major cycle: no per-cycle value sorts
+            residual, _ = ws.residual_invert(model, current)
+        else:
+            mvis = _predict_model(
+                vis, current, components, context, **ikw
+            )
+            rvis = subtract_visibility(vis, mvis)
+            residual, _ = invert_visibility(
+                rvis, model, context=context, **ikw
+            )
         comp, _ = deconvolve_cube(residual, psf, **kwargs)
         current = current.replace(pixels=current.pixels + comp.pixels)
         log.info(
