@@ -211,7 +211,12 @@ def main():
     for name in which:
         kernel_only = name.startswith("k")
         chunk = int(name.strip("ck").split("-")[0])
-        prec = "default" if name.endswith("-def") else "highest"
+        if name.endswith("-def"):
+            prec = "default"
+        elif name.endswith("-b3"):
+            prec = "bf16x3"
+        else:
+            prec = "highest"
         if chunk not in slot_cache:
             s = slots_for(
                 starts, counts, chunk=chunk, ncols=ncols_total // chunk

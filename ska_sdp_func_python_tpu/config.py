@@ -24,7 +24,32 @@ __all__ = [
     "zeros_like_safe",
     "expi",
     "frac_dot_turns",
+    "gridder_precision",
+    "set_gridder_precision",
 ]
+
+# In-kernel matmul precision of the fused Pallas gridder/degridder:
+# None -> inherit the global default (the package pins
+# jax_default_matmul_precision="highest"); "bf16x3" -> 3-pass bf16
+# emulation of XLA HIGH (~4e-6 relative grid error, ~1.5x faster at the
+# BASELINE config); "default" -> single bf16 pass (~2e-3 error).
+# Read at TRACE time: set it before the first gridding call of a given
+# shape signature (jit caches bake the value in).
+_GRIDDER_PRECISION: str | None = None
+
+
+def gridder_precision(override=("config",)) -> str | None:
+    """Resolve a gridder precision argument against the global policy."""
+    if override == ("config",) or override == "config":
+        return _GRIDDER_PRECISION
+    return override
+
+
+def set_gridder_precision(precision: str | None) -> None:
+    """Set the fused gridder's in-kernel matmul precision policy
+    (None | "bf16x3" | "default" | "highest")."""
+    global _GRIDDER_PRECISION
+    _GRIDDER_PRECISION = precision
 
 
 def default_real() -> jnp.dtype:

@@ -66,6 +66,43 @@ def fused_available() -> bool:
     return _HAVE_PALLAS
 
 
+def _cfg_precision(p):
+    from ..config import gridder_precision
+
+    return gridder_precision(p)
+
+
+def _dot(lhs, rhs, dn, precision):
+    """dot_general with an extra TPU-native precision mode.
+
+    ``precision="bf16x3"`` emulates XLA's HIGH (3-pass bf16) matmul, which
+    Mosaic does not lower natively: split both operands into bf16
+    high/low parts and sum the three significant single-pass products
+    (hi.hi + hi.lo + lo.hi; the lo.lo term is ~2^-18 relative and
+    dropped). Measured ~4e-6 relative grid error vs HIGHEST at half its
+    MXU cost. Any other value passes through to dot_general.
+    """
+    if precision == "bf16x3":
+        lh = lhs.astype(jnp.bfloat16).astype(jnp.float32)
+        ll = lhs - lh
+        rh = rhs.astype(jnp.bfloat16).astype(jnp.float32)
+        rl = rhs - rh
+        d = partial(
+            jax.lax.dot_general,
+            dimension_numbers=dn,
+            preferred_element_type=jnp.float32,
+            precision="default",
+        )
+        return d(lh, rh) + (d(lh, rl) + d(ll, rh))
+    return jax.lax.dot_general(
+        lhs,
+        rhs,
+        dimension_numbers=dn,
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )
+
+
 def use_tap_payload(support: int, tile: int) -> bool:
     """Whether the precomputed-tap payload applies: the mod-8 rotation
     trick needs the taps to span exactly one row-class cycle (support 8)
@@ -229,10 +266,7 @@ def _grid_slot_kernel(
             axis=0,
         )
     dn = (((1,), (1,)), ((), ()))  # contract chunk axis -> [rows, buf]
-    contrib = jax.lax.dot_general(
-        lhs, ku, dimension_numbers=dn,
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+    contrib = _dot(lhs, ku, dn, precision)
     first = slot_first_ref[i] == 1
 
     @pl.when(first)
@@ -296,7 +330,7 @@ def fused_grid_wstack(
     tile: int = 64,
     chunk: int = 512,
     interpret: bool | None = None,
-    matmul_precision: str | None = None,
+    matmul_precision: str | None = "config",
 ):
     """Grid (optionally w-stacked) visibilities with the fused Pallas path.
 
@@ -409,7 +443,7 @@ def fused_grid_wstack(
         tile=ts,
         chunk=chunk,
         interpret=interpret,
-        precision=matmul_precision,
+        precision=_cfg_precision(matmul_precision),
     )
     if squeeze:
         return grids[0]
@@ -574,9 +608,12 @@ def _assemble_execute(
     ts = tile
     buf = ts + support
     nta = npixel // ts
+    nta2 = nta // 2
     ntiles = nta * nta
+    ntiles2 = ntiles // 2
     nplanes_total = nseg_planes + 1 if wstacked else nseg_planes
     sources = ("lo", "hi") if wstacked else ("lo",)
+    nrows = out.shape[1]  # 2*nplanes_out*buf
     # row-block index (in units of buf) of each (source, component) panel
     if nplanes_out == 2:
         rb = {("lo", "re"): 0, ("hi", "re"): 1,
@@ -584,52 +621,39 @@ def _assemble_execute(
     else:
         rb = {("lo", "re"): 0, ("lo", "im"): 1}
 
-    def seg_of(p, tv, tu, src, dv, du):
+    # u-adjacent segments are contiguous in the accumulator stack, so the
+    # stack reshapes (bitcast, no copy) into pairs and each program fetches
+    # whole two-segment accumulator pairs: one program per (plane, tv,
+    # tile-pair) with 4 fetches per source (self/left/up/up-left pairs) of
+    # (1, 2, nrows, buf). This replaces the earlier per-(source, component)
+    # panel layout (16 small DMAs incl. (1, 8, buf) halo strips per
+    # program) — measured ~2x faster at the BASELINE config: the cost was
+    # per-fetch issue overhead and index-map scalar work, not bandwidth.
+    out_pairs = out.reshape(ntiles2 * nseg_planes, 2, nrows, buf)
+
+    def pair_of(p, tv, tj, src, dv, dj):
         ps = jnp.clip(p - (1 if src == "hi" else 0), 0, nseg_planes - 1)
         return (
-            ps * ntiles
-            + ((tv + dv + nta) % nta) * nta
-            + ((tu + du + nta) % nta)
+            ps * ntiles2
+            + ((tv + dv + nta) % nta) * nta2
+            + ((tj + dj + nta2) % nta2)
         )
 
-    # Mosaic block rule: the last dim must be 128-divisible or the full
-    # array dim, so halo strips are fetched as full-width panels and
-    # sliced in-kernel; the [ts, ts] outputs pair up into (1, ts, 2*ts)
-    # blocks (each program writes its half; the block stays VMEM-resident
-    # across the even/odd pair before one flush).
     in_specs = []
     for src in sources:
-        for comp in ("re", "im"):
-            k = rb[(src, comp)]
-            in_specs += [
+        for dv, dj in ((0, 0), (0, -1), (-1, 0), (-1, -1)):
+            in_specs.append(
                 pl.BlockSpec(
-                    (1, buf, buf),
-                    lambda p, tv, tu, s=src, k=k:
-                    (seg_of(p, tv, tu, s, 0, 0), k, 0),
-                ),
-                pl.BlockSpec(
-                    (1, buf, buf),
-                    lambda p, tv, tu, s=src, k=k:
-                    (seg_of(p, tv, tu, s, 0, -1), k, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 8, buf),
-                    lambda p, tv, tu, s=src, k=k:
-                    (seg_of(p, tv, tu, s, -1, 0), (k * buf + ts) // 8, 0),
-                ),
-                pl.BlockSpec(
-                    (1, 8, buf),
-                    lambda p, tv, tu, s=src, k=k:
-                    (seg_of(p, tv, tu, s, -1, -1),
-                     (k * buf + ts) // 8, 0),
-                ),
-            ]
+                    (1, 2, nrows, buf),
+                    lambda p, tv, tj, s=src, dv=dv, dj=dj:
+                    (pair_of(p, tv, tj, s, dv, dj), 0, 0, 0),
+                )
+            )
 
     def kernel(*refs):
         in_refs = refs[:-2]
         out_r, out_i = refs[-2:]
         p = pl.program_id(0)
-        tu = pl.program_id(2)
 
         # halo placement via exact one-hot contractions: Mosaic cannot
         # pad/concat lane-offset slices, but a one-hot dot at HIGHEST
@@ -657,47 +681,59 @@ def _assemble_execute(
                 preferred_element_type=jnp.float32, precision="highest",
             )
 
-        def gather(self_b, left_b, up_b, corner_b):
-            a = self_b[0, :ts, :ts]
-            lft = place_cols(left_b[0, :ts, :])
-            up = place_rows(up_b[0][:, :ts])
-            cor = place_rows(place_cols(corner_b[0]))
-            return a + lft + up + cor
+        def gather(si, k, t):
+            """Assembled [ts, ts] core of pair element t for source si,
+            component row-panel k."""
+            selfb, prevb, upb, upprevb = in_refs[si * 4:si * 4 + 4]
+            r0 = k * buf
+            core = selfb[0, t, r0:r0 + ts, :ts]
+            left = (
+                selfb[0, 0, r0:r0 + ts, :]
+                if t == 1
+                else prevb[0, 1, r0:r0 + ts, :]
+            )
+            up = upb[0, t, r0 + ts:r0 + ts + 8, :ts]
+            cor = (
+                upb[0, 0, r0 + ts:r0 + ts + 8, :]
+                if t == 1
+                else upprevb[0, 1, r0 + ts:r0 + ts + 8, :]
+            )
+            return (
+                core
+                + place_cols(left)
+                + place_rows(up)
+                + place_rows(place_cols(cor))
+            )
 
-        acc = {}
-        for si, src in enumerate(sources):
-            for ci, comp in enumerate(("re", "im")):
-                base = (si * 2 + ci) * 4
-                acc[(src, comp)] = gather(*in_refs[base:base + 4])
-        if wstacked:
-            lo_ok = jnp.where(p < nseg_planes, 1.0, 0.0)
-            hi_ok = jnp.where(p > 0, 1.0, 0.0)
-            acc_r = lo_ok * acc[("lo", "re")] + hi_ok * acc[("hi", "re")]
-            acc_i = lo_ok * acc[("lo", "im")] + hi_ok * acc[("hi", "im")]
-        else:
-            acc_r = acc[("lo", "re")]
-            acc_i = acc[("lo", "im")]
-        even = tu % 2 == 0
-
-        @pl.when(even)
-        def _():
-            out_r[0, :, :ts] = acc_r
-            out_i[0, :, :ts] = acc_i
-
-        @pl.when(jnp.logical_not(even))
-        def _():
-            out_r[0, :, ts:] = acc_r
-            out_i[0, :, ts:] = acc_i
+        for t in (0, 1):
+            acc = {}
+            for si, src in enumerate(sources):
+                for comp in ("re", "im"):
+                    acc[(src, comp)] = gather(si, rb[(src, comp)], t)
+            if wstacked:
+                lo_ok = jnp.where(p < nseg_planes, 1.0, 0.0)
+                hi_ok = jnp.where(p > 0, 1.0, 0.0)
+                acc_r = (
+                    lo_ok * acc[("lo", "re")] + hi_ok * acc[("hi", "re")]
+                )
+                acc_i = (
+                    lo_ok * acc[("lo", "im")] + hi_ok * acc[("hi", "im")]
+                )
+            else:
+                acc_r = acc[("lo", "re")]
+                acc_i = acc[("lo", "im")]
+            out_r[0, :, t * ts:(t + 1) * ts] = acc_r
+            out_i[0, :, t * ts:(t + 1) * ts] = acc_i
 
     out_r, out_i = pl.pallas_call(
         kernel,
-        grid=(nplanes_total, nta, nta),
+        grid=(nplanes_total, nta, nta2),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, ts, 2 * ts),
-                         lambda p, tv, tu: (p, tv, tu // 2)),
+                         lambda p, tv, tj: (p, tv, tj)),
             pl.BlockSpec((1, ts, 2 * ts),
-                         lambda p, tv, tu: (p, tv, tu // 2)),
+                         lambda p, tv, tj: (p, tv, tj)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((nplanes_total, npixel, npixel),
@@ -706,7 +742,7 @@ def _assemble_execute(
                                  jnp.float32),
         ),
         interpret=interpret,
-    )(*([out] * len(in_specs)))
+    )(*([out_pairs] * len(in_specs)))
     return jax.lax.complex(out_r, out_i)
 
 
@@ -718,6 +754,7 @@ def _assemble_execute(
 def _degrid_kernel(
     slot_seg_ref,
     slot_col_ref,
+    slot_first_ref,
     seg_starts_ref,
     seg_counts_ref,
     payload_ref,
@@ -727,7 +764,6 @@ def _degrid_kernel(
     thi_i_ref,
     out_r_ref,
     out_i_ref,
-    out_idx_ref,
     *,
     buf: int,
     support: int,
@@ -736,9 +772,7 @@ def _degrid_kernel(
     ntile_axis: int,
     tile: int,
     nseg: int,
-    sentinel: float,
     wstacked: bool,
-    idx_row: int = 3,
     precision=None,
     use_taps: bool = False,
 ):
@@ -746,8 +780,13 @@ def _degrid_kernel(
 
     All inputs are block-spec'd (auto-pipelined): payload [8, chunk] chunk
     column, and the [1, buf, buf] lower/upper plane tiles selected by the
-    prefetched slot->segment map. Outputs one [1, chunk] value row per slot
-    plus the pass-through entry index (f32-bitcast) for the back-sort.
+    prefetched slot->segment map. The output block is indexed by PAYLOAD
+    COLUMN, not slot: each program masks its lanes to its own segment's
+    [start, start+count) range and slots sharing a boundary column
+    accumulate into the same resident block (slot columns are monotone, so
+    Mosaic keeps the block in VMEM across the run; the column's first slot
+    initialises it). The result is the compacted sorted-order value stream
+    directly — no per-entry back-sort pass.
     """
     i = pl.program_id(0)
     seg = slot_seg_ref[i]  # in [0, nseg]; nseg = trash (out-of-grid)
@@ -772,7 +811,6 @@ def _degrid_kernel(
 
     data = payload_ref[...]
     frac = jnp.where(live, data[2][None, :], 0.0)
-    idx_bits = jnp.where(valid, data[idx_row][None, :], sentinel)
 
     if use_taps:
         rel_u = data[0][None, :]
@@ -800,21 +838,28 @@ def _degrid_kernel(
     dn = (((0,), (0,)), ((), ()))  # contract r -> [x, c]
 
     def tile_vals(t_ref):
-        a = jax.lax.dot_general(
-            t_ref[0], kv, dimension_numbers=dn,
-            preferred_element_type=jnp.float32, precision=precision,
-        )
+        a = _dot(t_ref[0], kv, dn, precision)
         return jnp.sum(a * ku, axis=0, keepdims=True)  # [1, chunk]
 
     if wstacked:
         w0 = (1.0 - frac) * livef
         w1 = frac * livef
-        out_r_ref[...] = tile_vals(tlo_r_ref) * w0 + tile_vals(thi_r_ref) * w1
-        out_i_ref[...] = tile_vals(tlo_i_ref) * w0 + tile_vals(thi_i_ref) * w1
+        vr = tile_vals(tlo_r_ref) * w0 + tile_vals(thi_r_ref) * w1
+        vi = tile_vals(tlo_i_ref) * w0 + tile_vals(thi_i_ref) * w1
     else:
-        out_r_ref[...] = tile_vals(tlo_r_ref) * livef
-        out_i_ref[...] = tile_vals(tlo_i_ref) * livef
-    out_idx_ref[...] = idx_bits
+        vr = tile_vals(tlo_r_ref) * livef
+        vi = tile_vals(tlo_i_ref) * livef
+    first = slot_first_ref[i] == 1
+
+    @pl.when(first)
+    def _():
+        out_r_ref[...] = vr
+        out_i_ref[...] = vi
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_r_ref[...] += vr
+        out_i_ref[...] += vi
 
 
 @partial(
@@ -840,7 +885,7 @@ def fused_degrid_wstack(
     tile: int = 64,
     chunk: int = 512,
     interpret: bool | None = None,
-    matmul_precision: str | None = None,
+    matmul_precision: str | None = "config",
 ):
     """Degrid visibilities from (optionally w-stacked) grids: the adjoint of
     :func:`fused_grid_wstack`, same contract as tiled_degrid.
@@ -923,13 +968,14 @@ def fused_degrid_wstack(
     starts_p, counts_p = sorted_seg_bounds(seg_s, nseg + 1)
     nslots = n // chunk + nseg + 3
     ncols = payload.shape[1] // chunk
-    slot_seg, slot_col = _degrid_slots(
+    slot_seg, slot_col, slot_first = _degrid_slots(
         starts_p, counts_p, nslots=nslots, ncols=ncols, nseg=nseg,
         chunk=chunk,
     )
     vr_o, vi_o = _degrid_execute(
         slot_seg,
         slot_col,
+        slot_first,
         starts_p,
         counts_p,
         payload,
@@ -944,7 +990,7 @@ def fused_degrid_wstack(
         tile=ts,
         chunk=chunk,
         interpret=interpret,
-        precision=matmul_precision,
+        precision=_cfg_precision(matmul_precision),
     )
     return jax.lax.complex(vr_o, vi_o)
 
@@ -975,12 +1021,19 @@ def _degrid_slots(starts_p, counts_p, *, nslots, ncols, nseg, chunk):
         slot_valid, jnp.clip(slot_col, 0, ncols - 1), ncols - 1
     )
     slot_seg = jnp.where(slot_valid, slot_seg_c, nseg)
-    return slot_seg, slot_col
+    # first slot owning each column (initialises the output block; later
+    # same-column slots accumulate)
+    prev_col = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), slot_col[:-1]]
+    )
+    slot_first = (slot_col != prev_col).astype(jnp.int32)
+    return slot_seg, slot_col, slot_first
 
 
 def _degrid_execute(
     slot_seg,
     slot_col,
+    slot_first,
     starts_p,
     counts_p,
     payload,
@@ -996,40 +1049,42 @@ def _degrid_execute(
     tile: int,
     chunk: int,
     interpret: bool,
-    idx_row: int = 3,
+    key_row: int | None = 3,
     precision=None,
 ):
-    """Pallas degrid kernel + back-sort over prepared slot maps. Shared by
+    """Pallas degrid kernel over prepared slot maps. Shared by
     :func:`fused_degrid_wstack` and the plan path (gridding_plan.py).
-    Returns (vr, vi) [n] in the order given by the payload's idx_row."""
+
+    The kernel emits the compacted sorted-order value stream directly
+    (slot rows accumulate into their payload column). ``key_row=None``
+    returns it as-is (zero sorts — the plan sorted-domain fast path);
+    otherwise one 3-operand sort keyed by the f32-bitcast i32 indices in
+    ``payload[key_row]`` restores that ordering. Returns (vr, vi) [n]."""
     ts = tile
     buf = ts + support
     ntile_axis = npixel // ts
     ntiles = ntile_axis * ntile_axis
     nrows = payload.shape[0]
+    ncols = payload.shape[1] // chunk
 
     tiles = jax.vmap(lambda g: _extract_tiles_f(g, ts, support))(grids)
     tiles = tiles.reshape(nplanes * ntiles, buf, buf)
     tiles_r = jnp.real(tiles)
     tiles_i = jnp.imag(tiles)
 
-    # back-sort key for masked lanes: the f32 bit pattern of int32(n),
-    # which sorts after every real entry index
-    sentinel_bits = float(np.asarray(n, np.int32).view(np.float32))
-
-    def lo_map(i, ss, sc, st, ct):
+    def lo_map(i, ss, sc, fi, st, ct):
         return (jnp.minimum(ss[i], nseg - 1), 0, 0)
 
-    def hi_map(i, ss, sc, st, ct):
+    def hi_map(i, ss, sc, fi, st, ct):
         return (jnp.minimum(ss[i], nseg - 1) + (ntiles if wstacked else 0),
                 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(nslots,),
         in_specs=[
             pl.BlockSpec(
-                (nrows, chunk), lambda i, ss, sc, st, ct: (0, sc[i]),
+                (nrows, chunk), lambda i, ss, sc, fi, st, ct: (0, sc[i]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((1, buf, buf), lo_map, memory_space=pltpu.VMEM),
@@ -1037,19 +1092,15 @@ def _degrid_execute(
             pl.BlockSpec((1, buf, buf), hi_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, buf, buf), hi_map, memory_space=pltpu.VMEM),
         ],
-        # [1, nslots*chunk] row layout: Mosaic requires the block's
+        # [1, ncols*chunk] row layout: Mosaic requires the block's
         # second-to-last dim be 8-divisible or equal the array dim
         out_specs=(
             pl.BlockSpec(
-                (1, chunk), lambda i, ss, sc, st, ct: (0, i),
+                (1, chunk), lambda i, ss, sc, fi, st, ct: (0, sc[i]),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, chunk), lambda i, ss, sc, st, ct: (0, i),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, chunk), lambda i, ss, sc, st, ct: (0, i),
+                (1, chunk), lambda i, ss, sc, fi, st, ct: (0, sc[i]),
                 memory_space=pltpu.VMEM,
             ),
         ),
@@ -1063,29 +1114,28 @@ def _degrid_execute(
         ntile_axis=ntile_axis,
         tile=ts,
         nseg=nseg,
-        sentinel=sentinel_bits,
         wstacked=wstacked,
-        idx_row=idx_row,
         precision=precision,
         use_taps=nrows == 24,
     )
-    out_r, out_i, out_ib = pl.pallas_call(
+    out_r, out_i = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=(
-            jax.ShapeDtypeStruct((1, nslots * chunk), jnp.float32),
-            jax.ShapeDtypeStruct((1, nslots * chunk), jnp.float32),
-            jax.ShapeDtypeStruct((1, nslots * chunk), jnp.float32),
+            jax.ShapeDtypeStruct((1, ncols * chunk), jnp.float32),
+            jax.ShapeDtypeStruct((1, ncols * chunk), jnp.float32),
         ),
-    )(slot_seg, slot_col, starts_p, counts_p, payload, tiles_r, tiles_i,
-      tiles_r, tiles_i)
+    )(slot_seg, slot_col, slot_first, starts_p, counts_p, payload,
+      tiles_r, tiles_i, tiles_r, tiles_i)
 
-    key = jax.lax.bitcast_convert_type(out_ib.reshape(-1), jnp.int32)
-    _, vr_o, vi_o = jax.lax.sort(
-        (key, out_r.reshape(-1), out_i.reshape(-1)), num_keys=1
-    )
-    return vr_o[:n], vi_o[:n]
+    vr_s = out_r.reshape(-1)[:n]
+    vi_s = out_i.reshape(-1)[:n]
+    if key_row is None:
+        return vr_s, vi_s
+    key = jax.lax.bitcast_convert_type(payload[key_row, :n], jnp.int32)
+    _, vr_o, vi_o = jax.lax.sort((key, vr_s, vi_s), num_keys=1)
+    return vr_o, vi_o
 
 
 def _extract_tiles_f(grid, ts: int, support: int):

@@ -56,6 +56,7 @@ __all__ = [
         "counts_p",
         "slot_seg",
         "slot_col",
+        "slot_first",
         "gs_seg",
         "gs_col",
         "gs_first",
@@ -93,6 +94,7 @@ class GridPlan:
     counts_p: jax.Array
     slot_seg: jax.Array
     slot_col: jax.Array
+    slot_first: jax.Array
     gs_seg: jax.Array
     gs_col: jax.Array
     gs_first: jax.Array
@@ -207,7 +209,7 @@ def make_grid_plan(
     starts, counts = sorted_seg_bounds(seg_s, nseg)
     starts_p, counts_p = sorted_seg_bounds(seg_s, nseg + 1)
     nslots = n // chunk + nseg + 3
-    slot_seg, slot_col = _degrid_slots(
+    slot_seg, slot_col, slot_first = _degrid_slots(
         starts_p,
         counts_p,
         nslots=nslots,
@@ -232,6 +234,7 @@ def make_grid_plan(
         counts_p=counts_p,
         slot_seg=slot_seg,
         slot_col=slot_col,
+        slot_first=slot_first,
         gs_seg=gs_seg,
         gs_col=gs_col,
         gs_first=gs_first,
@@ -283,13 +286,16 @@ def unsort_values(plan: GridPlan, vals_sorted):
     return jax.lax.complex(vr, vi)
 
 
-@partial(jax.jit, static_argnames=("values_sorted", "interpret"))
+@partial(
+    jax.jit, static_argnames=("values_sorted", "interpret", "precision")
+)
 def grid_with_plan(
     plan: GridPlan,
     vals,
     *,
     values_sorted: bool = False,
     interpret: bool | None = None,
+    precision: str | None = "config",
 ):
     """Grid (weighted) visibility values using a precomputed plan.
 
@@ -342,19 +348,29 @@ def grid_with_plan(
         tile=plan.tile,
         chunk=plan.chunk,
         interpret=interpret,
+        precision=_resolve_precision(precision),
     )
     if plan.nplanes == 1 and not (plan.wstacked or plan.nearest):
         return grids[0]
     return grids
 
 
-@partial(jax.jit, static_argnames=("to_sorted", "interpret"))
+def _resolve_precision(precision):
+    from ..config import gridder_precision
+
+    return gridder_precision(precision)
+
+
+@partial(
+    jax.jit, static_argnames=("to_sorted", "interpret", "precision")
+)
 def degrid_with_plan(
     plan: GridPlan,
     grids,
     *,
     to_sorted: bool = False,
     interpret: bool | None = None,
+    precision: str | None = "config",
 ):
     """Degrid visibilities from (w-stacked) grids using a precomputed
     plan. ``to_sorted=True`` returns values in plan order (feedable
@@ -368,6 +384,7 @@ def degrid_with_plan(
     vr, vi = _degrid_execute(
         plan.slot_seg,
         plan.slot_col,
+        plan.slot_first,
         plan.starts_p,
         plan.counts_p,
         plan.geo,
@@ -382,6 +399,7 @@ def degrid_with_plan(
         tile=plan.tile,
         chunk=plan.chunk,
         interpret=interpret,
-        idx_row=4 if to_sorted else 3,
+        key_row=None if to_sorted else 3,
+        precision=_resolve_precision(precision),
     )
     return jax.lax.complex(vr, vi)

@@ -561,7 +561,10 @@ def make_imaging_plan(
     )
 
 
-@partial(jax.jit, static_argnames=("values_sorted", "interpret"))
+@partial(
+    jax.jit,
+    static_argnames=("values_sorted", "interpret", "precision"),
+)
 def invert_with_plan(
     plan: ImagingPlan,
     vals,
@@ -569,6 +572,7 @@ def invert_with_plan(
     *,
     values_sorted: bool = False,
     interpret: bool | None = None,
+    precision: str | None = "config",
 ):
     """Grid + FFT + w-stack using a precomputed plan.
 
@@ -581,7 +585,8 @@ def invert_with_plan(
     npad = plan.npad
     weighted = vals if wgt is None else vals * wgt.astype(vals.dtype)
     grids = grid_with_plan(
-        plan.gp, weighted, values_sorted=values_sorted, interpret=interpret
+        plan.gp, weighted, values_sorted=values_sorted,
+        interpret=interpret, precision=precision,
     )
     wstack = plan.do_wstacking and plan.nw > 1
     if wstack:
@@ -602,13 +607,16 @@ def invert_with_plan(
     return dirty, sumwt
 
 
-@partial(jax.jit, static_argnames=("to_sorted", "interpret"))
+@partial(
+    jax.jit, static_argnames=("to_sorted", "interpret", "precision")
+)
 def predict_with_plan(
     plan: ImagingPlan,
     image,
     *,
     to_sorted: bool = False,
     interpret: bool | None = None,
+    precision: str | None = "config",
 ):
     """Degrid model-image visibilities using a precomputed plan.
 
@@ -631,7 +639,8 @@ def predict_with_plan(
     else:
         grids = fft(pad_mid(z, npad))[None]
     return degrid_with_plan(
-        plan.gp, grids, to_sorted=to_sorted, interpret=interpret
+        plan.gp, grids, to_sorted=to_sorted, interpret=interpret,
+        precision=precision,
     )
 
 
