@@ -75,9 +75,6 @@ def part_a():
 
         def body(carry, inp):
             uu, vv, ww, vv2 = inp
-            ph = (
-                (-uu) * ll[None] * 0.0
-            )  # placeholder to keep shapes; replaced below
             phase = 2.0 * jnp.pi * (
                 -uu[:, None, None] * ll[None]
                 + vv[:, None, None] * mm[None]

@@ -29,20 +29,29 @@ __all__ = [
 ]
 
 # In-kernel matmul precision of the fused Pallas gridder/degridder:
-# None -> inherit the global default (the package pins
-# jax_default_matmul_precision="highest"); "bf16x3" -> 3-pass bf16
-# emulation of XLA HIGH (~4e-6 relative grid error, ~1.5x faster at the
-# BASELINE config); "default" -> single bf16 pass (~2e-3 error).
+# "auto" -> "bf16x3" on accelerators, HIGHEST (inherited global default)
+# on CPU; "bf16x3" -> 3-pass bf16 emulation of XLA HIGH (which Mosaic
+# does not lower natively); "default" -> single bf16 pass; None ->
+# inherit the global default (the package pins
+# jax_default_matmul_precision="highest").
+# Measured on one v5e at the 10M-vis BASELINE config: bf16x3 is
+# image-level indistinguishable from HIGHEST (3.9e-6 relative dirty-image
+# difference; both 3.3e-4 vs the exact DFT, dominated by w-interpolation
+# method error) at ~0.65x the kernel time; single-pass bf16 degrades the
+# image ~6x (2e-3) and is NOT the default anywhere.
 # Read at TRACE time: set it before the first gridding call of a given
 # shape signature (jit caches bake the value in).
-_GRIDDER_PRECISION: str | None = None
+_GRIDDER_PRECISION: str | None = "auto"
 
 
 def gridder_precision(override=("config",)) -> str | None:
     """Resolve a gridder precision argument against the global policy."""
-    if override == ("config",) or override == "config":
-        return _GRIDDER_PRECISION
-    return override
+    p = override
+    if p == ("config",) or p == "config":
+        p = _GRIDDER_PRECISION
+    if p == "auto":
+        p = None if jax.default_backend() == "cpu" else "bf16x3"
+    return p
 
 
 def set_gridder_precision(precision: str | None) -> None:
