@@ -83,7 +83,7 @@ def prep(u, v, w, vr, vi):
     f_s = jnp.concatenate([f_s, pz])
     vr_s = jnp.concatenate([vr_s, pz])
     vi_s = jnp.concatenate([vi_s, pz])
-    vals_rows = _value_rows(vr_s, vi_s)
+    vals_rows = _value_rows(vr_s, vi_s, 512)
     z = jnp.zeros_like(u_s)
     payload = _payload_stack(
         u_s, v_s, f_s, z, z, npixel=NPAD, support=SUPPORT, tile=TS
@@ -148,7 +148,7 @@ def run_grid(
                 ),
                 pl.BlockSpec(
                     (8, chunk),
-                    lambda i, sg, sc, fi, st, ct: (0, sc[i]),
+                    lambda i, sg, sc, fi, st, ct: (0, sc[i] // 4),
                     memory_space=pltpu.VMEM,
                 ),
             ],

@@ -143,15 +143,30 @@ def _rot8(taps8, idx):
     return out
 
 
-def _value_rows(vr_s, vi_s):
-    """[8, Npad] value-row array (vr, vi, 6x zero pad rows) from padded
-    f32 rows — 8 rows so each kernel block is one aligned (8, chunk) DMA
-    (2-row blocks measured ~2x slower), built with a layout-trivial
-    concat+reshape (no complex interleave, no stack relayout)."""
+def _value_rows(vr_s, vi_s, chunk: int):
+    """[8, Npad//4] packed value-row array from padded f32 rows.
+
+    Chunk c's (vr, vi) pair lands on rows (2*(c%4), 2*(c%4)+1), columns
+    [(c//4)*chunk, (c//4+1)*chunk): four consecutive chunks share one
+    aligned (8, chunk) block, so the kernel's value DMA traffic is 1/4 of
+    the plain [8, Npad] layout (whose 6 rows were zero padding — 8-row
+    blocks are required by the TPU sublane tiling; 2-row blocks measured
+    ~2x slower) and Mosaic skips the re-fetch for the 3 revisits. Requires
+    Npad % (4*chunk) == 0 (see ``_pad_stream``).
+    """
     npad = vr_s.shape[0]
-    return jnp.concatenate(
-        [vr_s, vi_s, jnp.zeros((6 * npad,), jnp.float32)]
-    ).reshape(8, npad)
+    nq = npad // (4 * chunk)
+    vr_r = vr_s.reshape(nq, 4, chunk)
+    vi_r = vi_s.reshape(nq, 4, chunk)
+    packed = jnp.stack([vr_r, vi_r], axis=2)  # [nq, 4, 2, chunk]
+    return packed.transpose(1, 2, 0, 3).reshape(8, npad // 4)
+
+
+def _pad_stream(n: int, chunk: int) -> int:
+    """Padding that chunk-aligns the sorted stream, adds one all-pad tail
+    column, and rounds the total to a multiple of 4*chunk (the packed
+    value-row layout needs whole 4-chunk groups)."""
+    return (-n) % (4 * chunk) + 4 * chunk
 
 
 def _payload_stack(u_s, v_s, f_s, r3, r4, *, npixel, support, tile):
@@ -231,8 +246,16 @@ def _grid_slot_kernel(
     valid = (gidx >= start) & (gidx < start + count)
     data = payload_ref[...]
     frac = jnp.where(valid, data[2][None, :], 0.0)
-    vr = jnp.where(valid, vals_ref[0][None, :], 0.0)
-    vi = jnp.where(valid, vals_ref[1][None, :], 0.0)
+    # packed value rows: chunk col selects its (vr, vi) row pair
+    m = col % 4
+    vr_p = jnp.zeros((chunk,), jnp.float32)
+    vi_p = jnp.zeros((chunk,), jnp.float32)
+    for k in range(4):
+        sel = jnp.where(m == k, 1.0, 0.0)
+        vr_p = vr_p + sel * vals_ref[2 * k]
+        vi_p = vi_p + sel * vals_ref[2 * k + 1]
+    vr = jnp.where(valid, vr_p[None, :], 0.0)
+    vi = jnp.where(valid, vi_p[None, :], 0.0)
     if use_taps:
         rel_u = data[0][None, :]
         rel_v = data[1][None, :]
@@ -404,14 +427,14 @@ def fused_grid_wstack(
     n = u_s.shape[0]
     # the last segment's chunk window may overrun the stream tail by up to
     # one chunk: pad so every DMA stays in bounds
-    npad = (-n) % chunk + chunk  # chunk-aligned + one all-pad tail column
+    npad = _pad_stream(n, chunk)
     pz = jnp.zeros((npad,), jnp.float32)
     u_s = jnp.concatenate([u_s, pz])
     v_s = jnp.concatenate([v_s, pz])
     f_s = jnp.concatenate([f_s, pz])
     vr_s = jnp.concatenate([vr_s, pz])
     vi_s = jnp.concatenate([vi_s, pz])
-    vals = _value_rows(vr_s, vi_s)
+    vals = _value_rows(vr_s, vi_s, chunk)
     z = jnp.zeros_like(u_s)
     payload = _payload_stack(
         u_s, v_s, f_s, z, z,
@@ -493,7 +516,7 @@ def _grid_execute(
             ),
             pl.BlockSpec(
                 (8, chunk),
-                lambda i, sg, sc, fi, st, ct: (0, sc[i]),
+                lambda i, sg, sc, fi, st, ct: (0, sc[i] // 4),
                 memory_space=pltpu.VMEM,
             ),
         ],

@@ -193,7 +193,9 @@ def make_grid_plan(
     # rank[i] = sorted position of original entry i (perm's inverse)
     _, rank = jax.lax.sort((perm, iota), num_keys=1)
 
-    npad = (-n) % chunk + chunk  # chunk-aligned + one all-pad tail column
+    from .gridding_fused import _pad_stream
+
+    npad = _pad_stream(n, chunk)
     pz = jnp.zeros((npad,), jnp.float32)
     u_s = jnp.concatenate([u_s, pz])
     v_s = jnp.concatenate([v_s, pz])
@@ -320,10 +322,11 @@ def grid_with_plan(
         )
     npad = plan.geo.shape[1] - plan.n
     pz = jnp.zeros((npad,), jnp.float32)
-    # values ride a separate [8, Npad] row array: the big geometry payload
-    # is reused untouched (no 1 GB-scale copy per call)
+    # values ride a separate packed [8, Npad//4] row array: the big
+    # geometry payload is reused untouched (no 1 GB-scale copy per call)
     vals_rows = _value_rows(
-        jnp.concatenate([vr_s, pz]), jnp.concatenate([vi_s, pz])
+        jnp.concatenate([vr_s, pz]), jnp.concatenate([vi_s, pz]),
+        plan.chunk,
     )
     if plan.wstacked:
         nseg_planes, nplanes_out = plan.nplanes - 1, 2
