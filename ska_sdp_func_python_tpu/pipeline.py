@@ -18,8 +18,11 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import typing
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -121,6 +124,11 @@ class _SortedWorkspace:
             )
         self.plan = plan
         self.npol = ms.shape[-1]
+        # natural-order image-frame arrays, kept for the fused self-cal
+        # solver leg (X = V_obs/V_model is invariant under the phase shift,
+        # so gains can be solved in the image frame)
+        self.ms_nat = ms
+        self.fw_nat = svis.flagged_weight
         self.obs_s = []
         self.wgt_s = []
         self.comp_s = []
@@ -195,6 +203,335 @@ class _SortedWorkspace:
                 sumwt = sumwt.at[ichan, pol].set(swt)
         residual = normalise_sumwt(template.with_pixels(pixels), sumwt)
         return residual, sumwt
+
+
+class _FusedCfg(typing.NamedTuple):
+    """Static (hashable) configuration for the fused self-cal cycle."""
+
+    nchan: int
+    npol: int
+    mfs: bool
+    phase_only: bool
+    normalise_gains: str | None
+    solver_niter: int
+    solver_tol: float
+    algorithm: str
+    clean_gain: float
+    clean_niter: int
+    clean_thresh: float
+    clean_frac: float
+    scales: tuple
+
+
+@partial(jax.jit, static_argnames=("cfg", "do_cal", "with_model"))
+def _fused_selfcal_cycle(
+    state: dict,
+    model_pixels,
+    gain,
+    *,
+    cfg: _FusedCfg,
+    do_cal: bool,
+    with_model: bool,
+):
+    """ONE dispatch per self-cal major cycle.
+
+    Composes, inside a single XLA program: model degrid (plan-sorted),
+    model back-sort, product-form normal equations, the batched StefCal
+    solve, gain application in the sorted domain, residual invert, and the
+    CLEAN minor-cycle loop. The reference's cycle (SURVEY.md §3.5) is ~10
+    separate library calls; every host round-trip between them costs ~27 ms
+    of dispatch latency on a remote TPU, and the unfused path re-sorts
+    values three times per cycle. Here the only per-cycle host interaction
+    is the single dispatch (plus an optional peak-residual fetch).
+
+    Normal equations use the product form
+    ``x*xwt = V_obs conj(V_model) w``, ``xwt = |V_model|^2 w`` — identical
+    to divide_visibility + accumulate (visibility/operations.py:145-189,
+    calibration/solvers.py:99-114) without materialising the quotient.
+    """
+    from .ops.gridding_plan import unsort_values
+    from .ops.imaging import invert_with_plan, predict_with_plan
+    from .ops.solvers import solve_gains_core
+
+    plans = state["plans"]
+    obs_s, wgt_s, comp_s = state["obs_s"], state["wgt_s"], state["comp_s"]
+    nchan, npol = cfg.nchan, cfg.npol
+
+    # ---- model visibilities, plan-sorted per (chan, pol) ----
+    model_s = []
+    for c in range(nchan):
+        row = []
+        for p in range(npol):
+            ms_ = None
+            if with_model:
+                ms_ = predict_with_plan(
+                    plans[c], model_pixels[c, p], to_sorted=True
+                )
+            if comp_s is not None:
+                cs = comp_s[c][p]
+                ms_ = cs if ms_ is None else ms_ + cs
+            if ms_ is None:
+                ms_ = obs_s[c][p] * 0.0
+            row.append(ms_)
+        model_s.append(row)
+
+    gwt = state["gain_wt"]
+    gres = state["gain_res"]
+    if do_cal:
+        # ---- natural-order model for the normal equations ----
+        ntime, nbl = state["w_t"].shape[1], state["a1"].shape[0]
+        chans = []
+        for c in range(nchan):
+            pols = [
+                unsort_values(plans[c].gp, model_s[c][p]).reshape(
+                    ntime, nbl, -1
+                )
+                for p in range(npol)
+            ]
+            chans.append(jnp.stack(pols, axis=-1))  # [t, b, nf_c, npol]
+        mvis = chans[0] if cfg.mfs else jnp.concatenate(chans, axis=2)
+
+        # ---- product-form normal equations (single-channel gaintable) ----
+        obs = state["ms_nat"]
+        fw = state["fw_nat"]
+        xe = obs * jnp.conj(mvis) * fw.astype(obs.dtype)
+        we = (jnp.real(mvis) ** 2 + jnp.imag(mvis) ** 2) * fw
+        w_t = state["w_t"]
+        xb = jnp.einsum("st,tbfp->sbp", w_t.astype(xe.dtype), xe)[
+            :, :, None, :
+        ]
+        wb = jnp.einsum("st,tbfp->sbp", w_t, we)[:, :, None, :]
+        a1, a2 = state["a1"], state["a2"]
+        nsol = w_t.shape[0]
+        nants = gain.shape[1]
+        from .config import czeros
+
+        x = czeros((nsol, nants, nants, 1, npol), xb.dtype)
+        xwt = jnp.zeros((nsol, nants, nants, 1, npol), dtype=wb.dtype)
+        x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
+        xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
+        has_data = jnp.sum(jnp.abs(xwt), axis=(1, 2, 3, 4)) > 0.0
+
+        gain_new, gwt, gres = solve_gains_core(
+            x,
+            xwt,
+            gain,
+            niter=cfg.solver_niter,
+            tol=cfg.solver_tol,
+            phase_only=cfg.phase_only,
+            crosspol=False,
+            npol=npol,
+        )
+        hd = has_data[:, None, None, None, None]
+        gain_new = jnp.where(
+            hd,
+            gain_new,
+            jnp.ones(gain_new.shape, jnp.float32).astype(gain_new.dtype),
+        )
+        gwt = jnp.where(hd, gwt, jnp.zeros_like(gwt))
+        gres = jnp.where(
+            has_data[:, None, None, None], gres, jnp.zeros_like(gres)
+        )
+        if cfg.normalise_gains in ("mean", "median") and not cfg.phase_only:
+            gabs = (
+                jnp.mean(jnp.abs(gain_new))
+                if cfg.normalise_gains == "mean"
+                else jnp.median(jnp.abs(gain_new))
+            )
+            gain_new = gain_new / gabs.astype(gain_new.dtype)
+        gain = gain_new
+
+        # ---- inverse-apply factor per (time, baseline), scalar gains ----
+        gg = gain[state["row_idx"]][..., 0, 0, 0]  # [ntime, nants]
+        g1 = jnp.take(gg, a1, axis=1)
+        g2 = jnp.take(gg, a2, axis=1)
+        sm = g1 * jnp.conj(g2)  # [ntime, nbl]
+        a2_ = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
+        ok = a2_ > 0.0
+        inv = jnp.where(
+            ok, jnp.conj(sm) / jnp.where(ok, a2_, 1.0).astype(sm.dtype),
+            sm * 0.0,
+        )
+        # rows outside every solution interval stay uncorrected
+        # (gain_ops.apply_gaintable:121-125)
+        hr = state["has_row"][:, None]
+        inv = jnp.where(
+            hr, inv, jnp.ones(inv.shape, jnp.float32).astype(inv.dtype)
+        )
+
+    # ---- residual invert per (chan, pol), all in the sorted domain ----
+    ny = nx = plans[0].npixel
+    pixels = jnp.zeros((nchan, npol, ny, nx), jnp.float32)
+    sumwt = jnp.zeros((nchan, npol), jnp.float32)
+    for c in range(nchan):
+        if do_cal:
+            # broadcast the factor over this plan's channel span, flatten
+            # in (t, b, f) order, and bring it into plan order
+            nf_c = obs_s[c][0].shape[0] // (inv.shape[0] * inv.shape[1])
+            inv_f = jnp.broadcast_to(
+                inv[:, :, None], inv.shape + (nf_c,)
+            ).reshape(-1)
+            _, ir_s, ii_s = jax.lax.sort(
+                (plans[c].gp.rank, jnp.real(inv_f), jnp.imag(inv_f)),
+                num_keys=1,
+            )
+            inv_s = jax.lax.complex(ir_s, ii_s)
+        for p in range(npol):
+            corr = obs_s[c][p] * inv_s if do_cal else obs_s[c][p]
+            resid_s = corr - model_s[c][p]
+            dirty, swt = invert_with_plan(
+                plans[c], resid_s, wgt_s[c][p], values_sorted=True
+            )
+            pixels = pixels.at[c, p].set(dirty.astype(jnp.float32))
+            sumwt = sumwt.at[c, p].set(swt)
+    okw = sumwt > 0.0
+    scale = jnp.where(okw, 1.0 / jnp.where(okw, sumwt, 1.0), 0.0)
+    residual = pixels * scale[:, :, None, None]
+
+    # ---- CLEAN minor cycles ----
+    comp_pixels = _fused_clean(residual, state["psf_patch"], cfg)
+    model_pixels = model_pixels + comp_pixels
+
+    peak = jnp.max(jnp.abs(residual))
+    return model_pixels, gain, gwt, gres, residual, sumwt, peak
+
+
+def _fused_clean(residual, psf_patch, cfg: _FusedCfg):
+    """In-graph deconvolution lanes (deconvolution.py:110-236 semantics,
+    window=None)."""
+    from .ops.cleaners import hogbom, msclean
+
+    nchan, npol, ny, nx = residual.shape
+    if cfg.algorithm == "hogbom":
+        d2 = residual.reshape(-1, ny, nx)
+        p2 = psf_patch.reshape(-1, *psf_patch.shape[-2:])
+        cb, _ = jax.vmap(
+            lambda d, p: hogbom(
+                d,
+                p,
+                None,
+                gain=cfg.clean_gain,
+                thresh=cfg.clean_thresh,
+                niter=cfg.clean_niter,
+                fracthresh=cfg.clean_frac,
+            )
+        )(d2, p2)
+        return cb.reshape(residual.shape)
+    if cfg.algorithm == "msclean":
+        comp = jnp.zeros_like(residual)
+        for c in range(nchan):
+            for p in range(npol):
+                cc, _ = msclean(
+                    residual[c, p],
+                    psf_patch[c, p],
+                    None,
+                    None,
+                    gain=cfg.clean_gain,
+                    thresh=cfg.clean_thresh,
+                    niter=cfg.clean_niter,
+                    scales=cfg.scales,
+                    fracthresh=cfg.clean_frac,
+                )
+                comp = comp.at[c, p].set(cc)
+        return comp
+    raise ValueError(f"fused clean: unsupported algorithm {cfg.algorithm}")
+
+
+class _FusedSelfCal(_SortedWorkspace):
+    """Device-resident workspace for :func:`_fused_selfcal_cycle`.
+
+    Restricted to the fully-fusable configuration: stokesI visibilities
+    (scalar gains), a single-term calibration context with a
+    single-channel gaintable ("T"/"G"), and windowless hogbom/msclean
+    deconvolution. ``pipeline.ical`` falls back to the composed path
+    otherwise.
+    """
+
+    def __init__(
+        self,
+        vis,
+        model,
+        plan,
+        components,
+        jones_type: str,
+        timeslice,
+        phase_only: bool,
+        normalise_gains,
+        solver_niter: int,
+        solver_tol: float,
+        psf: Image,
+        **clean_kwargs,
+    ):
+        super().__init__(vis, model, plan, components)
+        from .models.gaintable import create_gaintable_from_visibility
+        from .ops.deconvolution import bound_psf, common_arguments
+        from .ops.gain_ops import _gain_row_of_time
+
+        self.gt0 = create_gaintable_from_visibility(
+            vis, jones_type=jones_type, timeslice=timeslice
+        )
+        t = vis.time[None, :]
+        lo = (self.gt0.time - self.gt0.interval / 2)[:, None]
+        hi = (self.gt0.time + self.gt0.interval / 2)[:, None]
+        self.w_t = ((t >= lo) & (t <= hi)).astype(jnp.float32)
+        row_idx, has_row = _gain_row_of_time(
+            vis.time, self.gt0.time, self.gt0.interval
+        )
+        self.row_idx, self.has_row = row_idx, has_row
+        self.a1 = jnp.asarray(vis.antenna1, jnp.int32)
+        self.a2 = jnp.asarray(vis.antenna2, jnp.int32)
+        bpsf = bound_psf(psf, psf, clean_kwargs.get("psf_support", None))
+        self.psf_patch = bpsf.pixels.astype(jnp.float32)
+        frac, cgain, cniter, cthresh, scales = common_arguments(
+            **clean_kwargs
+        )
+        # solver weights need one column per converted pol
+        fw = self.fw_nat
+        if fw.shape[-1] != self.npol:
+            fw = jnp.broadcast_to(
+                fw[..., :1], fw.shape[:-1] + (self.npol,)
+            )
+        self.fw_nat = fw
+        self.cfg = _FusedCfg(
+            nchan=plan.nchan,
+            npol=self.npol,
+            mfs=plan.mfs,
+            phase_only=phase_only,
+            normalise_gains=normalise_gains,
+            solver_niter=solver_niter,
+            solver_tol=solver_tol,
+            algorithm=clean_kwargs.get("algorithm", "hogbom"),
+            clean_gain=cgain,
+            clean_niter=cniter,
+            clean_thresh=cthresh,
+            clean_frac=frac,
+            scales=tuple(scales),
+        )
+
+    def state(self, gwt, gres):
+        return {
+            "plans": tuple(self.plan.plans),
+            "obs_s": tuple(tuple(r) for r in self.obs_s),
+            "wgt_s": tuple(tuple(r) for r in self.wgt_s),
+            "comp_s": (
+                tuple(tuple(r) for r in self.comp_s)
+                if self.comp_s[0] is not None
+                else None
+            ),
+            "ms_nat": self.ms_nat,
+            "fw_nat": self.fw_nat,
+            "w_t": self.w_t,
+            "row_idx": self.row_idx,
+            "has_row": self.has_row,
+            "a1": self.a1,
+            "a2": self.a2,
+            "psf_patch": self.psf_patch,
+            "gain_wt": gwt,
+            "gain_res": gres,
+        }
+
+    def gaintable(self, gain, gwt, gres) -> "GainTable":
+        return self.gt0.replace(gain=gain, weight=gwt, residual=gres)
 
 
 def _predict_model(vis, model, components, context, **kwargs):
@@ -277,12 +614,38 @@ def ical(
     if controls is None:
         controls = create_calibration_controls()
     ikw = _imaging_kwargs(kwargs)
+    fused = kwargs.pop("fused", None)
     ikw["plan"] = _plan_for(
         vis, model, context, ikw, kwargs.pop("use_plan", None)
     )
     psf, _ = invert_visibility(
         vis, model, dopsf=True, context=context, **ikw
     )
+    can_fuse = (
+        ikw.get("plan") is not None
+        and vis.npol == 1
+        and model.npol == 1
+        and len(calibration_context) == 1
+        and calibration_context != "B"
+        and kwargs.get("window_shape") is None
+        and kwargs.get("algorithm", "msclean") in ("hogbom", "msclean")
+    )
+    if fused is None:
+        fused = can_fuse
+    if fused and can_fuse:
+        return _ical_fused(
+            vis,
+            model,
+            components,
+            nmajor,
+            calibration_context,
+            controls,
+            ikw,
+            psf,
+            checkpoint_path,
+            state,
+            **kwargs,
+        )
     if state is not None:
         current, gaintables, start = state.model, state.gaintables, state.cycle
     else:
@@ -316,6 +679,83 @@ def ical(
             SelfCalState(current, gaintables, cycle + 1).save(
                 checkpoint_path
             )
+    restored = _restore_with_components(current, psf, residual, components)
+    return current, residual, restored, gaintables
+
+
+def _ical_fused(
+    vis,
+    model,
+    components,
+    nmajor,
+    term: str,
+    controls,
+    ikw,
+    psf,
+    checkpoint_path,
+    state,
+    solver_niter: int = 200,
+    tol: float = 1e-6,
+    **kwargs,
+):
+    """Fused-cycle ICAL driver: one compiled program — and one device
+    dispatch — per major cycle (see :func:`_fused_selfcal_cycle`)."""
+    phase_only = controls[term]["phase_only"]
+    ws = _FusedSelfCal(
+        vis,
+        model,
+        ikw["plan"],
+        components,
+        term,
+        controls[term]["timeslice"],
+        phase_only,
+        "mean",
+        solver_niter,
+        tol,
+        psf,
+        **kwargs,
+    )
+    if state is not None:
+        current, start = state.model, state.cycle
+        gt = state.gaintables[term]
+        gain, gwt, gres = gt.gain, gt.weight, gt.residual
+    else:
+        current, start = model.replace(
+            pixels=jnp.zeros_like(model.pixels)
+        ), 0
+        gain, gwt, gres = ws.gt0.gain, ws.gt0.weight, ws.gt0.residual
+    st = ws.state(gwt, gres)
+    model_px = current.pixels.astype(jnp.float32)
+    res_px, sumwt = None, None
+    for cycle in range(start, nmajor):
+        do_cal = cycle >= controls[term]["first_selfcal"]
+        with_model = cycle > 0
+        model_px, gain, gwt, gres, res_px, sumwt, peak = (
+            _fused_selfcal_cycle(
+                st,
+                model_px,
+                gain,
+                cfg=ws.cfg,
+                do_cal=do_cal,
+                with_model=with_model,
+            )
+        )
+        log.info(
+            "ical[fused]: cycle %d peak residual %.6f",
+            cycle,
+            float(peak),
+        )
+        if checkpoint_path is not None:
+            SelfCalState(
+                current.replace(pixels=model_px),
+                {term: ws.gaintable(gain, gwt, gres)},
+                cycle + 1,
+            ).save(checkpoint_path)
+    current = current.replace(pixels=model_px.astype(current.pixels.dtype))
+    residual = (
+        model.replace(pixels=res_px) if res_px is not None else None
+    )
+    gaintables = {term: ws.gaintable(gain, gwt, gres)}
     restored = _restore_with_components(current, psf, residual, components)
     return current, residual, restored, gaintables
 

@@ -288,6 +288,39 @@ class TestPipelines:
         peak = float(jnp.max(restored.pixels))
         assert abs(peak - 2.0) < 0.2, peak
 
+    def test_ical_fused_matches_composed(self, rng):
+        """The one-dispatch fused major cycle (pipeline._fused_selfcal_cycle)
+        reproduces the composed predict/calibrate/subtract/invert/clean loop:
+        same gains (phase-referenced), same residual peak, same sky."""
+        vis, model, comps = _pointish_obs(rng, flux=2.0)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        corrupted = apply_gaintable(vis, gt_true)
+        kw = dict(
+            nmajor=3,
+            calibration_context="T",
+            context="ng",
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        d0, r0, s0, g0 = ical(corrupted, model, **kw)
+        d1, r1, s1, g1 = ical(
+            corrupted, model, use_plan=True, fused=True, **kw
+        )
+        ga = np.asarray(g0["T"].gain)[..., 0, 0]
+        gb = np.asarray(g1["T"].gain)[..., 0, 0]
+        pa = ga * np.exp(-1j * np.angle(ga[:, :1]))
+        pb = gb * np.exp(-1j * np.angle(gb[:, :1]))
+        assert np.max(np.abs(pa - pb)) < 1e-4
+        r0p = float(jnp.max(jnp.abs(r0.pixels)))
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert abs(r0p - r1p) < 1e-3 * max(r0p, 1e-6)
+        peak0 = float(jnp.max(s0.pixels))
+        peak1 = float(jnp.max(s1.pixels))
+        assert abs(peak0 - peak1) < 0.05
+
 
 class TestConfiguration:
     def test_named_configuration_and_observe(self, rng):
