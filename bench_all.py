@@ -248,9 +248,25 @@ def bench_msmfs():
     )
 
 
+def bench_ical():
+    """Fused end-to-end self-cal major cycle (see bench_ical.py)."""
+    import subprocess
+
+    for extra in ([], ["--rmax", "40000", "--ntimes", "76",
+                       "--npixel", "1024"]):
+        out = subprocess.run(
+            [sys.executable, "bench_ical.py", *extra],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line)
+
+
 if __name__ == "__main__":
     sys.path.insert(0, ".")
     bench_solver()
     bench_invert_predict()
     bench_clean()
     bench_msmfs()
+    bench_ical()
