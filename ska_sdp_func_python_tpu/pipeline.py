@@ -559,12 +559,53 @@ def continuum_imaging(
     :return: (deconvolved model Image, residual Image, restored Image)
     """
     ikw = _imaging_kwargs(kwargs)
+    fused = kwargs.pop("fused", None)
     ikw["plan"] = _plan_for(
         vis, model, context, ikw, kwargs.pop("use_plan", None)
     )
     psf, _ = invert_visibility(
         vis, model, dopsf=True, context=context, **ikw
     )
+    can_fuse = (
+        ikw.get("plan") is not None
+        and kwargs.get("window_shape") is None
+        and kwargs.get("algorithm", "msclean") in ("hogbom", "msclean")
+    )
+    if fused is None:
+        fused = can_fuse
+    if fused and can_fuse:
+        # ONE dispatch per major cycle (see _fused_selfcal_cycle); the
+        # calibration leg is compiled out with do_cal=False
+        ws = _FusedSelfCal(
+            vis, model, ikw["plan"], components,
+            "T", "auto", True, None, 1, 1e-6, psf, **kwargs,
+        )
+        st = ws.state(ws.gt0.weight, ws.gt0.residual)
+        model_px = jnp.zeros_like(model.pixels).astype(jnp.float32)
+        gain = ws.gt0.gain
+        res_px = None
+        for cycle in range(nmajor):
+            model_px, _, _, _, res_px, _, peak = _fused_selfcal_cycle(
+                st,
+                model_px,
+                gain,
+                cfg=ws.cfg,
+                do_cal=False,
+                with_model=cycle > 0,
+            )
+            log.info(
+                "continuum_imaging[fused]: cycle %d peak residual %.6f",
+                cycle,
+                float(peak),
+            )
+        current = model.replace(
+            pixels=model_px.astype(model.pixels.dtype)
+        )
+        residual = model.replace(pixels=res_px)
+        restored = _restore_with_components(
+            current, psf, residual, components
+        )
+        return current, residual, restored
     current = model.replace(pixels=jnp.zeros_like(model.pixels))
     residual = None
     ws = (

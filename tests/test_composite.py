@@ -288,6 +288,29 @@ class TestPipelines:
         peak = float(jnp.max(restored.pixels))
         assert abs(peak - 2.0) < 0.2, peak
 
+    def test_continuum_fused_matches_composed(self, rng):
+        """continuum_imaging(fused=True) — the do_cal=False instantiation
+        of the fused cycle — reproduces the composed loop."""
+        vis, model, comps = _pointish_obs(rng, flux=2.0)
+        kw = dict(
+            nmajor=3,
+            context="ng",
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        d0, r0, s0 = continuum_imaging(vis, model, **kw)
+        d1, r1, s1 = continuum_imaging(
+            vis, model, use_plan=True, fused=True, **kw
+        )
+        r0p = float(jnp.max(jnp.abs(r0.pixels)))
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert abs(r0p - r1p) < 1e-3 * max(r0p, 1e-6)
+        assert abs(
+            float(jnp.max(s0.pixels)) - float(jnp.max(s1.pixels))
+        ) < 0.05
+
     def test_ical_fused_matches_composed(self, rng):
         """The one-dispatch fused major cycle (pipeline._fused_selfcal_cycle)
         reproduces the composed predict/calibrate/subtract/invert/clean loop:
