@@ -99,9 +99,8 @@ def main():
         model,
         plan,
         sky,
-        "T",
-        controls["T"]["timeslice"],
-        True,
+        ["T"],
+        controls,
         "mean",
         200,
         1e-6,
@@ -111,13 +110,13 @@ def main():
         gain=0.2,
         fractional_threshold=0.01,
     )
-    gain, gwt, gres = ws.gt0.gain, ws.gt0.weight, ws.gt0.residual
-    st = ws.state(gwt, gres)
+    gain = (ws.gt0s[0].gain,)
+    st = ws.state((ws.gt0s[0].weight,), (ws.gt0s[0].residual,))
     model_px = jnp.zeros_like(model.pixels).astype(jnp.float32)
 
     def cycle(mp, g):
         mp, g, _, _, _, _, peak = _fused_selfcal_cycle(
-            st, mp, g, cfg=ws.cfg, do_cal=True, with_model=True
+            st, mp, g, cfg=ws.cfg, do_cal=(True,), with_model=True
         )
         return mp, g, peak
 

@@ -205,13 +205,22 @@ class _SortedWorkspace:
         return residual, sumwt
 
 
+class _FusedTermCfg(typing.NamedTuple):
+    """Static per-Jones-term configuration (one entry per letter of the
+    calibration context, e.g. ("T", "G"))."""
+
+    name: str
+    phase_only: bool
+    first_selfcal: int
+
+
 class _FusedCfg(typing.NamedTuple):
     """Static (hashable) configuration for the fused self-cal cycle."""
 
     nchan: int
     npol: int
     mfs: bool
-    phase_only: bool
+    terms: tuple  # of _FusedTermCfg
     normalise_gains: str | None
     solver_niter: int
     solver_tol: float
@@ -223,14 +232,23 @@ class _FusedCfg(typing.NamedTuple):
     scales: tuple
 
 
+# receptor-pair map per polarisation column for diagonal Jones application:
+# V'_p = V_p / (g1[r1,r1] conj(g2[r2,r2]))
+_POL_RECS = {
+    1: ((0, 0),),
+    2: ((0, 0), (1, 1)),
+    4: ((0, 0), (0, 1), (1, 0), (1, 1)),
+}
+
+
 @partial(jax.jit, static_argnames=("cfg", "do_cal", "with_model"))
 def _fused_selfcal_cycle(
     state: dict,
     model_pixels,
-    gain,
+    gains: tuple,
     *,
     cfg: _FusedCfg,
-    do_cal: bool,
+    do_cal: tuple,
     with_model: bool,
 ):
     """ONE dispatch per self-cal major cycle.
@@ -275,11 +293,13 @@ def _fused_selfcal_cycle(
             row.append(ms_)
         model_s.append(row)
 
-    gwt = state["gain_wt"]
-    gres = state["gain_res"]
-    if do_cal:
+    any_cal = any(do_cal)
+    new_gains = list(gains)
+    gwts = list(state["gain_wt"])
+    gress = list(state["gain_res"])
+    if any_cal:
         # ---- natural-order model for the normal equations ----
-        ntime, nbl = state["w_t"].shape[1], state["a1"].shape[0]
+        ntime, nbl = state["cal"][0]["w_t"].shape[1], state["a1"].shape[0]
         chans = []
         for c in range(nchan):
             pols = [
@@ -291,93 +311,126 @@ def _fused_selfcal_cycle(
             chans.append(jnp.stack(pols, axis=-1))  # [t, b, nf_c, npol]
         mvis = chans[0] if cfg.mfs else jnp.concatenate(chans, axis=2)
 
-        # ---- product-form normal equations (single-channel gaintable) ----
-        obs = state["ms_nat"]
-        fw = state["fw_nat"]
-        xe = obs * jnp.conj(mvis) * fw.astype(obs.dtype)
-        we = (jnp.real(mvis) ** 2 + jnp.imag(mvis) ** 2) * fw
-        w_t = state["w_t"]
-        xb = jnp.einsum("st,tbfp->sbp", w_t.astype(xe.dtype), xe)[
-            :, :, None, :
-        ]
-        wb = jnp.einsum("st,tbfp->sbp", w_t, we)[:, :, None, :]
         a1, a2 = state["a1"], state["a2"]
-        nsol = w_t.shape[0]
-        nants = gain.shape[1]
+        fw = state["fw_nat"]
+        corrected = state["ms_nat"]
+        recs = _POL_RECS[npol]
+        inv_tot = None  # [ntime, nbl, npol] total inverse-apply factor
         from .config import czeros
 
-        x = czeros((nsol, nants, nants, 1, npol), xb.dtype)
-        xwt = jnp.zeros((nsol, nants, nants, 1, npol), dtype=wb.dtype)
-        x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
-        xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
-        has_data = jnp.sum(jnp.abs(xwt), axis=(1, 2, 3, 4)) > 0.0
+        for it, term in enumerate(cfg.terms):
+            if not do_cal[it]:
+                continue
+            cal = state["cal"][it]
+            # ---- product-form normal equations (single-channel table):
+            # x*w = V conj(V_model) w, xwt = |V_model|^2 w — identical to
+            # divide_visibility + accumulate without the quotient ----
+            xe = corrected * jnp.conj(mvis) * fw.astype(corrected.dtype)
+            we = (jnp.real(mvis) ** 2 + jnp.imag(mvis) ** 2) * fw
+            w_t = cal["w_t"]
+            xb = jnp.einsum("st,tbfp->sbp", w_t.astype(xe.dtype), xe)[
+                :, :, None, :
+            ]
+            wb = jnp.einsum("st,tbfp->sbp", w_t, we)[:, :, None, :]
+            nsol = w_t.shape[0]
+            nants = gains[it].shape[1]
+            x = czeros((nsol, nants, nants, 1, npol), xb.dtype)
+            xwt = jnp.zeros((nsol, nants, nants, 1, npol), dtype=wb.dtype)
+            x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
+            xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
+            has_data = jnp.sum(jnp.abs(xwt), axis=(1, 2, 3, 4)) > 0.0
 
-        gain_new, gwt, gres = solve_gains_core(
-            x,
-            xwt,
-            gain,
-            niter=cfg.solver_niter,
-            tol=cfg.solver_tol,
-            phase_only=cfg.phase_only,
-            crosspol=False,
-            npol=npol,
-        )
-        hd = has_data[:, None, None, None, None]
-        gain_new = jnp.where(
-            hd,
-            gain_new,
-            jnp.ones(gain_new.shape, jnp.float32).astype(gain_new.dtype),
-        )
-        gwt = jnp.where(hd, gwt, jnp.zeros_like(gwt))
-        gres = jnp.where(
-            has_data[:, None, None, None], gres, jnp.zeros_like(gres)
-        )
-        if cfg.normalise_gains in ("mean", "median") and not cfg.phase_only:
-            gabs = (
-                jnp.mean(jnp.abs(gain_new))
-                if cfg.normalise_gains == "mean"
-                else jnp.median(jnp.abs(gain_new))
+            gain_new, gwt, gres = solve_gains_core(
+                x,
+                xwt,
+                gains[it],
+                niter=cfg.solver_niter,
+                tol=cfg.solver_tol,
+                phase_only=term.phase_only,
+                crosspol=False,
+                npol=npol,
             )
-            gain_new = gain_new / gabs.astype(gain_new.dtype)
-        gain = gain_new
+            hd = has_data[:, None, None, None, None]
+            eye = jnp.broadcast_to(
+                jnp.eye(gain_new.shape[-1], dtype=jnp.float32),
+                gain_new.shape,
+            )
+            gain_new = jnp.where(hd, gain_new, eye.astype(gain_new.dtype))
+            gwt = jnp.where(hd, gwt, jnp.zeros_like(gwt))
+            gres = jnp.where(
+                has_data[:, None, None, None], gres, jnp.zeros_like(gres)
+            )
+            if (
+                cfg.normalise_gains in ("mean", "median")
+                and not term.phase_only
+            ):
+                gabs = (
+                    jnp.mean(jnp.abs(gain_new))
+                    if cfg.normalise_gains == "mean"
+                    else jnp.median(jnp.abs(gain_new))
+                )
+                gain_new = gain_new / gabs.astype(gain_new.dtype)
+            new_gains[it], gwts[it], gress[it] = gain_new, gwt, gres
 
-        # ---- inverse-apply factor per (time, baseline), scalar gains ----
-        gg = gain[state["row_idx"]][..., 0, 0, 0]  # [ntime, nants]
-        g1 = jnp.take(gg, a1, axis=1)
-        g2 = jnp.take(gg, a2, axis=1)
-        sm = g1 * jnp.conj(g2)  # [ntime, nbl]
-        a2_ = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
-        ok = a2_ > 0.0
-        inv = jnp.where(
-            ok, jnp.conj(sm) / jnp.where(ok, a2_, 1.0).astype(sm.dtype),
-            sm * 0.0,
-        )
-        # rows outside every solution interval stay uncorrected
-        # (gain_ops.apply_gaintable:121-125)
-        hr = state["has_row"][:, None]
-        inv = jnp.where(
-            hr, inv, jnp.ones(inv.shape, jnp.float32).astype(inv.dtype)
-        )
+            # ---- inverse-apply factors per (time, baseline, pol);
+            # diagonal Jones so each pol column divides by
+            # g1[r1,r1] conj(g2[r2,r2]) (gain_ops.apply_gaintable) ----
+            gg = gain_new[cal["row_idx"]]  # [ntime, nants, 1, nrec, nrec]
+            hr = cal["has_row"][:, None]
+            inv_pols = []
+            for r1, r2 in recs:
+                g1 = jnp.take(gg[:, :, 0, r1, r1], a1, axis=1)
+                g2 = jnp.take(gg[:, :, 0, r2, r2], a2, axis=1)
+                sm = g1 * jnp.conj(g2)  # [ntime, nbl]
+                m2 = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
+                ok = m2 > 0.0
+                inv_p = jnp.where(
+                    ok,
+                    jnp.conj(sm) / jnp.where(ok, m2, 1.0).astype(sm.dtype),
+                    sm * 0.0,
+                )
+                # rows outside every solution interval stay uncorrected
+                inv_pols.append(
+                    jnp.where(
+                        hr,
+                        inv_p,
+                        jnp.ones(inv_p.shape, jnp.float32).astype(
+                            inv_p.dtype
+                        ),
+                    )
+                )
+            inv = jnp.stack(inv_pols, axis=-1)  # [ntime, nbl, npol]
+            corrected = corrected * inv[:, :, None, :]
+            inv_tot = inv if inv_tot is None else inv_tot * inv
 
     # ---- residual invert per (chan, pol), all in the sorted domain ----
     ny = nx = plans[0].npixel
     pixels = jnp.zeros((nchan, npol, ny, nx), jnp.float32)
     sumwt = jnp.zeros((nchan, npol), jnp.float32)
     for c in range(nchan):
-        if do_cal:
-            # broadcast the factor over this plan's channel span, flatten
-            # in (t, b, f) order, and bring it into plan order
-            nf_c = obs_s[c][0].shape[0] // (inv.shape[0] * inv.shape[1])
-            inv_f = jnp.broadcast_to(
-                inv[:, :, None], inv.shape + (nf_c,)
-            ).reshape(-1)
-            _, ir_s, ii_s = jax.lax.sort(
-                (plans[c].gp.rank, jnp.real(inv_f), jnp.imag(inv_f)),
-                num_keys=1,
+        if any_cal:
+            # broadcast the factors over this plan's channel span, flatten
+            # in (t, b, f) order, and bring every pol's factor into plan
+            # order with ONE multi-payload sort
+            nf_c = obs_s[c][0].shape[0] // (
+                inv_tot.shape[0] * inv_tot.shape[1]
             )
-            inv_s = jax.lax.complex(ir_s, ii_s)
+            ops = []
+            for p in range(npol):
+                f_p = jnp.broadcast_to(
+                    inv_tot[:, :, None, p],
+                    inv_tot.shape[:2] + (nf_c,),
+                ).reshape(-1)
+                ops.extend([jnp.real(f_p), jnp.imag(f_p)])
+            sorted_ops = jax.lax.sort(
+                (plans[c].gp.rank, *ops), num_keys=1
+            )[1:]
+            inv_s = [
+                jax.lax.complex(sorted_ops[2 * p], sorted_ops[2 * p + 1])
+                for p in range(npol)
+            ]
         for p in range(npol):
-            corr = obs_s[c][p] * inv_s if do_cal else obs_s[c][p]
+            corr = obs_s[c][p] * inv_s[p] if any_cal else obs_s[c][p]
             resid_s = corr - model_s[c][p]
             dirty, swt = invert_with_plan(
                 plans[c], resid_s, wgt_s[c][p], values_sorted=True
@@ -393,7 +446,15 @@ def _fused_selfcal_cycle(
     model_pixels = model_pixels + comp_pixels
 
     peak = jnp.max(jnp.abs(residual))
-    return model_pixels, gain, gwt, gres, residual, sumwt, peak
+    return (
+        model_pixels,
+        tuple(new_gains),
+        tuple(gwts),
+        tuple(gress),
+        residual,
+        sumwt,
+        peak,
+    )
 
 
 def _fused_clean(residual, psf_patch, cfg: _FusedCfg):
@@ -405,6 +466,14 @@ def _fused_clean(residual, psf_patch, cfg: _FusedCfg):
     if cfg.algorithm == "hogbom":
         d2 = residual.reshape(-1, ny, nx)
         p2 = psf_patch.reshape(-1, *psf_patch.shape[-2:])
+        # lanes with an empty PSF (e.g. Q/U/V of an unpolarised PSF) get a
+        # unit delta so the vmapped loop is benign; their components are
+        # masked out (deconvolution.py:131-140 semantics)
+        ok = jnp.max(p2, axis=(-2, -1)) > 0.0
+        delta = jnp.zeros_like(p2).at[
+            :, p2.shape[-2] // 2, p2.shape[-1] // 2
+        ].set(1.0)
+        p2_safe = jnp.where(ok[:, None, None], p2, delta)
         cb, _ = jax.vmap(
             lambda d, p: hogbom(
                 d,
@@ -415,7 +484,8 @@ def _fused_clean(residual, psf_patch, cfg: _FusedCfg):
                 niter=cfg.clean_niter,
                 fracthresh=cfg.clean_frac,
             )
-        )(d2, p2)
+        )(d2, p2_safe)
+        cb = jnp.where(ok[:, None, None], cb, 0.0)
         return cb.reshape(residual.shape)
     if cfg.algorithm == "msclean":
         comp = jnp.zeros_like(residual)
@@ -440,11 +510,11 @@ def _fused_clean(residual, psf_patch, cfg: _FusedCfg):
 class _FusedSelfCal(_SortedWorkspace):
     """Device-resident workspace for :func:`_fused_selfcal_cycle`.
 
-    Restricted to the fully-fusable configuration: stokesI visibilities
-    (scalar gains), a single-term calibration context with a
-    single-channel gaintable ("T"/"G"), and windowless hogbom/msclean
-    deconvolution. ``pipeline.ical`` falls back to the composed path
-    otherwise.
+    Supports the fully-fusable configurations: diagonal Jones terms with
+    single-channel gaintables (any combination of "T"/"G"; bandpass "B"
+    excluded), npol 1/2/4 visibilities in the model's polarisation frame,
+    and windowless hogbom/msclean deconvolution. ``pipeline.ical`` falls
+    back to the composed path otherwise.
     """
 
     def __init__(
@@ -453,9 +523,8 @@ class _FusedSelfCal(_SortedWorkspace):
         model,
         plan,
         components,
-        jones_type: str,
-        timeslice,
-        phase_only: bool,
+        terms,
+        controls,
         normalise_gains,
         solver_niter: int,
         solver_tol: float,
@@ -467,17 +536,34 @@ class _FusedSelfCal(_SortedWorkspace):
         from .ops.deconvolution import bound_psf, common_arguments
         from .ops.gain_ops import _gain_row_of_time
 
-        self.gt0 = create_gaintable_from_visibility(
-            vis, jones_type=jones_type, timeslice=timeslice
-        )
-        t = vis.time[None, :]
-        lo = (self.gt0.time - self.gt0.interval / 2)[:, None]
-        hi = (self.gt0.time + self.gt0.interval / 2)[:, None]
-        self.w_t = ((t >= lo) & (t <= hi)).astype(jnp.float32)
-        row_idx, has_row = _gain_row_of_time(
-            vis.time, self.gt0.time, self.gt0.interval
-        )
-        self.row_idx, self.has_row = row_idx, has_row
+        self.gt0s, self.cal, term_cfgs = [], [], []
+        for name in terms:
+            gt0 = create_gaintable_from_visibility(
+                vis,
+                jones_type=name,
+                timeslice=controls[name]["timeslice"],
+            )
+            t = vis.time[None, :]
+            lo = (gt0.time - gt0.interval / 2)[:, None]
+            hi = (gt0.time + gt0.interval / 2)[:, None]
+            row_idx, has_row = _gain_row_of_time(
+                vis.time, gt0.time, gt0.interval
+            )
+            self.gt0s.append(gt0)
+            self.cal.append(
+                {
+                    "w_t": ((t >= lo) & (t <= hi)).astype(jnp.float32),
+                    "row_idx": row_idx,
+                    "has_row": has_row,
+                }
+            )
+            term_cfgs.append(
+                _FusedTermCfg(
+                    name=name,
+                    phase_only=controls[name]["phase_only"],
+                    first_selfcal=controls[name]["first_selfcal"],
+                )
+            )
         self.a1 = jnp.asarray(vis.antenna1, jnp.int32)
         self.a2 = jnp.asarray(vis.antenna2, jnp.int32)
         bpsf = bound_psf(psf, psf, clean_kwargs.get("psf_support", None))
@@ -496,11 +582,11 @@ class _FusedSelfCal(_SortedWorkspace):
             nchan=plan.nchan,
             npol=self.npol,
             mfs=plan.mfs,
-            phase_only=phase_only,
+            terms=tuple(term_cfgs),
             normalise_gains=normalise_gains,
             solver_niter=solver_niter,
             solver_tol=solver_tol,
-            algorithm=clean_kwargs.get("algorithm", "hogbom"),
+            algorithm=clean_kwargs.get("algorithm", "msclean"),
             clean_gain=cgain,
             clean_niter=cniter,
             clean_thresh=cthresh,
@@ -508,7 +594,7 @@ class _FusedSelfCal(_SortedWorkspace):
             scales=tuple(scales),
         )
 
-    def state(self, gwt, gres):
+    def state(self, gwts, gress):
         return {
             "plans": tuple(self.plan.plans),
             "obs_s": tuple(tuple(r) for r in self.obs_s),
@@ -520,18 +606,21 @@ class _FusedSelfCal(_SortedWorkspace):
             ),
             "ms_nat": self.ms_nat,
             "fw_nat": self.fw_nat,
-            "w_t": self.w_t,
-            "row_idx": self.row_idx,
-            "has_row": self.has_row,
+            "cal": tuple(self.cal),
             "a1": self.a1,
             "a2": self.a2,
             "psf_patch": self.psf_patch,
-            "gain_wt": gwt,
-            "gain_res": gres,
+            "gain_wt": tuple(gwts),
+            "gain_res": tuple(gress),
         }
 
-    def gaintable(self, gain, gwt, gres) -> "GainTable":
-        return self.gt0.replace(gain=gain, weight=gwt, residual=gres)
+    def gaintables(self, gains, gwts, gress) -> dict:
+        return {
+            t.name: gt0.replace(gain=g, weight=w, residual=r)
+            for t, gt0, g, w, r in zip(
+                self.cfg.terms, self.gt0s, gains, gwts, gress
+            )
+        }
 
 
 def _predict_model(vis, model, components, context, **kwargs):
@@ -578,19 +667,22 @@ def continuum_imaging(
         # calibration leg is compiled out with do_cal=False
         ws = _FusedSelfCal(
             vis, model, ikw["plan"], components,
-            "T", "auto", True, None, 1, 1e-6, psf, **kwargs,
+            ["T"], create_calibration_controls(), None, 1, 1e-6, psf,
+            **kwargs,
         )
-        st = ws.state(ws.gt0.weight, ws.gt0.residual)
+        st = ws.state(
+            (ws.gt0s[0].weight,), (ws.gt0s[0].residual,)
+        )
         model_px = jnp.zeros_like(model.pixels).astype(jnp.float32)
-        gain = ws.gt0.gain
+        gains = (ws.gt0s[0].gain,)
         res_px = None
         for cycle in range(nmajor):
             model_px, _, _, _, res_px, _, peak = _fused_selfcal_cycle(
                 st,
                 model_px,
-                gain,
+                gains,
                 cfg=ws.cfg,
-                do_cal=False,
+                do_cal=(False,),
                 with_model=cycle > 0,
             )
             log.info(
@@ -664,10 +756,16 @@ def ical(
     )
     can_fuse = (
         ikw.get("plan") is not None
-        and vis.npol == 1
-        and model.npol == 1
-        and len(calibration_context) == 1
-        and calibration_context != "B"
+        and vis.npol == model.npol
+        and (
+            vis.npol == 1
+            or vis.polarisation_frame == model.polarisation_frame
+        )
+        and "B" not in calibration_context
+        and all(
+            controls[c]["shape"] in ("scalar", "vector")
+            for c in calibration_context
+        )
         and kwargs.get("window_shape") is None
         and kwargs.get("algorithm", "msclean") in ("hogbom", "msclean")
     )
@@ -729,7 +827,7 @@ def _ical_fused(
     model,
     components,
     nmajor,
-    term: str,
+    terms: str,
     controls,
     ikw,
     psf,
@@ -741,15 +839,13 @@ def _ical_fused(
 ):
     """Fused-cycle ICAL driver: one compiled program — and one device
     dispatch — per major cycle (see :func:`_fused_selfcal_cycle`)."""
-    phase_only = controls[term]["phase_only"]
     ws = _FusedSelfCal(
         vis,
         model,
         ikw["plan"],
         components,
-        term,
-        controls[term]["timeslice"],
-        phase_only,
+        list(terms),
+        controls,
         "mean",
         solver_niter,
         tol,
@@ -758,27 +854,31 @@ def _ical_fused(
     )
     if state is not None:
         current, start = state.model, state.cycle
-        gt = state.gaintables[term]
-        gain, gwt, gres = gt.gain, gt.weight, gt.residual
+        gains = tuple(state.gaintables[t].gain for t in terms)
+        gwts = tuple(state.gaintables[t].weight for t in terms)
+        gress = tuple(state.gaintables[t].residual for t in terms)
     else:
         current, start = model.replace(
             pixels=jnp.zeros_like(model.pixels)
         ), 0
-        gain, gwt, gres = ws.gt0.gain, ws.gt0.weight, ws.gt0.residual
-    st = ws.state(gwt, gres)
+        gains = tuple(gt.gain for gt in ws.gt0s)
+        gwts = tuple(gt.weight for gt in ws.gt0s)
+        gress = tuple(gt.residual for gt in ws.gt0s)
+    st = ws.state(gwts, gress)
     model_px = current.pixels.astype(jnp.float32)
-    res_px, sumwt = None, None
+    res_px = None
     for cycle in range(start, nmajor):
-        do_cal = cycle >= controls[term]["first_selfcal"]
-        with_model = cycle > 0
-        model_px, gain, gwt, gres, res_px, sumwt, peak = (
+        do_cal = tuple(
+            cycle >= t.first_selfcal for t in ws.cfg.terms
+        )
+        model_px, gains, gwts, gress, res_px, _, peak = (
             _fused_selfcal_cycle(
                 st,
                 model_px,
-                gain,
+                gains,
                 cfg=ws.cfg,
                 do_cal=do_cal,
-                with_model=with_model,
+                with_model=cycle > 0,
             )
         )
         log.info(
@@ -789,14 +889,14 @@ def _ical_fused(
         if checkpoint_path is not None:
             SelfCalState(
                 current.replace(pixels=model_px),
-                {term: ws.gaintable(gain, gwt, gres)},
+                ws.gaintables(gains, gwts, gress),
                 cycle + 1,
             ).save(checkpoint_path)
     current = current.replace(pixels=model_px.astype(current.pixels.dtype))
     residual = (
         model.replace(pixels=res_px) if res_px is not None else None
     )
-    gaintables = {term: ws.gaintable(gain, gwt, gres)}
+    gaintables = ws.gaintables(gains, gwts, gress)
     restored = _restore_with_components(current, psf, residual, components)
     return current, residual, restored, gaintables
 

@@ -288,6 +288,100 @@ class TestPipelines:
         peak = float(jnp.max(restored.pixels))
         assert abs(peak - 2.0) < 0.2, peak
 
+    def test_ical_fused_tg_chain(self, rng):
+        """Multi-term fused chain (T then G, sequential in-graph solves)
+        matches the composed calibrate_chain loop."""
+        vis, model, comps = _pointish_obs(rng, flux=2.0)
+        gt_t = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_t = _simulate_gaintable(gt_t, rng, phase_error=0.25)
+        gt_g = create_gaintable_from_visibility(
+            vis, jones_type="G", timeslice=60.0
+        )
+        gt_g = _simulate_gaintable(
+            gt_g, rng, phase_error=0.1, amplitude_error=0.05
+        )
+        corrupted = apply_gaintable(
+            apply_gaintable(vis, gt_t), gt_g
+        )
+        kw = dict(
+            nmajor=4,
+            calibration_context="TG",
+            context="ng",
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        d0, r0, s0, g0 = ical(corrupted, model, **kw)
+        d1, r1, s1, g1 = ical(
+            corrupted, model, use_plan=True, fused=True, **kw
+        )
+        assert set(g1) == {"T", "G"}
+        r0p = float(jnp.max(jnp.abs(r0.pixels)))
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert r1p < 0.2, r1p
+        assert abs(r0p - r1p) < 0.02
+        assert abs(
+            float(jnp.max(s0.pixels)) - float(jnp.max(s1.pixels))
+        ) < 0.05
+
+    def test_ical_fused_npol4_diagonal(self, rng):
+        """npol=4 fused self-cal with diagonal Jones in the linear frame
+        (both receptors carry flux) recovers the source and matches the
+        composed loop. A stokes-frame I-only cube is NOT a valid self-cal
+        configuration: the second receptor has no data, the solved g11 is
+        ~0, and the reference's own singular-inverse apply zeroes the
+        visibilities."""
+        vis = make_visibility(
+            nants=10,
+            ntimes=3,
+            nchan=1,
+            rmax=300.0,
+            phasecentre=PC,
+            polarisation_frame="linear",
+        )
+        model = create_image_from_visibility(
+            vis, npixel=128, oversampling=4.0, nchan=1
+        )
+        ra, dec = model.pixel_to_radec(128 // 2 + 8, 128 // 2 - 5)
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]],
+            np.asarray([[[2.0, 0.0, 0.0, 0.0]]]),
+            vis.frequency,
+            polarisation_frame="stokesIQUV",
+        )
+        vis = dft_skycomponent_visibility(vis, comps)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        corrupted = apply_gaintable(vis, gt_true)
+        # seed the sky model with the components: the reference's "ng" PSF
+        # convention (ng.py:230-233) puts the beam in pol 0 only and its
+        # CLEAN skips zero-PSF pols, so a from-scratch npol-4 loop never
+        # populates the YY model and the solve is rank-deficient in the
+        # second receptor — in the reference too
+        kw = dict(
+            nmajor=3,
+            calibration_context="T",
+            context="ng",
+            components=comps,
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        d0, r0, s0, g0 = ical(corrupted, model, **kw)
+        d1, r1, s1, g1 = ical(
+            corrupted, model, use_plan=True, fused=True, **kw
+        )
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert r1p < 0.2, r1p
+        # XX/YY hands each carry I+Q = 2.0 (restored adds the components)
+        assert abs(float(jnp.max(jnp.abs(s1.pixels))) - 2.0) < 0.2
+        assert abs(
+            float(jnp.max(jnp.abs(s0.pixels)))
+            - float(jnp.max(jnp.abs(s1.pixels)))
+        ) < 0.05
+
     def test_continuum_fused_matches_composed(self, rng):
         """continuum_imaging(fused=True) — the do_cal=False instantiation
         of the fused cycle — reproduces the composed loop."""
