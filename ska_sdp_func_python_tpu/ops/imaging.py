@@ -96,7 +96,7 @@ def fill_vis_for_psf(vis: Visibility) -> Visibility:
 # --------------------------------------------------------------------------
 
 
-def _w_planes(w, nw: int, w_interp: str = "linear"):
+def _w_planes(w, nw: int, w_interp: str = "linear", w_range=None):
     """W-plane decomposition: per-vis plane index + fraction.
 
     ``w_interp="linear"`` splits each vis between its two neighbouring
@@ -104,9 +104,17 @@ def _w_planes(w, nw: int, w_interp: str = "linear"):
     assigns the closest plane only — classic WSClean-style w-stacking,
     first-order accurate but ~1.5x faster (half the sorted entries).
     Measured at 256^2/32 planes: linear ~1e-5, nearest ~2e-3 peak error.
+    ``w_range=(wmin, wmax)`` pins the plane grid externally — REQUIRED
+    when visibilities are sharded so every shard stacks onto identical
+    planes (parallel/fused.py).
     """
-    wmin = jnp.min(w)
-    wmax = jnp.max(w)
+    if w_range is not None:
+        wmin, wmax = w_range
+        wmin = jnp.asarray(wmin, w.dtype)
+        wmax = jnp.asarray(wmax, w.dtype)
+    else:
+        wmin = jnp.min(w)
+        wmax = jnp.max(w)
     wstep = jnp.maximum((wmax - wmin) / max(nw - 1, 1), 1e-30)
     t = (w - wmin) / wstep
     plane_w = wmin + wstep * jnp.arange(nw)
@@ -505,6 +513,7 @@ def make_imaging_plan(
     padding: int = 2,
     w_interp: str = "linear",
     chunk: int = 512,
+    w_range=None,
 ) -> ImagingPlan:
     """Build a reusable plan for :func:`invert_with_plan` /
     :func:`predict_with_plan` (same contract as invert_core/predict_core).
@@ -517,7 +526,7 @@ def make_imaging_plan(
     v_pix = (v * scale + npad // 2).astype(jnp.float32)
     wstack = do_wstacking and nw > 1
     if wstack:
-        p0, frac, plane_w = _w_planes(w, nw, w_interp)
+        p0, frac, plane_w = _w_planes(w, nw, w_interp, w_range=w_range)
         nplanes = nw
     else:
         p0, frac = None, None
@@ -582,29 +591,51 @@ def invert_with_plan(
     """
     from .gridding_plan import grid_with_plan
 
-    npad = plan.npad
     weighted = vals if wgt is None else vals * wgt.astype(vals.dtype)
     grids = grid_with_plan(
         plan.gp, weighted, values_sorted=values_sorted,
         interpret=interpret, precision=precision,
     )
-    wstack = plan.do_wstacking and plan.nw > 1
-    if wstack:
-        # batched per-plane IFFT, then beam-multiply + plane-sum on the
-        # central npixel^2 only (the padded outer region is discarded)
-        ctr = extract_mid(ifft(grids), plan.npixel)  # [nw, np, np]
-        dirty = jnp.sum(
-            jnp.real(ctr) * plan.wb_r - jnp.imag(ctr) * plan.wb_i, axis=0
-        )
-    else:
-        dirty = jnp.real(extract_mid(ifft(grids), plan.npixel))
-    dirty = dirty * jnp.float32(npad * npad) / plan.corr_c
+    dirty = uv_grids_to_dirty(plan, grids)
     sumwt = (
         jnp.asarray(vals.shape[0], jnp.float32)
         if wgt is None
         else jnp.sum(wgt)
     )
     return dirty, sumwt
+
+
+def uv_grids_to_dirty(plan: ImagingPlan, grids):
+    """Image-side tail of an invert: batched per-plane IFFT, w-beam
+    multiply + plane sum on the central npixel^2, grid correction.
+    Split out so sharded inverts can psum the uv grids across a mesh
+    before this replicated tail (parallel/fused.py)."""
+    npad = plan.npad
+    wstack = plan.do_wstacking and plan.nw > 1
+    if wstack:
+        # the padded outer region is discarded by extract_mid anyway
+        ctr = extract_mid(ifft(grids), plan.npixel)  # [nw, np, np]
+        dirty = jnp.sum(
+            jnp.real(ctr) * plan.wb_r - jnp.imag(ctr) * plan.wb_i, axis=0
+        )
+    else:
+        dirty = jnp.real(extract_mid(ifft(grids), plan.npixel))
+    return dirty * jnp.float32(npad * npad) / plan.corr_c
+
+
+def image_to_uv_grids(plan: ImagingPlan, image):
+    """Image-side head of a predict: grid correction, (conjugate) w-beam
+    multiply, pad + FFT to the w-stacked uv grids. Split out so sharded
+    predicts can broadcast the grids to every shard (parallel/fused.py)."""
+    npad = plan.npad
+    z = (image / plan.corr_c).astype(
+        jnp.result_type(image.dtype, jnp.complex64)
+    )
+    wstack = plan.do_wstacking and plan.nw > 1
+    if wstack:
+        zc = z[None] * jax.lax.complex(plan.wb_r, -plan.wb_i).astype(z.dtype)
+        return fft(pad_mid(zc, npad))  # batched over planes
+    return fft(pad_mid(z, npad))[None]
 
 
 @partial(
@@ -626,18 +657,9 @@ def predict_with_plan(
     """
     from .gridding_plan import degrid_with_plan
 
-    npad = plan.npad
     # the image is zero outside the central npixel^2, so the correction and
     # the (conjugate) w-beam multiplies only happen there, pre-padding
-    z = (image / plan.corr_c).astype(
-        jnp.result_type(image.dtype, jnp.complex64)
-    )
-    wstack = plan.do_wstacking and plan.nw > 1
-    if wstack:
-        zc = z[None] * jax.lax.complex(plan.wb_r, -plan.wb_i).astype(z.dtype)
-        grids = fft(pad_mid(zc, npad))  # batched over planes
-    else:
-        grids = fft(pad_mid(z, npad))[None]
+    grids = image_to_uv_grids(plan, image)
     return degrid_with_plan(
         plan.gp, grids, to_sorted=to_sorted, interpret=interpret,
         precision=precision,
@@ -705,6 +727,7 @@ def make_visibility_plan(
                 support=support,
                 nw=nwp,
                 do_wstacking=do_wstacking,
+                w_range=kwargs.get("w_range"),
             )
         )
     return VisibilityImagingPlan(

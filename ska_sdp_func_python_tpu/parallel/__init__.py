@@ -11,6 +11,7 @@ from .distributed import (
     distributed_solve_gaintable,
 )
 from .selfcal import distributed_ical
+from .fused import sharded_ical
 
 __all__ = [
     "make_mesh",
@@ -22,4 +23,5 @@ __all__ = [
     "distributed_predict",
     "distributed_solve_gaintable",
     "distributed_ical",
+    "sharded_ical",
 ]

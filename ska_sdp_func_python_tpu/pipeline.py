@@ -241,7 +241,9 @@ _POL_RECS = {
 }
 
 
-@partial(jax.jit, static_argnames=("cfg", "do_cal", "with_model"))
+@partial(
+    jax.jit, static_argnames=("cfg", "do_cal", "with_model", "psum_axis")
+)
 def _fused_selfcal_cycle(
     state: dict,
     model_pixels,
@@ -250,6 +252,7 @@ def _fused_selfcal_cycle(
     cfg: _FusedCfg,
     do_cal: tuple,
     with_model: bool,
+    psum_axis: str | None = None,
 ):
     """ONE dispatch per self-cal major cycle.
 
@@ -338,6 +341,11 @@ def _fused_selfcal_cycle(
             xwt = jnp.zeros((nsol, nants, nants, 1, npol), dtype=wb.dtype)
             x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
             xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
+            if psum_axis is not None:
+                # baseline-sharded: assemble the full normal equations
+                # across the mesh (SURVEY.md 2c / BASELINE north star)
+                x = jax.lax.psum(x, psum_axis)
+                xwt = jax.lax.psum(xwt, psum_axis)
             has_data = jnp.sum(jnp.abs(xwt), axis=(1, 2, 3, 4)) > 0.0
 
             gain_new, gwt, gres = solve_gains_core(
@@ -432,9 +440,25 @@ def _fused_selfcal_cycle(
         for p in range(npol):
             corr = obs_s[c][p] * inv_s[p] if any_cal else obs_s[c][p]
             resid_s = corr - model_s[c][p]
-            dirty, swt = invert_with_plan(
-                plans[c], resid_s, wgt_s[c][p], values_sorted=True
-            )
+            if psum_axis is None:
+                dirty, swt = invert_with_plan(
+                    plans[c], resid_s, wgt_s[c][p], values_sorted=True
+                )
+            else:
+                # grid the local shard, psum the uv grids over the mesh,
+                # then run the (replicated) image-side tail
+                from .ops.gridding_plan import grid_with_plan
+                from .ops.imaging import uv_grids_to_dirty
+
+                weighted = resid_s * wgt_s[c][p].astype(resid_s.dtype)
+                grids = grid_with_plan(
+                    plans[c].gp, weighted, values_sorted=True
+                )
+                grids = jax.lax.psum(grids, psum_axis)
+                dirty = uv_grids_to_dirty(plans[c], grids)
+                swt = jax.lax.psum(
+                    jnp.sum(wgt_s[c][p]), psum_axis
+                )
             pixels = pixels.at[c, p].set(dirty.astype(jnp.float32))
             sumwt = sumwt.at[c, p].set(swt)
     okw = sumwt > 0.0

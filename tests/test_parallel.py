@@ -123,3 +123,42 @@ class TestDistributedSelfcal:
         assert float(jnp.max(jnp.abs(residual.pixels))) < 0.2
         peak = float(jnp.max(restored.pixels))
         assert abs(peak - flux_truth) < 0.15, peak
+
+    def test_sharded_fused_ical_matches_single_device(self, rng, mesh):
+        """Baseline-sharded fused cycle (psum normal equations + psum uv
+        grids, per-shard plans) vs the single-device fused ical."""
+        from ska_sdp_func_python_tpu.parallel import sharded_ical
+        from ska_sdp_func_python_tpu.pipeline import ical
+
+        vis, model = _obs(rng)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        corrupted = apply_gaintable(vis, gt_true)
+        kw = dict(
+            nmajor=3,
+            calibration_context="T",
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        c1, r1, s1, g1 = sharded_ical(
+            corrupted, model, mesh, context="ng", **kw
+        )
+        c0, r0, s0, g0 = ical(
+            corrupted, model, context="ng", use_plan=True, fused=True,
+            **kw,
+        )
+        # same sky, same gains: sharding changes only summation order
+        ga = np.asarray(g0["T"].gain)[..., 0, 0]
+        gb = np.asarray(g1["T"].gain)[..., 0, 0]
+        pa = ga * np.exp(-1j * np.angle(ga[:, :1]))
+        pb = gb * np.exp(-1j * np.angle(gb[:, :1]))
+        assert np.max(np.abs(pa - pb)) < 1e-4
+        r0p = float(jnp.max(jnp.abs(r0.pixels)))
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert r1p < 0.2, r1p
+        assert abs(r0p - r1p) < 1e-2
+        assert abs(
+            float(jnp.max(s0.pixels)) - float(jnp.max(s1.pixels))
+        ) < 0.05
