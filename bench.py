@@ -73,6 +73,9 @@ def main():
             support=support,
             nw=nw,
             do_wstacking=True,
+            # production default (make_visibility_plan): fractional
+            # oversampling with sigma-scaled ES beta, aliasing ~1e-6
+            padding=1.25,
         )
         # block on a real readback (block_until_ready is unreliable on the
         # axon tunnel)

@@ -41,24 +41,28 @@ __all__ = [
 ]
 
 
-def _es_beta(support: int) -> float:
-    """Exponential-of-semicircle shape parameter (Barnett et al. 2019) for
-    2x padding: beta = 2.3 * support (FINUFFT rule for sigma=2), giving
-    ~1e-7 max NUFFT error at support 8 (measured)."""
-    return 2.3 * support
+def _es_beta(support: int, sigma: float = 2.0) -> float:
+    """Exponential-of-semicircle shape parameter (Barnett et al. 2019):
+    the FINUFFT rule beta = 2.3 * support at sigma = 2 (~1e-7 max NUFFT
+    error at support 8, measured), scaled by the oversampling factor as
+    beta ~ pi S (1 - 1/(2 sigma)) gamma for fractional padding — lower
+    sigma needs a narrower image-domain kernel to keep the aliasing lobes
+    outside the unpadded field."""
+    return 2.3 * support * (1.0 - 1.0 / (2.0 * sigma)) / 0.75
 
 
-def es_kernel(nu, support: int):
+def es_kernel(nu, support: int, beta: float | None = None):
     """Exponential-of-semicircle kernel exp(beta (sqrt(1-nu^2) - 1)) on
     nu in [-1, 1] — the same family the reference's default gridder
     (ducc0, imaging/ng.py:22) uses internally."""
-    beta = _es_beta(support)
+    if beta is None:
+        beta = _es_beta(support)
     nu2 = jnp.clip(nu * nu, 0.0, 1.0)
     k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
     return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
 
 
-def pswf_kernel_weights(pix: jax.Array, support: int):
+def pswf_kernel_weights(pix: jax.Array, support: int, beta=None):
     """Separable 1-D kernel samples for fractional grid positions.
 
     :param pix: [N] fractional grid coordinates (pixels)
@@ -78,10 +82,10 @@ def pswf_kernel_weights(pix: jax.Array, support: int):
     offsets = (
         i0[:, None] + jnp.arange(support)[None, :]
     ).astype(pix.dtype) - pix[:, None]
-    return i0, es_kernel(offsets / half, support)
+    return i0, es_kernel(offsets / half, support, beta)
 
 
-def _es_correction_1d(npixel: int, support: int, dtype):
+def _es_correction_1d(npixel: int, support: int, dtype, beta=None):
     """Periodised continuous FT of the ES kernel on the image grid.
 
     C~(x) = a * int_{-1}^{1} phi(t) cos(2 pi x a t) dt  (a = support/2),
@@ -93,7 +97,7 @@ def _es_correction_1d(npixel: int, support: int, dtype):
     q, wq = _np.polynomial.legendre.leggauss(8 * support)
     q = jnp.asarray(q, dtype=dtype)
     wq = jnp.asarray(wq, dtype=dtype)
-    phi = es_kernel(q, support)
+    phi = es_kernel(q, support, beta)
     x = (jnp.arange(npixel, dtype=dtype) - npixel // 2) / npixel
 
     def ctilde(xx):
@@ -107,14 +111,14 @@ def _es_correction_1d(npixel: int, support: int, dtype):
     return c
 
 
-def grid_correction(npixel: int, support: int, dtype=jnp.float64):
+def grid_correction(npixel: int, support: int, dtype=jnp.float64, beta=None):
     """Image-plane taper correction [ny, nx]: divide the FFT image by this.
 
     Periodised continuous-FT of the gridding kernel (see
     :func:`pswf_kernel_weights`); replaces the reference's analytic
     ``1/grdsf`` correction (fft_coordinates.py:94-97).
     """
-    c = _es_correction_1d(npixel, support, dtype)
+    c = _es_correction_1d(npixel, support, dtype, beta)
     c = jnp.where(jnp.abs(c) > 1e-30, c, 1.0)
     return jnp.outer(c, c)
 

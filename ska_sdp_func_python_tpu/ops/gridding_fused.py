@@ -114,12 +114,13 @@ def payload_nrows(support: int, tile: int) -> int:
     return 24 if use_tap_payload(support, tile) else 8
 
 
-def _es_taps8(pix, i0, support: int):
+def _es_taps8(pix, i0, support: int, beta: float | None = None):
     """The ``support`` separable ES-kernel taps of each coordinate,
     padded to 8 rows: taps[k, c] = es(i0_c + k - pix_c), the value the
     in-kernel dense evaluation produces at buffer row i0_c + k."""
     half = support / 2.0
-    beta = 2.3 * support
+    if beta is None:
+        beta = 2.3 * support
     k = jnp.arange(support, dtype=jnp.float32)[:, None]
     offs = i0.astype(jnp.float32)[None, :] + k - pix[None, :]
     nu = offs / half
@@ -169,7 +170,8 @@ def _pad_stream(n: int, chunk: int) -> int:
     return (-n) % (4 * chunk) + 4 * chunk
 
 
-def _payload_stack(u_s, v_s, f_s, r3, r4, *, npixel, support, tile):
+def _payload_stack(u_s, v_s, f_s, r3, r4, *, npixel, support, tile,
+                   beta: float | None = None):
     """Stack the sorted per-entry stream into the kernel payload.
 
     Standard (support-8) configs get the 24-row tap payload:
@@ -188,8 +190,8 @@ def _payload_stack(u_s, v_s, f_s, r3, r4, *, npixel, support, tile):
     iv0c = jnp.clip(iv0, 0, npixel - support)
     rel_u = (iu0c % tile).astype(jnp.float32)
     rel_v = (iv0c % tile).astype(jnp.float32)
-    rot_ku = _rot8(_es_taps8(u_s, iu0c, support), iu0c)
-    rot_kv = _rot8(_es_taps8(v_s, iv0c, support), iv0c)
+    rot_ku = _rot8(_es_taps8(u_s, iu0c, support, beta), iu0c)
+    rot_kv = _rot8(_es_taps8(v_s, iv0c, support, beta), iv0c)
     head = jnp.stack([rel_u, rel_v, f_s, r3, r4, z, z, z])
     return jnp.concatenate([head, rot_ku, rot_kv])
 
@@ -213,6 +215,7 @@ def _grid_slot_kernel(
     nplanes_out: int,
     precision=None,
     use_taps: bool = False,
+    beta: float | None = None,
 ):
     """One program per chunk-aligned slot of the sorted entry stream.
 
@@ -268,13 +271,13 @@ def _grid_slot_kernel(
         t = seg % ntiles
         tv0 = jnp.float32(0) + (t // ntile_axis * tile)
         tu0 = jnp.float32(0) + (t % ntile_axis * tile)
-        beta = 2.3 * support
+        b = 2.3 * support if beta is None else beta
         half = support / 2.0
 
         def es(offs):
             nu = offs / half
             nu2 = jnp.clip(nu * nu, 0.0, 1.0)
-            k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
+            k = jnp.exp(b * (jnp.sqrt(1.0 - nu2) - 1.0))
             return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
 
         kv = es(tv0 + r - data[1][None, :])  # [buf, chunk]
@@ -338,6 +341,7 @@ def _grid_slots(starts, counts, *, nslots, ncols, nseg, chunk):
         "chunk",
         "interpret",
         "matmul_precision",
+        "beta",
     ),
 )
 def fused_grid_wstack(
@@ -354,6 +358,7 @@ def fused_grid_wstack(
     chunk: int = 512,
     interpret: bool | None = None,
     matmul_precision: str | None = "config",
+    beta: float | None = None,
 ):
     """Grid (optionally w-stacked) visibilities with the fused Pallas path.
 
@@ -438,7 +443,7 @@ def fused_grid_wstack(
     z = jnp.zeros_like(u_s)
     payload = _payload_stack(
         u_s, v_s, f_s, z, z,
-        npixel=npixel, support=support, tile=ts,
+        npixel=npixel, support=support, tile=ts, beta=beta,
     )
 
     from .gridding_tiled import sorted_seg_bounds
@@ -467,6 +472,7 @@ def fused_grid_wstack(
         chunk=chunk,
         interpret=interpret,
         precision=_cfg_precision(matmul_precision),
+        beta=beta,
     )
     if squeeze:
         return grids[0]
@@ -492,6 +498,7 @@ def _grid_execute(
     chunk: int,
     interpret: bool,
     precision=None,
+    beta: float | None = None,
 ):
     """Pallas slot kernel + plane combine + overlap-add assemble over a
     prepared (sorted) payload stream and its [2, Npad] (vr, vi) value
@@ -537,6 +544,7 @@ def _grid_execute(
         nplanes_out=nplanes_out,
         precision=precision,
         use_taps=nrows == 24,
+        beta=beta,
     )
     out = pl.pallas_call(
         kernel,
@@ -798,6 +806,7 @@ def _degrid_kernel(
     wstacked: bool,
     precision=None,
     use_taps: bool = False,
+    beta: float | None = None,
 ):
     """One program per chunk-aligned slot of the sorted entry stream.
 
@@ -821,7 +830,8 @@ def _degrid_kernel(
     tv0 = jnp.float32(0) + (t // ntile_axis * tile)
     tu0 = jnp.float32(0) + (t % ntile_axis * tile)
 
-    beta = 2.3 * support
+    if beta is None:
+        beta = 2.3 * support
     half = support / 2.0
     r = jax.lax.broadcasted_iota(jnp.int32, (buf, chunk), 0).astype(
         jnp.float32
@@ -894,6 +904,7 @@ def _degrid_kernel(
         "chunk",
         "interpret",
         "matmul_precision",
+        "beta",
     ),
 )
 def fused_degrid_wstack(
@@ -909,6 +920,7 @@ def fused_degrid_wstack(
     chunk: int = 512,
     interpret: bool | None = None,
     matmul_precision: str | None = "config",
+    beta: float | None = None,
 ):
     """Degrid visibilities from (optionally w-stacked) grids: the adjoint of
     :func:`fused_grid_wstack`, same contract as tiled_degrid.
@@ -981,7 +993,8 @@ def fused_degrid_wstack(
     ib_s = jnp.concatenate([ib_s, pz])
     z = jnp.zeros_like(u_s)
     payload = _payload_stack(
-        u_s, v_s, f_s, ib_s, z, npixel=npixel, support=support, tile=ts
+        u_s, v_s, f_s, ib_s, z, npixel=npixel, support=support, tile=ts,
+        beta=beta,
     )
 
     # segment bounds INCLUDING the trash segment (out-of-grid entries must
@@ -1014,6 +1027,7 @@ def fused_degrid_wstack(
         chunk=chunk,
         interpret=interpret,
         precision=_cfg_precision(matmul_precision),
+        beta=beta,
     )
     return jax.lax.complex(vr_o, vi_o)
 
@@ -1074,6 +1088,7 @@ def _degrid_execute(
     interpret: bool,
     key_row: int | None = 3,
     precision=None,
+    beta: float | None = None,
 ):
     """Pallas degrid kernel over prepared slot maps. Shared by
     :func:`fused_degrid_wstack` and the plan path (gridding_plan.py).
@@ -1140,6 +1155,7 @@ def _degrid_execute(
         wstacked=wstacked,
         precision=precision,
         use_taps=nrows == 24,
+        beta=beta,
     )
     out_r, out_i = pl.pallas_call(
         kernel,

@@ -71,6 +71,7 @@ __all__ = [
         "wstacked",
         "nearest",
         "nslots",
+        "beta",
     ],
 )
 @dataclass(frozen=True)
@@ -107,6 +108,8 @@ class GridPlan:
     wstacked: bool
     nearest: bool
     nslots: int
+    # ES kernel shape parameter; None = the sigma-2 default (2.3 S)
+    beta: float | None = None
 
     @property
     def nseg(self) -> int:
@@ -120,7 +123,9 @@ class GridPlan:
 
 @partial(
     jax.jit,
-    static_argnames=("npixel", "support", "nplanes", "tile", "chunk"),
+    static_argnames=(
+        "npixel", "support", "nplanes", "tile", "chunk", "beta"
+    ),
 )
 def make_grid_plan(
     u_pix,
@@ -133,6 +138,7 @@ def make_grid_plan(
     nplanes: int = 1,
     tile: int = 64,
     chunk: int = 512,
+    beta: float | None = None,
 ) -> GridPlan:
     """Build a reusable plan from fractional grid coordinates.
 
@@ -205,7 +211,8 @@ def make_grid_plan(
         jnp.arange(n + npad, dtype=jnp.int32), jnp.float32
     )
     geo = _payload_stack(
-        u_s, v_s, f_s, ib_s, ib2, npixel=npixel, support=support, tile=tile
+        u_s, v_s, f_s, ib_s, ib2, npixel=npixel, support=support,
+        tile=tile, beta=beta,
     )  # [8 or 24, Npad]
 
     starts, counts = sorted_seg_bounds(seg_s, nseg)
@@ -249,6 +256,7 @@ def make_grid_plan(
         wstacked=wstacked,
         nearest=nearest,
         nslots=nslots,
+        beta=beta,
     )
 
 
@@ -352,6 +360,7 @@ def grid_with_plan(
         chunk=plan.chunk,
         interpret=interpret,
         precision=_resolve_precision(precision),
+        beta=plan.beta,
     )
     if plan.nplanes == 1 and not (plan.wstacked or plan.nearest):
         return grids[0]
@@ -404,5 +413,6 @@ def degrid_with_plan(
         interpret=interpret,
         key_row=None if to_sorted else 3,
         precision=_resolve_precision(precision),
+        beta=plan.beta,
     )
     return jax.lax.complex(vr, vi)

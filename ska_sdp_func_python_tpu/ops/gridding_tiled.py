@@ -48,7 +48,7 @@ def sorted_seg_bounds(seg_s, nbins: int):
     return edges[:-1], edges[1:] - edges[:-1]
 
 
-def _dense_kernel(tile0, pix, length: int, support: int):
+def _dense_kernel(tile0, pix, length: int, support: int, beta=None):
     """Kernel values over ``length`` consecutive cells starting at tile0.
 
     k[u, c, r] = es((tile0_u + r - pix_uc) / (support/2)); zero outside
@@ -57,7 +57,7 @@ def _dense_kernel(tile0, pix, length: int, support: int):
     half = support // 2
     r = jnp.arange(length, dtype=pix.dtype)
     offs = tile0[:, None, None] + r[None, None, :] - pix[:, :, None]
-    return es_kernel(offs / half, support)
+    return es_kernel(offs / half, support, beta)
 
 
 @partial(
@@ -68,6 +68,7 @@ def _dense_kernel(tile0, pix, length: int, support: int):
         "nplanes",
         "tile",
         "unit",
+        "beta",
     ),
 )
 def tiled_grid(
@@ -82,6 +83,7 @@ def tiled_grid(
     nplanes: int = 1,
     tile: int = 56,
     unit: int = 1024,
+    beta: float | None = None,
 ):
     """Grid (optionally w-stacked) visibilities onto [nplanes, npixel,
     npixel] without scatter.
@@ -211,11 +213,13 @@ def tiled_grid(
             (tv0_u[:, None, None] + r_cells[None, :, None] - vv[:, None, :])
             / half_f,
             support,
+            beta,
         )
         ku = es_kernel(
             (tu0_u[:, None, None] + r_cells[None, :, None] - uu[:, None, :])
             / half_f,
             support,
+            beta,
         )
         tr = jnp.einsum(
             "urc,uxc->urx",
@@ -322,7 +326,7 @@ def _extract_tiles(grid, ts: int, support: int):
 
 @partial(
     jax.jit,
-    static_argnames=("support", "nplanes", "tile", "unit"),
+    static_argnames=("support", "nplanes", "tile", "unit", "beta"),
 )
 def tiled_degrid(
     u_pix,
@@ -335,6 +339,7 @@ def tiled_degrid(
     nplanes: int = 1,
     tile: int = 56,
     unit: int = 1024,
+    beta: float | None = None,
 ):
     """Degrid visibilities from (optionally w-stacked) grids without random
     per-cell gathers: the adjoint of :func:`tiled_grid`.
@@ -464,11 +469,13 @@ def tiled_degrid(
             (tv0_u[:, None, None] + r_cells[None, :, None] - vv[:, None, :])
             / half_f,
             support,
+            beta,
         )  # [UB, buf, C]
         ku = es_kernel(
             (tu0_u[:, None, None] + r_cells[None, :, None] - uu[:, None, :])
             / half_f,
             support,
+            beta,
         )
         # vals[c] = sum_{r,x} kv[r,c] T[r,x] ku[x,c]
         tr1 = jnp.einsum(

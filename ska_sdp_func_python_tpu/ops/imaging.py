@@ -28,6 +28,7 @@ from ..models.polarisation import convert_pol_frame
 from ..models.visibility import Visibility, C_M_S
 from .fft import extract_mid, fft, ifft, pad_mid
 from .gridding import (
+    _es_beta,
     convolutional_degrid,
     convolutional_grid,
     grid_correction,
@@ -128,6 +129,16 @@ def _w_planes(w, nw: int, w_interp: str = "linear", w_range=None):
     return p0, frac, plane_w
 
 
+
+def _npad_for(npixel: int, padding) -> int:
+    """Padded uv-grid size: ``padding`` (ducc0-style oversampling factor,
+    may be fractional) times npixel, rounded up to a multiple of 128 so
+    the 64-pixel gridder tiles divide it and the FFT sizes stay friendly
+    (2^k * {1,3,5} for the interesting npixel values)."""
+    up = lambda n: -(-int(n) // 128) * 128  # noqa: E731
+    return max(up(npixel * padding), up(npixel + 1))
+
+
 def _tile_for(npad: int) -> int:
     """Largest supported tile size dividing the padded grid."""
     for ts in (64, 56, 48, 32, 16, 8):
@@ -175,7 +186,8 @@ def invert_core(
     :param wgt: [N] imaging weights (flag-multiplied)
     :return: (dirty [npixel, npixel] real, sumwt scalar)
     """
-    npad = padding * npixel
+    npad = _npad_for(npixel, padding)
+    beta = _es_beta(support, npad / npixel)
     scale = npad * cellsize
     u_pix = -u * scale + npad // 2
     v_pix = v * scale + npad // 2
@@ -204,6 +216,7 @@ def invert_core(
                 npixel=npad,
                 support=support,
                 tile=ts,
+                beta=beta,
             )
             dirty = (npad * npad) * ifft(grid)
         else:
@@ -220,6 +233,7 @@ def invert_core(
                 support=support,
                 nplanes=nw,
                 tile=ts,
+                beta=beta,
                 **grid_kw,
             )
             fov = npad * cellsize
@@ -232,7 +246,7 @@ def invert_core(
 
             dirty0 = jnp.zeros_like(grids[0])
             dirty, _ = jax.lax.scan(accum, dirty0, (grids, plane_w))
-        corr = grid_correction(npad, support, dtype=u.dtype)
+        corr = grid_correction(npad, support, dtype=u.dtype, beta=beta)
         dirty = jnp.real(dirty) / corr
         dirty = extract_mid(dirty, npixel)
         return dirty, jnp.sum(wgt)
@@ -249,8 +263,8 @@ def invert_core(
         # index; each vis feeds its two adjacent w-planes (linear w-kernel)
         from .gridding import pswf_kernel_weights
 
-        iu0, ku = pswf_kernel_weights(u_pix, support)
-        iv0, kv = pswf_kernel_weights(v_pix, support)
+        iu0, ku = pswf_kernel_weights(u_pix, support, beta)
+        iv0, kv = pswf_kernel_weights(v_pix, support, beta)
         in_grid = (
             (iu0 >= 0)
             & (iu0 + support <= npad)
@@ -288,7 +302,7 @@ def invert_core(
         dirty0 = jnp.zeros_like(grids[0])
         dirty, _ = jax.lax.scan(accum, dirty0, (grids, plane_w))
 
-    corr = grid_correction(npad, support, dtype=u.dtype)
+    corr = grid_correction(npad, support, dtype=u.dtype, beta=beta)
     dirty = jnp.real(dirty) / corr
     dirty = extract_mid(dirty, npixel)
     sumwt = jnp.sum(wgt)
@@ -326,11 +340,12 @@ def predict_core(
     :return: [N] complex visibilities
     """
     npixel = image.shape[-1]
-    npad = padding * npixel
+    npad = _npad_for(npixel, padding)
+    beta = _es_beta(support, npad / npixel)
     scale = npad * cellsize
     u_pix = -u * scale + npad // 2
     v_pix = v * scale + npad // 2
-    corr = grid_correction(npad, support, dtype=u.dtype)
+    corr = grid_correction(npad, support, dtype=u.dtype, beta=beta)
     img_pad = pad_mid(image, npad)
     img_c = (img_pad / corr).astype(
         jnp.result_type(image.dtype, jnp.complex64)
@@ -354,7 +369,7 @@ def predict_core(
         if not do_wstacking or nw <= 1:
             grid = fft(img_c)
             return _degrid_fn(
-                u_pix, v_pix, grid, support=support, tile=ts
+                u_pix, v_pix, grid, support=support, tile=ts, beta=beta
             )
         p0, frac, plane_w = _w_planes(w, nw, w_interp)
         fov = npad * cellsize
@@ -373,6 +388,7 @@ def predict_core(
             support=support,
             nplanes=nw,
             tile=ts,
+            beta=beta,
             **degrid_kw,
         )
 
@@ -520,7 +536,8 @@ def make_imaging_plan(
     """
     from .gridding_plan import make_grid_plan
 
-    npad = padding * npixel
+    npad = _npad_for(npixel, padding)
+    beta = _es_beta(support, npad / npixel)
     scale = npad * cellsize
     u_pix = (-u * scale + npad // 2).astype(jnp.float32)
     v_pix = (v * scale + npad // 2).astype(jnp.float32)
@@ -542,6 +559,7 @@ def make_imaging_plan(
         nplanes=nplanes,
         tile=_tile_for(npad),
         chunk=chunk,
+        beta=beta,
     )
     if wstack:
         fov = npad * cellsize
@@ -553,7 +571,8 @@ def make_imaging_plan(
     else:
         wb_r = wb_i = None
     corr_c = extract_mid(
-        grid_correction(npad, support, dtype=jnp.float32), npixel
+        grid_correction(npad, support, dtype=jnp.float32, beta=beta),
+        npixel,
     )
     return ImagingPlan(
         gp=gp,
@@ -728,6 +747,12 @@ def make_visibility_plan(
                 nw=nwp,
                 do_wstacking=do_wstacking,
                 w_range=kwargs.get("w_range"),
+                # fractional ducc0-style oversampling: with the ES beta
+                # scaled to sigma (gridding._es_beta), 1.25 keeps the
+                # aliasing floor ~1e-6 (vs 1e-7 at 2.0) and makes the
+                # FFT/w-stack tail (1280^2 vs 2048^2 at the BASELINE
+                # config) 1.65x faster end to end
+                padding=kwargs.get("padding", 1.25),
             )
         )
     return VisibilityImagingPlan(
