@@ -252,10 +252,14 @@ def bench_ical():
     """Fused end-to-end self-cal major cycle (see bench_ical.py)."""
     import subprocess
 
-    for extra in ([], ["--rmax", "40000", "--ntimes", "76",
-                       "--npixel", "1024"]):
+    for script, extra in (
+        ("bench_ical.py", []),
+        ("bench_ical.py", ["--rmax", "40000", "--ntimes", "76",
+                           "--npixel", "1024"]),
+        ("bench_msmfs_pipeline.py", []),
+    ):
         out = subprocess.run(
-            [sys.executable, "bench_ical.py", *extra],
+            [sys.executable, script, *extra],
             capture_output=True, text=True, timeout=900,
         )
         for line in out.stdout.splitlines():

@@ -291,7 +291,12 @@ def _mmclean_cube(dirty, psf, sensitivity, window, **kwargs):
         comp_t = comp_t.at[:, pol].set(c)
         res_t = res_t.at[:, pol].set(r)
 
-    comp_taylor = dirty_taylor.replace(pixels=comp_t * psf_peak)
+    # the reference back-transforms the psf_peak-NORMALISED moment comps
+    # directly (deconvolution.py:735-737 divides dirty/psf by psf_peak and
+    # never multiplies back): with channel psfs of unit peak, psf_peak ~
+    # nchan and the normalised moment-0 quantities are already in
+    # per-channel flux units
+    comp_taylor = dirty_taylor.replace(pixels=comp_t)
     res_taylor = dirty_taylor.replace(pixels=res_t)
     comp = calculate_image_from_frequency_taylor_terms(dirty, comp_taylor)
     residual = calculate_image_from_frequency_taylor_terms(dirty, res_taylor)

@@ -47,6 +47,7 @@ from ..ops.imaging import make_visibility_plan, uv_grids_to_dirty
 from ..pipeline import (
     _FusedSelfCal,
     _fused_selfcal_cycle,
+    _fused_selfcal_cycle_cube,
     _restore_with_components,
 )
 
@@ -189,33 +190,48 @@ def sharded_ical(
         from ..ops.gridding_plan import grid_with_plan
 
         state = jax.tree_util.tree_map(lambda x: x[0], state_stacked)
+        npol = cfg.npol
+
+        def psf_cp(pl, wgt, p):
+            # unit vis in the parallel hands (fill_vis_for_psf)
+            unit = (
+                wgt * 0.0 + 1.0
+                if (npol == 1 or p in (0, npol - 1))
+                else wgt * 0.0
+            )
+            grids = grid_with_plan(
+                pl.gp,
+                jax.lax.complex(unit * wgt, unit * 0.0),
+                values_sorted=True,
+            )
+            grids = jax.lax.psum(grids, axis)
+            dirty = uv_grids_to_dirty(pl, grids)
+            swt = jax.lax.psum(jnp.sum(wgt), axis)
+            ok = swt > 0.0
+            return jnp.where(
+                ok, dirty / jnp.where(ok, swt, 1.0), 0.0
+            ).astype(jnp.float32)
+
+        if cfg.nchan > 1:
+            plans = state["plans"]  # channel-stacked
+            wgt_sa = state["wgt_s"]  # [nchan, npol, n]
+            return jnp.stack(
+                [
+                    jax.vmap(
+                        lambda pl, wr: psf_cp(pl, wr[p], p)
+                    )(plans, wgt_sa)
+                    for p in range(npol)
+                ],
+                axis=1,
+            )
         plans = state["plans"]
         nchan = len(plans)
-        npol = cfg.npol
         ny = nx = plans[0].npixel
         pixels = jnp.zeros((nchan, npol, ny, nx), jnp.float32)
         for c in range(nchan):
             for p in range(npol):
-                wgt = state["wgt_s"][c][p]
-                # unit vis in the parallel hands (fill_vis_for_psf)
-                unit = (
-                    wgt * 0.0 + 1.0
-                    if (npol == 1 or p in (0, npol - 1))
-                    else wgt * 0.0
-                )
-                grids = grid_with_plan(
-                    plans[c].gp,
-                    jax.lax.complex(unit * wgt, unit * 0.0),
-                    values_sorted=True,
-                )
-                grids = jax.lax.psum(grids, axis)
-                dirty = uv_grids_to_dirty(plans[c], grids)
-                swt = jax.lax.psum(jnp.sum(wgt), axis)
-                ok = swt > 0.0
                 pixels = pixels.at[c, p].set(
-                    jnp.where(
-                        ok, dirty / jnp.where(ok, swt, 1.0), 0.0
-                    ).astype(jnp.float32)
+                    psf_cp(plans[c], state["wgt_s"][c][p], p)
                 )
         return pixels
     psf_pixels = _psf_shard(stacked)
@@ -241,7 +257,12 @@ def sharded_ical(
         )
         def body(ss, m, g):
             state = jax.tree_util.tree_map(lambda x: x[0], ss)
-            return _fused_selfcal_cycle(
+            fn = (
+                _fused_selfcal_cycle_cube
+                if cfg.nchan > 1
+                else _fused_selfcal_cycle
+            )
+            return fn(
                 state,
                 m,
                 g,

@@ -230,6 +230,8 @@ class _FusedCfg(typing.NamedTuple):
     clean_thresh: float
     clean_frac: float
     scales: tuple
+    nmoment: int = 3
+    findpeak: str = "RASCIL"
 
 
 # receptor-pair map per polarisation column for diagonal Jones application:
@@ -239,6 +241,119 @@ _POL_RECS = {
     2: ((0, 0), (1, 1)),
     4: ((0, 0), (0, 1), (1, 0), (1, 1)),
 }
+
+
+def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
+    """Sequential Jones-term solves + inverse-apply factor accumulation.
+
+    For each active term: product-form normal equations
+    ``x*w = V conj(V_model) w``, ``xwt = |V_model|^2 w`` (identical to
+    divide_visibility + accumulate without the quotient,
+    visibility/operations.py:145-189, calibration/solvers.py:99-114) from
+    the running corrected visibilities, one einsum over the
+    interval-membership matrix + static baseline scatter (psum'd across a
+    sharded mesh), the batched StefCal solve, then the per-(time,
+    baseline, pol) inverse factors of the diagonal Jones:
+    V'_p = V_p / (g1[r1,r1] conj(g2[r2,r2])).
+
+    Returns (gains, gain weights, residuals, total inverse factor
+    [ntime, nbl, npol] or None).
+    """
+    from .config import czeros
+    from .ops.solvers import solve_gains_core
+
+    npol = cfg.npol
+    a1, a2 = state["a1"], state["a2"]
+    fw = state["fw_nat"]
+    corrected = state["ms_nat"]
+    recs = _POL_RECS[npol]
+    new_gains = list(gains)
+    gwts = list(state["gain_wt"])
+    gress = list(state["gain_res"])
+    inv_tot = None  # [ntime, nbl, npol] total inverse-apply factor
+
+    for it, term in enumerate(cfg.terms):
+        if not do_cal[it]:
+            continue
+        cal = state["cal"][it]
+        xe = corrected * jnp.conj(mvis) * fw.astype(corrected.dtype)
+        we = (jnp.real(mvis) ** 2 + jnp.imag(mvis) ** 2) * fw
+        w_t = cal["w_t"]
+        xb = jnp.einsum("st,tbfp->sbp", w_t.astype(xe.dtype), xe)[
+            :, :, None, :
+        ]
+        wb = jnp.einsum("st,tbfp->sbp", w_t, we)[:, :, None, :]
+        nsol = w_t.shape[0]
+        nants = gains[it].shape[1]
+        x = czeros((nsol, nants, nants, 1, npol), xb.dtype)
+        xwt = jnp.zeros((nsol, nants, nants, 1, npol), dtype=wb.dtype)
+        x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
+        xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
+        if psum_axis is not None:
+            # baseline-sharded: assemble the full normal equations
+            # across the mesh (SURVEY.md 2c / BASELINE north star)
+            x = jax.lax.psum(x, psum_axis)
+            xwt = jax.lax.psum(xwt, psum_axis)
+        has_data = jnp.sum(jnp.abs(xwt), axis=(1, 2, 3, 4)) > 0.0
+
+        gain_new, gwt, gres = solve_gains_core(
+            x,
+            xwt,
+            gains[it],
+            niter=cfg.solver_niter,
+            tol=cfg.solver_tol,
+            phase_only=term.phase_only,
+            crosspol=False,
+            npol=npol,
+        )
+        hd = has_data[:, None, None, None, None]
+        eye = jnp.broadcast_to(
+            jnp.eye(gain_new.shape[-1], dtype=jnp.float32),
+            gain_new.shape,
+        )
+        gain_new = jnp.where(hd, gain_new, eye.astype(gain_new.dtype))
+        gwt = jnp.where(hd, gwt, jnp.zeros_like(gwt))
+        gres = jnp.where(
+            has_data[:, None, None, None], gres, jnp.zeros_like(gres)
+        )
+        if (
+            cfg.normalise_gains in ("mean", "median")
+            and not term.phase_only
+        ):
+            gabs = (
+                jnp.mean(jnp.abs(gain_new))
+                if cfg.normalise_gains == "mean"
+                else jnp.median(jnp.abs(gain_new))
+            )
+            gain_new = gain_new / gabs.astype(gain_new.dtype)
+        new_gains[it], gwts[it], gress[it] = gain_new, gwt, gres
+
+        gg = gain_new[cal["row_idx"]]  # [ntime, nants, 1, nrec, nrec]
+        hr = cal["has_row"][:, None]
+        inv_pols = []
+        for r1, r2 in recs:
+            g1 = jnp.take(gg[:, :, 0, r1, r1], a1, axis=1)
+            g2 = jnp.take(gg[:, :, 0, r2, r2], a2, axis=1)
+            sm = g1 * jnp.conj(g2)  # [ntime, nbl]
+            m2 = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
+            ok = m2 > 0.0
+            inv_p = jnp.where(
+                ok,
+                jnp.conj(sm) / jnp.where(ok, m2, 1.0).astype(sm.dtype),
+                sm * 0.0,
+            )
+            # rows outside every solution interval stay uncorrected
+            inv_pols.append(
+                jnp.where(
+                    hr,
+                    inv_p,
+                    jnp.ones(inv_p.shape, jnp.float32).astype(inv_p.dtype),
+                )
+            )
+        inv = jnp.stack(inv_pols, axis=-1)  # [ntime, nbl, npol]
+        corrected = corrected * inv[:, :, None, :]
+        inv_tot = inv if inv_tot is None else inv_tot * inv
+    return new_gains, gwts, gress, inv_tot
 
 
 @partial(
@@ -313,103 +428,9 @@ def _fused_selfcal_cycle(
             ]
             chans.append(jnp.stack(pols, axis=-1))  # [t, b, nf_c, npol]
         mvis = chans[0] if cfg.mfs else jnp.concatenate(chans, axis=2)
-
-        a1, a2 = state["a1"], state["a2"]
-        fw = state["fw_nat"]
-        corrected = state["ms_nat"]
-        recs = _POL_RECS[npol]
-        inv_tot = None  # [ntime, nbl, npol] total inverse-apply factor
-        from .config import czeros
-
-        for it, term in enumerate(cfg.terms):
-            if not do_cal[it]:
-                continue
-            cal = state["cal"][it]
-            # ---- product-form normal equations (single-channel table):
-            # x*w = V conj(V_model) w, xwt = |V_model|^2 w — identical to
-            # divide_visibility + accumulate without the quotient ----
-            xe = corrected * jnp.conj(mvis) * fw.astype(corrected.dtype)
-            we = (jnp.real(mvis) ** 2 + jnp.imag(mvis) ** 2) * fw
-            w_t = cal["w_t"]
-            xb = jnp.einsum("st,tbfp->sbp", w_t.astype(xe.dtype), xe)[
-                :, :, None, :
-            ]
-            wb = jnp.einsum("st,tbfp->sbp", w_t, we)[:, :, None, :]
-            nsol = w_t.shape[0]
-            nants = gains[it].shape[1]
-            x = czeros((nsol, nants, nants, 1, npol), xb.dtype)
-            xwt = jnp.zeros((nsol, nants, nants, 1, npol), dtype=wb.dtype)
-            x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
-            xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
-            if psum_axis is not None:
-                # baseline-sharded: assemble the full normal equations
-                # across the mesh (SURVEY.md 2c / BASELINE north star)
-                x = jax.lax.psum(x, psum_axis)
-                xwt = jax.lax.psum(xwt, psum_axis)
-            has_data = jnp.sum(jnp.abs(xwt), axis=(1, 2, 3, 4)) > 0.0
-
-            gain_new, gwt, gres = solve_gains_core(
-                x,
-                xwt,
-                gains[it],
-                niter=cfg.solver_niter,
-                tol=cfg.solver_tol,
-                phase_only=term.phase_only,
-                crosspol=False,
-                npol=npol,
-            )
-            hd = has_data[:, None, None, None, None]
-            eye = jnp.broadcast_to(
-                jnp.eye(gain_new.shape[-1], dtype=jnp.float32),
-                gain_new.shape,
-            )
-            gain_new = jnp.where(hd, gain_new, eye.astype(gain_new.dtype))
-            gwt = jnp.where(hd, gwt, jnp.zeros_like(gwt))
-            gres = jnp.where(
-                has_data[:, None, None, None], gres, jnp.zeros_like(gres)
-            )
-            if (
-                cfg.normalise_gains in ("mean", "median")
-                and not term.phase_only
-            ):
-                gabs = (
-                    jnp.mean(jnp.abs(gain_new))
-                    if cfg.normalise_gains == "mean"
-                    else jnp.median(jnp.abs(gain_new))
-                )
-                gain_new = gain_new / gabs.astype(gain_new.dtype)
-            new_gains[it], gwts[it], gress[it] = gain_new, gwt, gres
-
-            # ---- inverse-apply factors per (time, baseline, pol);
-            # diagonal Jones so each pol column divides by
-            # g1[r1,r1] conj(g2[r2,r2]) (gain_ops.apply_gaintable) ----
-            gg = gain_new[cal["row_idx"]]  # [ntime, nants, 1, nrec, nrec]
-            hr = cal["has_row"][:, None]
-            inv_pols = []
-            for r1, r2 in recs:
-                g1 = jnp.take(gg[:, :, 0, r1, r1], a1, axis=1)
-                g2 = jnp.take(gg[:, :, 0, r2, r2], a2, axis=1)
-                sm = g1 * jnp.conj(g2)  # [ntime, nbl]
-                m2 = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
-                ok = m2 > 0.0
-                inv_p = jnp.where(
-                    ok,
-                    jnp.conj(sm) / jnp.where(ok, m2, 1.0).astype(sm.dtype),
-                    sm * 0.0,
-                )
-                # rows outside every solution interval stay uncorrected
-                inv_pols.append(
-                    jnp.where(
-                        hr,
-                        inv_p,
-                        jnp.ones(inv_p.shape, jnp.float32).astype(
-                            inv_p.dtype
-                        ),
-                    )
-                )
-            inv = jnp.stack(inv_pols, axis=-1)  # [ntime, nbl, npol]
-            corrected = corrected * inv[:, :, None, :]
-            inv_tot = inv if inv_tot is None else inv_tot * inv
+        new_gains, gwts, gress, inv_tot = _solve_terms(
+            state, cfg, gains, do_cal, mvis, psum_axis
+        )
 
     # ---- residual invert per (chan, pol), all in the sorted domain ----
     ny = nx = plans[0].npixel
@@ -481,7 +502,135 @@ def _fused_selfcal_cycle(
     )
 
 
-def _fused_clean(residual, psf_patch, cfg: _FusedCfg):
+@partial(
+    jax.jit, static_argnames=("cfg", "do_cal", "with_model", "psum_axis")
+)
+def _fused_selfcal_cycle_cube(
+    state: dict,
+    model_pixels,
+    gains: tuple,
+    *,
+    cfg: _FusedCfg,
+    do_cal: tuple,
+    with_model: bool,
+    psum_axis: str | None = None,
+):
+    """Channel-batched fused major cycle for image cubes (nchan > 1).
+
+    Same program as :func:`_fused_selfcal_cycle` but every per-channel
+    leg — degrid, back-sort, factor sort, Pallas grid, FFT tail — runs as
+    ONE vmapped op over the channel-stacked plans instead of ``nchan``
+    separately-compiled instances (at MSMFS's 64 channels the unbatched
+    graph would take hours to compile). Mosaic lifts the vmapped
+    pallas_call into a batched grid; verified exact vs the per-plan calls
+    on the real chip.
+    """
+    from .ops.gridding_plan import unsort_values
+    from .ops.imaging import invert_with_plan, predict_with_plan
+
+    plans = state["plans"]  # channel-stacked ImagingPlan pytree
+    obs_sa = state["obs_s"]  # [nchan, npol, n]
+    wgt_sa = state["wgt_s"]
+    comp_sa = state["comp_s"]
+    nchan, npol = cfg.nchan, cfg.npol
+
+    if with_model:
+        model_sa = jax.vmap(
+            lambda pl, imgs: jax.vmap(
+                lambda im: predict_with_plan(pl, im, to_sorted=True)
+            )(imgs)
+        )(plans, model_pixels.astype(jnp.float32))
+    else:
+        model_sa = obs_sa * 0.0
+    if comp_sa is not None:
+        model_sa = model_sa + comp_sa
+
+    any_cal = any(do_cal)
+    new_gains = list(gains)
+    gwts = list(state["gain_wt"])
+    gress = list(state["gain_res"])
+    if any_cal:
+        ntime, nbl = state["cal"][0]["w_t"].shape[1], state["a1"].shape[0]
+        mu = jax.vmap(
+            lambda pl, vs: jax.vmap(
+                lambda v: unsort_values(pl.gp, v)
+            )(vs)
+        )(plans, model_sa)
+        mvis = mu.reshape(nchan, npol, ntime, nbl).transpose(2, 3, 0, 1)
+        new_gains, gwts, gress, inv_tot = _solve_terms(
+            state, cfg, gains, do_cal, mvis, psum_axis
+        )
+        # factor streams: same (t, b) factor for every channel, sorted
+        # into each channel plan's order with one vmapped multi-payload
+        # sort over the stacked rank keys
+        flat = inv_tot.transpose(2, 0, 1).reshape(npol, -1)
+
+        def sort_chan(rank):
+            ops = []
+            for p in range(npol):
+                ops.extend([jnp.real(flat[p]), jnp.imag(flat[p])])
+            so = jax.lax.sort((rank, *ops), num_keys=1)[1:]
+            return jnp.stack(
+                [
+                    jax.lax.complex(so[2 * p], so[2 * p + 1])
+                    for p in range(npol)
+                ]
+            )
+
+        inv_sa = jax.vmap(sort_chan)(plans.gp.rank)  # [nchan, npol, n]
+        corr = obs_sa * inv_sa
+    else:
+        corr = obs_sa
+    resid_sa = corr - model_sa
+
+    if psum_axis is None:
+
+        def invert_chan(pl, vs, ws):
+            return jax.vmap(
+                lambda v, wt: invert_with_plan(
+                    pl, v, wt, values_sorted=True
+                )
+            )(vs, ws)
+
+    else:
+        from .ops.gridding_plan import grid_with_plan
+        from .ops.imaging import uv_grids_to_dirty
+
+        def invert_chan(pl, vs, ws):
+            def one(v, wt):
+                weighted = v * wt.astype(v.dtype)
+                g = grid_with_plan(pl.gp, weighted, values_sorted=True)
+                g = jax.lax.psum(g, psum_axis)
+                return (
+                    uv_grids_to_dirty(pl, g),
+                    jax.lax.psum(jnp.sum(wt), psum_axis),
+                )
+
+            return jax.vmap(one)(vs, ws)
+
+    pixels, sumwt = jax.vmap(invert_chan)(plans, resid_sa, wgt_sa)
+    okw = sumwt > 0.0
+    scale = jnp.where(okw, 1.0 / jnp.where(okw, sumwt, 1.0), 0.0)
+    residual = (pixels * scale[:, :, None, None]).astype(jnp.float32)
+
+    comp_pixels = _fused_clean(
+        residual, state["psf_patch"], cfg, state.get("mom_w")
+    )
+    model_pixels = model_pixels + comp_pixels
+
+    peak = jnp.max(jnp.abs(residual))
+    return (
+        model_pixels,
+        tuple(new_gains),
+        tuple(gwts),
+        tuple(gress),
+        residual,
+        sumwt,
+        peak,
+    )
+
+
+def _fused_clean(residual, psf_patch, cfg: _FusedCfg, mom_w=None):
     """In-graph deconvolution lanes (deconvolution.py:110-236 semantics,
     window=None)."""
     from .ops.cleaners import hogbom, msclean
@@ -528,6 +677,38 @@ def _fused_clean(residual, psf_patch, cfg: _FusedCfg):
                 )
                 comp = comp.at[c, p].set(cc)
         return comp
+    if cfg.algorithm in ("msmfsclean", "mfsmsclean", "mmclean"):
+        # MSMFS via frequency moments (deconvolution.py:237-300 semantics
+        # without the host-side zero-PSF guard); mom_w = (w_m [nchan,
+        # nmoment], w_pm [nchan, 2 nmoment]) moment-weight matrices
+        # precomputed from the image frequency grid
+        from .ops.cleaners import msmfsclean
+
+        w_m, w_pm = mom_w
+        dirty_t = jnp.einsum("cm,cpyx->mpyx", w_m, residual)
+        psf_t = jnp.einsum("cm,cpyx->mpyx", w_pm, psf_patch)
+        psf_peak = jnp.max(psf_t)
+        dpix = dirty_t / psf_peak
+        ppix = psf_t / psf_peak
+        comp_t = jnp.zeros_like(dirty_t)
+        for p in range(npol):
+            cc, _ = msmfsclean(
+                dpix[:, p],
+                ppix[:, 0],
+                None,
+                None,
+                gain=cfg.clean_gain,
+                thresh=cfg.clean_thresh,
+                niter=cfg.clean_niter,
+                scales=cfg.scales,
+                fracthresh=cfg.clean_frac,
+                findpeak=cfg.findpeak,
+            )
+            comp_t = comp_t.at[:, p].set(cc)
+        # back to the channel cube on the same frequency grid; the
+        # psf_peak-normalised moment comps are already in per-channel
+        # flux units (reference deconvolution.py:735-737 semantics)
+        return jnp.einsum("cm,mpyx->cpyx", w_m, comp_t)
     raise ValueError(f"fused clean: unsupported algorithm {cfg.algorithm}")
 
 
@@ -595,6 +776,22 @@ class _FusedSelfCal(_SortedWorkspace):
         frac, cgain, cniter, cthresh, scales = common_arguments(
             **clean_kwargs
         )
+        algorithm = clean_kwargs.get("algorithm", "msclean")
+        if algorithm in ("msmfsclean", "mfsmsclean", "mmclean"):
+            # mmclean's reference default loop gain is 0.7
+            # (deconvolution.py:241)
+            cgain = clean_kwargs.get("gain", 0.7)
+            from .ops.taylor import moment_weights
+
+            nmoment = clean_kwargs.get("nmoment", 3)
+            freq = jnp.asarray(model.frequency)
+            nm_psf = 2 * nmoment if nmoment > 1 else 1
+            self.mom_w = (
+                moment_weights(freq, None, nmoment).astype(jnp.float32),
+                moment_weights(freq, None, nm_psf).astype(jnp.float32),
+            )
+        else:
+            self.mom_w = None
         # solver weights need one column per converted pol
         fw = self.fw_nat
         if fw.shape[-1] != self.npol:
@@ -610,15 +807,46 @@ class _FusedSelfCal(_SortedWorkspace):
             normalise_gains=normalise_gains,
             solver_niter=solver_niter,
             solver_tol=solver_tol,
-            algorithm=clean_kwargs.get("algorithm", "msclean"),
+            algorithm=algorithm,
             clean_gain=cgain,
             clean_niter=cniter,
             clean_thresh=cthresh,
             clean_frac=frac,
             scales=tuple(scales),
+            nmoment=clean_kwargs.get("nmoment", 3),
+            findpeak=clean_kwargs.get("findpeak", "RASCIL"),
         )
 
     def state(self, gwts, gress):
+        if self.plan.nchan > 1:
+            # channel-batched layout for _fused_selfcal_cycle_cube:
+            # channel-stacked plan pytree + [nchan, npol, n] streams
+            plans = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *self.plan.plans
+            )
+            return {
+                "plans": plans,
+                "obs_s": jnp.stack(
+                    [jnp.stack(r) for r in self.obs_s]
+                ),
+                "wgt_s": jnp.stack(
+                    [jnp.stack(r) for r in self.wgt_s]
+                ),
+                "comp_s": (
+                    jnp.stack([jnp.stack(r) for r in self.comp_s])
+                    if self.comp_s[0] is not None
+                    else None
+                ),
+                "ms_nat": self.ms_nat,
+                "fw_nat": self.fw_nat,
+                "cal": tuple(self.cal),
+                "a1": self.a1,
+                "a2": self.a2,
+                "psf_patch": self.psf_patch,
+                "mom_w": self.mom_w,
+                "gain_wt": tuple(gwts),
+                "gain_res": tuple(gress),
+            }
         return {
             "plans": tuple(self.plan.plans),
             "obs_s": tuple(tuple(r) for r in self.obs_s),
@@ -634,6 +862,7 @@ class _FusedSelfCal(_SortedWorkspace):
             "a1": self.a1,
             "a2": self.a2,
             "psf_patch": self.psf_patch,
+            "mom_w": self.mom_w,
             "gain_wt": tuple(gwts),
             "gain_res": tuple(gress),
         }
@@ -679,10 +908,17 @@ def continuum_imaging(
     psf, _ = invert_visibility(
         vis, model, dopsf=True, context=context, **ikw
     )
+    _alg = kwargs.get("algorithm", "msclean")
     can_fuse = (
         ikw.get("plan") is not None
         and kwargs.get("window_shape") is None
-        and kwargs.get("algorithm", "msclean") in ("hogbom", "msclean")
+        and (
+            _alg in ("hogbom", "msclean")
+            or (
+                _alg in ("msmfsclean", "mfsmsclean", "mmclean")
+                and model.nchan > 2 * (kwargs.get("nmoment", 3) - 1)
+            )
+        )
     )
     if fused is None:
         fused = can_fuse
@@ -697,11 +933,16 @@ def continuum_imaging(
         st = ws.state(
             (ws.gt0s[0].weight,), (ws.gt0s[0].residual,)
         )
+        cycle_fn = (
+            _fused_selfcal_cycle_cube
+            if ws.cfg.nchan > 1
+            else _fused_selfcal_cycle
+        )
         model_px = jnp.zeros_like(model.pixels).astype(jnp.float32)
         gains = (ws.gt0s[0].gain,)
         res_px = None
         for cycle in range(nmajor):
-            model_px, _, _, _, res_px, _, peak = _fused_selfcal_cycle(
+            model_px, _, _, _, res_px, _, peak = cycle_fn(
                 st,
                 model_px,
                 gains,
@@ -791,7 +1032,15 @@ def ical(
             for c in calibration_context
         )
         and kwargs.get("window_shape") is None
-        and kwargs.get("algorithm", "msclean") in ("hogbom", "msclean")
+        and (
+            kwargs.get("algorithm", "msclean") in ("hogbom", "msclean")
+            or (
+                kwargs.get("algorithm") in (
+                    "msmfsclean", "mfsmsclean", "mmclean"
+                )
+                and model.nchan > 2 * (kwargs.get("nmoment", 3) - 1)
+            )
+        )
     )
     if fused is None:
         fused = can_fuse
@@ -889,21 +1138,24 @@ def _ical_fused(
         gwts = tuple(gt.weight for gt in ws.gt0s)
         gress = tuple(gt.residual for gt in ws.gt0s)
     st = ws.state(gwts, gress)
+    cycle_fn = (
+        _fused_selfcal_cycle_cube
+        if ws.cfg.nchan > 1
+        else _fused_selfcal_cycle
+    )
     model_px = current.pixels.astype(jnp.float32)
     res_px = None
     for cycle in range(start, nmajor):
         do_cal = tuple(
             cycle >= t.first_selfcal for t in ws.cfg.terms
         )
-        model_px, gains, gwts, gress, res_px, _, peak = (
-            _fused_selfcal_cycle(
-                st,
-                model_px,
-                gains,
-                cfg=ws.cfg,
-                do_cal=do_cal,
-                with_model=cycle > 0,
-            )
+        model_px, gains, gwts, gress, res_px, _, peak = cycle_fn(
+            st,
+            model_px,
+            gains,
+            cfg=ws.cfg,
+            do_cal=do_cal,
+            with_model=cycle > 0,
         )
         log.info(
             "ical[fused]: cycle %d peak residual %.6f",

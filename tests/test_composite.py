@@ -288,6 +288,95 @@ class TestPipelines:
         peak = float(jnp.max(restored.pixels))
         assert abs(peak - 2.0) < 0.2, peak
 
+    def test_continuum_fused_cube_mmclean_matches_composed(self, rng):
+        """Channel-batched fused cube cycle (vmapped plans) with in-graph
+        MSMFS matches the composed loop on a spectral-index source."""
+        nchan = 6
+        vis = make_visibility(
+            nants=14,
+            ntimes=3,
+            nchan=nchan,
+            frequency0=1.0e8,
+            channel_bandwidth=4e6,
+            rmax=300.0,
+            phasecentre=PC,
+        )
+        npixel = 96
+        model = create_image_from_visibility(
+            vis, npixel=npixel, oversampling=4.0, nchan=nchan
+        )
+        ra, dec = model.pixel_to_radec(npixel // 2 + 7, npixel // 2 - 4)
+        f0 = np.asarray(vis.frequency)
+        flux = (2.0 * (f0 / f0[nchan // 2]) ** -0.7)[None, :, None]
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]], flux, vis.frequency
+        )
+        vis = dft_skycomponent_visibility(vis, comps)
+        kw = dict(
+            nmajor=2,
+            context="ng",
+            algorithm="mmclean",
+            nmoment=2,
+            niter=100,
+            fractional_threshold=0.01,
+        )
+        d0, r0, s0 = continuum_imaging(vis, model, **kw)
+        d1, r1, s1 = continuum_imaging(
+            vis, model, use_plan=True, fused=True, **kw
+        )
+        r0p = float(jnp.max(jnp.abs(r0.pixels)))
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert abs(r0p - r1p) < 1e-3 * max(r0p, 1e-6), (r0p, r1p)
+        s0p = float(jnp.max(jnp.abs(s0.pixels)))
+        s1p = float(jnp.max(jnp.abs(s1.pixels)))
+        assert abs(s0p - s1p) < 0.02 * max(s0p, 1e-6), (s0p, s1p)
+
+    def test_ical_fused_cube_matches_composed(self, rng):
+        """Cube-mode fused ICAL (per-channel plans, one vmapped program)
+        vs the composed loop: same gains, same residual."""
+        nchan = 3
+        vis = make_visibility(
+            nants=12,
+            ntimes=3,
+            nchan=nchan,
+            rmax=300.0,
+            phasecentre=PC,
+        )
+        npixel = 96
+        model = create_image_from_visibility(
+            vis, npixel=npixel, oversampling=4.0, nchan=nchan
+        )
+        ra, dec = model.pixel_to_radec(npixel // 2 + 7, npixel // 2 - 4)
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]],
+            np.full((1, nchan, 1), 2.0),
+            vis.frequency,
+        )
+        vis = dft_skycomponent_visibility(vis, comps)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        corrupted = apply_gaintable(vis, gt_true)
+        kw = dict(
+            nmajor=3,
+            calibration_context="T",
+            context="ng",
+            algorithm="hogbom",
+            niter=150,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        d0, r0, s0, g0 = ical(corrupted, model, **kw)
+        d1, r1, s1, g1 = ical(
+            corrupted, model, use_plan=True, fused=True, **kw
+        )
+        ga = np.asarray(g0["T"].gain)[..., 0, 0]
+        gb = np.asarray(g1["T"].gain)[..., 0, 0]
+        pa = ga * np.exp(-1j * np.angle(ga[:, :1]))
+        pb = gb * np.exp(-1j * np.angle(gb[:, :1]))
+        assert np.max(np.abs(pa - pb)) < 1e-4
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert r1p < 0.2, r1p
+
     def test_ical_fused_tg_chain(self, rng):
         """Multi-term fused chain (T then G, sequential in-graph solves)
         matches the composed calibrate_chain loop."""
