@@ -28,6 +28,7 @@ NPIX = 1024
 CELL = 5e-5
 NW = 8
 PADDING = float(__import__("sys").argv[1]) if len(__import__("sys").argv) > 1 else 2.0
+CHUNK = int(__import__("sys").argv[2]) if len(__import__("sys").argv) > 2 else 512
 
 
 def fetch(x):
@@ -62,7 +63,7 @@ def main():
     t0 = time.perf_counter()
     plan = make_imaging_plan(
         u, v, w, npixel=NPIX, cellsize=CELL, support=8, nw=NW,
-        do_wstacking=True, padding=PADDING,
+        do_wstacking=True, padding=PADDING, chunk=CHUNK,
     )
     print("npad:", plan.npad, flush=True)
     jax.block_until_ready(plan.gp.geo)

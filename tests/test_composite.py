@@ -471,6 +471,78 @@ class TestPipelines:
             - float(jnp.max(jnp.abs(s1.pixels)))
         ) < 0.05
 
+    def test_ical_fused_with_flags_matches_composed(self, rng):
+        """Flagged rows must drop out of both the solve and the imaging
+        legs of the fused cycle exactly as in the composed loop."""
+        vis, model, comps = _pointish_obs(rng, flux=2.0)
+        flags = np.zeros(vis.flags.shape, dtype=np.int32)
+        flags[1, ::7] = 1  # flag every 7th baseline of time 1
+        vis = vis.replace(flags=jnp.asarray(flags))
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        corrupted = apply_gaintable(vis, gt_true)
+        kw = dict(
+            nmajor=3,
+            calibration_context="T",
+            context="ng",
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        d0, r0, s0, g0 = ical(corrupted, model, **kw)
+        d1, r1, s1, g1 = ical(
+            corrupted, model, use_plan=True, fused=True, **kw
+        )
+        ga = np.asarray(g0["T"].gain)[..., 0, 0]
+        gb = np.asarray(g1["T"].gain)[..., 0, 0]
+        pa = ga * np.exp(-1j * np.angle(ga[:, :1]))
+        pb = gb * np.exp(-1j * np.angle(gb[:, :1]))
+        assert np.max(np.abs(pa - pb)) < 1e-4
+        r0p = float(jnp.max(jnp.abs(r0.pixels)))
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert abs(r0p - r1p) < 1e-3 * max(r0p, 1e-6)
+
+    def test_ical_fused_checkpoint_resume(self, rng, tmp_path):
+        """SelfCalState checkpointing through the fused path: resuming
+        from the cycle-2 checkpoint reproduces the uninterrupted run."""
+        from ska_sdp_func_python_tpu.pipeline import SelfCalState
+
+        vis, model, comps = _pointish_obs(rng, flux=2.0)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        corrupted = apply_gaintable(vis, gt_true)
+        ckpt = str(tmp_path / "selfcal.pkl")
+        kw = dict(
+            calibration_context="T",
+            context="ng",
+            use_plan=True,
+            fused=True,
+            algorithm="hogbom",
+            niter=200,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        d_full, r_full, s_full, g_full = ical(
+            corrupted, model, nmajor=4, **kw
+        )
+        ical(
+            corrupted, model, nmajor=2, checkpoint_path=ckpt, **kw
+        )
+        state = SelfCalState.load(ckpt)
+        assert state.cycle == 2
+        d_res, r_res, s_res, g_res = ical(
+            corrupted, model, nmajor=4, state=state, **kw
+        )
+        np.testing.assert_allclose(
+            np.asarray(d_res.pixels),
+            np.asarray(d_full.pixels),
+            atol=1e-6,
+        )
+        r_full_p = float(jnp.max(jnp.abs(r_full.pixels)))
+        r_res_p = float(jnp.max(jnp.abs(r_res.pixels)))
+        assert abs(r_full_p - r_res_p) < 1e-6
+
     def test_continuum_fused_matches_composed(self, rng):
         """continuum_imaging(fused=True) — the do_cal=False instantiation
         of the fused cycle — reproduces the composed loop."""
