@@ -1,9 +1,13 @@
-"""Baseline-sharded fused self-cal over a device mesh.
+"""Sharded fused self-cal over a device mesh (baseline- or channel-axis).
 
 This is the BASELINE.json north star realised with the REAL production
 kernels: the one-dispatch fused major cycle (pipeline._fused_selfcal_cycle)
-runs as a shard_map SPMD program with visibility *baselines* sharded over
-the mesh's "data" axis. Per cycle, on every device simultaneously:
+runs as a shard_map SPMD program over the mesh's "data" axis, decomposed
+along either of the two data axes the reference's execution framework
+parallelises over (SURVEY.md §2c rows 4 and 1):
+
+``shard="baseline"`` — visibility *baselines* sharded. Per cycle, on every
+device simultaneously:
 
     model degrid      — replicated image -> FFT grids (identical on all
                         devices) -> local Pallas degrid of the shard's rows
@@ -22,6 +26,15 @@ visibility count — the design scales to the 1B-visibility target by adding
 devices. Each shard carries its own gridding plan (its own segment sort,
 built once); plan shapes are static in the padded row count so the
 per-shard plans stack into one leading-axis-sharded pytree.
+
+``shard="channel"`` — image/visibility *channels* sharded (spectral-cube
+data parallelism, the reference's ``image_scatter_channels`` decomposition
+at mesh level). Every gridding/FFT/CLEAN lane is per-channel and therefore
+fully local — no uv-grid collective at all; the only frequency-coupled
+reductions are the gain normal equations (gains are solved jointly across
+the band) and, for MSMFS, the channel→moment transforms, each ONE psum of
+O(nants^2) / O(nmoment·npixel^2). For cube imaging this is the cheaper
+decomposition; for single-channel snapshots use ``shard="baseline"``.
 
 The reference has no distributed backend (SURVEY.md 2c): it is a
 single-process numpy library run under dask by the SKA execution
@@ -98,6 +111,29 @@ def _shard_slice(vis: Visibility, d: int, nbl_loc: int) -> Visibility:
     return vis.replace(**fields)
 
 
+def _shard_slice_chan(vis: Visibility, d: int, nch_loc: int) -> Visibility:
+    sl = slice(d * nch_loc, (d + 1) * nch_loc)
+    fields = dict(
+        vis=vis.vis[:, :, sl],
+        weight=vis.weight[:, :, sl],
+        flags=vis.flags[:, :, sl],
+        frequency=vis.frequency[sl],
+        channel_bandwidth=vis.channel_bandwidth[sl],
+    )
+    if vis.imaging_weight is not None:
+        fields["imaging_weight"] = vis.imaging_weight[:, :, sl]
+    return vis.replace(**fields)
+
+
+def _model_slice_chan(model: Image, d: int, nch_loc: int) -> Image:
+    sl = slice(d * nch_loc, (d + 1) * nch_loc)
+    return model.replace(
+        pixels=model.pixels[sl],
+        frequency=model.frequency[sl],
+        channel_bandwidth=model.channel_bandwidth[sl],
+    )
+
+
 def sharded_ical(
     vis: Visibility,
     model: Image,
@@ -112,14 +148,22 @@ def sharded_ical(
     nw: int | None = None,
     solver_niter: int = 200,
     tol: float = 1e-6,
+    shard: str = "baseline",
     **clean_kwargs,
 ):
     """Distributed fused ICAL: one SPMD dispatch per major cycle.
+
+    ``shard="baseline"`` shards visibility baselines over the mesh (any
+    nchan); ``shard="channel"`` shards image/vis channels (cube mode:
+    ``model.nchan == vis.nchan``, divisible by the device count) — see the
+    module docstring for the collective structure of each.
 
     :return: (model Image, residual Image, restored Image, gaintables)
     """
     if controls is None:
         controls = create_calibration_controls()
+    if shard not in ("baseline", "channel"):
+        raise ValueError(f"unknown shard axis {shard!r}")
     ndev = mesh.shape[axis]
     # every shard must stack onto the same w planes (range from the real
     # rows, before zero-weight padding)
@@ -128,8 +172,6 @@ def sharded_ical(
         float(jnp.min(wl)),
         float(jnp.max(wl)),
     )
-    vis = _pad_baselines(vis, ndev)
-    nbl_loc = vis.nbaselines // ndev
 
     # the w-plane count must also be global (it is derived from max|w|)
     from ..ops.imaging import _nw_for
@@ -137,18 +179,43 @@ def sharded_ical(
     do_wstacking = context not in ("2d",)
     nwp = _nw_for(vis, model, do_wstacking, nw)
 
+    if shard == "channel":
+        if model.nchan != vis.nchan:
+            raise ValueError(
+                "shard='channel' requires cube mode "
+                f"(model.nchan == vis.nchan, got {model.nchan} vs "
+                f"{vis.nchan})"
+            )
+        if model.nchan % ndev:
+            raise ValueError(
+                f"nchan {model.nchan} not divisible by mesh size {ndev}"
+            )
+        nch_loc = model.nchan // ndev
+    else:
+        vis = _pad_baselines(vis, ndev)
+        nbl_loc = vis.nbaselines // ndev
+
     # per-shard workspaces (each builds its own plan = its own local sort)
     workspaces = []
     for d in range(ndev):
-        svis = _shard_slice(vis, d, nbl_loc)
+        if shard == "channel":
+            svis = _shard_slice_chan(vis, d, nch_loc)
+            smodel = _model_slice_chan(model, d, nch_loc)
+        else:
+            svis = _shard_slice(vis, d, nbl_loc)
+            smodel = model
+        # baseline shards must stack onto identical w planes (their grids
+        # psum together); channel shards never mix grids, so each keeps
+        # the per-channel w range the single-device plan would use — only
+        # the plane COUNT stays global (static SPMD shape)
         plan = make_visibility_plan(
-            svis, model, context=context, support=support, nw=nwp,
-            w_range=w_range,
+            svis, smodel, context=context, support=support, nw=nwp,
+            w_range=w_range if shard == "baseline" else None,
         )
         workspaces.append(
             _FusedSelfCal(
                 svis,
-                model,
+                smodel,
                 plan,
                 components,
                 list(calibration_context),
@@ -157,19 +224,37 @@ def sharded_ical(
                 solver_niter,
                 tol,
                 # placeholder PSF; patched below once computed
-                model.replace(
-                    pixels=jnp.ones_like(model.pixels)
+                smodel.replace(
+                    pixels=jnp.ones_like(smodel.pixels)
                 ),
                 **clean_kwargs,
             )
         )
+    if shard == "channel" and workspaces[0].mom_w is not None:
+        # MSMFS moment weights must be taken about the GLOBAL reference
+        # frequency (the per-shard workspaces saw only their local slice);
+        # each shard gets its rows of the global weight matrices and the
+        # partial moment cubes psum inside the cycle
+        from ..ops.taylor import moment_weights
+
+        nmoment = workspaces[0].cfg.nmoment
+        nm_psf = 2 * nmoment if nmoment > 1 else 1
+        freq_g = jnp.asarray(model.frequency)
+        w_m_g = moment_weights(freq_g, None, nmoment).astype(jnp.float32)
+        w_pm_g = moment_weights(freq_g, None, nm_psf).astype(jnp.float32)
+        for d, w in enumerate(workspaces):
+            sl = slice(d * nch_loc, (d + 1) * nch_loc)
+            w.mom_w = (w_m_g[sl], w_pm_g[sl])
     ws0 = workspaces[0]
     cfg = ws0.cfg
     gains = tuple(gt.gain for gt in ws0.gt0s)
     gwts = tuple(gt.weight for gt in ws0.gt0s)
     gress = tuple(gt.residual for gt in ws0.gt0s)
 
-    states = [w.state(gwts, gress) for w in workspaces]
+    # channel shards always use the channel-batched cube layout/program
+    # (even at one local channel) so the SPMD body is identical everywhere
+    cube = cfg.nchan > 1 if shard == "baseline" else True
+    states = [w.state(gwts, gress, cube=cube) for w in workspaces]
     stacked = jax.tree_util.tree_map(
         lambda *xs: jnp.stack(xs), *states
     )
@@ -178,12 +263,14 @@ def sharded_ical(
         lambda x: jax.device_put(x, sharding), stacked
     )
 
-    # ---- PSF via the same sharded machinery: grid weights, psum ----
+    # ---- PSF via the same sharded machinery ----
+    # baseline shards: grid the local rows' weights, psum the uv grids;
+    # channel shards: every channel's PSF is fully local, no collective
     @partial(
         jax.shard_map,
         mesh=mesh,
         in_specs=(P(axis),),
-        out_specs=P(),
+        out_specs=P(axis) if shard == "channel" else P(),
         check_vma=False,
     )
     def _psf_shard(state_stacked):
@@ -204,15 +291,17 @@ def sharded_ical(
                 jax.lax.complex(unit * wgt, unit * 0.0),
                 values_sorted=True,
             )
-            grids = jax.lax.psum(grids, axis)
+            swt = jnp.sum(wgt)
+            if shard == "baseline":
+                grids = jax.lax.psum(grids, axis)
+                swt = jax.lax.psum(swt, axis)
             dirty = uv_grids_to_dirty(pl, grids)
-            swt = jax.lax.psum(jnp.sum(wgt), axis)
             ok = swt > 0.0
             return jnp.where(
                 ok, dirty / jnp.where(ok, swt, 1.0), 0.0
             ).astype(jnp.float32)
 
-        if cfg.nchan > 1:
+        if cube:
             plans = state["plans"]  # channel-stacked
             wgt_sa = state["wgt_s"]  # [nchan, npol, n]
             return jnp.stack(
@@ -238,28 +327,41 @@ def sharded_ical(
     psf = model.replace(pixels=psf_pixels.astype(model.pixels.dtype))
     from ..ops.deconvolution import bound_psf
 
+    # the patch support must be identical on every device (one SPMD
+    # program), so it is derived from the gathered full-cube PSF
     bpsf = bound_psf(psf, psf, clean_kwargs.get("psf_support", None))
-    stacked["psf_patch"] = jax.device_put(
-        jnp.broadcast_to(
-            bpsf.pixels.astype(jnp.float32)[None],
-            (ndev,) + bpsf.pixels.shape,
-        ),
-        sharding,
-    )
+    bp = bpsf.pixels.astype(jnp.float32)
+    if shard == "channel":
+        # device d cleans its own channels against its own PSF channels
+        patch_stacked = bp.reshape((ndev, nch_loc) + bp.shape[1:])
+    else:
+        patch_stacked = jnp.broadcast_to(bp[None], (ndev,) + bp.shape)
+    stacked["psf_patch"] = jax.device_put(patch_stacked, sharding)
+
+    if shard == "channel":
+        # model/residual/sumwt live on the sharded channel axis; gains,
+        # gain stats and the peak are replicated after their psums
+        mp_spec = P(axis)
+        out_specs = (P(axis), P(), P(), P(), P(axis), P(axis), P())
+        shard_kw = dict(psum_axis=None, channel_axis=axis)
+    else:
+        mp_spec = P()
+        out_specs = P()
+        shard_kw = dict(psum_axis=axis)
 
     def _cycle(state_stacked, mp, gs, *, do_cal, with_model):
         @partial(
             jax.shard_map,
             mesh=mesh,
-            in_specs=(P(axis), P(), P()),
-            out_specs=P(),
+            in_specs=(P(axis), mp_spec, P()),
+            out_specs=out_specs,
             check_vma=False,
         )
         def body(ss, m, g):
             state = jax.tree_util.tree_map(lambda x: x[0], ss)
             fn = (
                 _fused_selfcal_cycle_cube
-                if cfg.nchan > 1
+                if cube
                 else _fused_selfcal_cycle
             )
             return fn(
@@ -269,7 +371,7 @@ def sharded_ical(
                 cfg=cfg,
                 do_cal=do_cal,
                 with_model=with_model,
-                psum_axis=axis,
+                **shard_kw,
             )
 
         return body(state_stacked, mp, gs)

@@ -503,7 +503,10 @@ def _fused_selfcal_cycle(
 
 
 @partial(
-    jax.jit, static_argnames=("cfg", "do_cal", "with_model", "psum_axis")
+    jax.jit,
+    static_argnames=(
+        "cfg", "do_cal", "with_model", "psum_axis", "channel_axis"
+    ),
 )
 def _fused_selfcal_cycle_cube(
     state: dict,
@@ -514,6 +517,7 @@ def _fused_selfcal_cycle_cube(
     do_cal: tuple,
     with_model: bool,
     psum_axis: str | None = None,
+    channel_axis: str | None = None,
 ):
     """Channel-batched fused major cycle for image cubes (nchan > 1).
 
@@ -524,6 +528,15 @@ def _fused_selfcal_cycle_cube(
     graph would take hours to compile). Mosaic lifts the vmapped
     pallas_call into a batched grid; verified exact vs the per-plan calls
     on the real chip.
+
+    ``psum_axis`` marks *baseline*-sharded execution (every device holds
+    every channel of its baseline shard: uv grids and normal equations
+    psum over the mesh). ``channel_axis`` marks *channel*-sharded
+    execution (every device holds all baselines of ``cfg.nchan`` local
+    channels: gridding/FFT/CLEAN lanes are fully local, and only the
+    frequency-coupled reductions — gain normal equations and MSMFS
+    moment transforms — psum over the mesh). The two are mutually
+    exclusive; both ride ICI (SURVEY.md §2c rows 1 and 4).
     """
     from .ops.gridding_plan import unsort_values
     from .ops.imaging import invert_with_plan, predict_with_plan
@@ -558,7 +571,7 @@ def _fused_selfcal_cycle_cube(
         )(plans, model_sa)
         mvis = mu.reshape(nchan, npol, ntime, nbl).transpose(2, 3, 0, 1)
         new_gains, gwts, gress, inv_tot = _solve_terms(
-            state, cfg, gains, do_cal, mvis, psum_axis
+            state, cfg, gains, do_cal, mvis, psum_axis or channel_axis
         )
         # factor streams: same (t, b) factor for every channel, sorted
         # into each channel plan's order with one vmapped multi-payload
@@ -614,11 +627,17 @@ def _fused_selfcal_cycle_cube(
     residual = (pixels * scale[:, :, None, None]).astype(jnp.float32)
 
     comp_pixels = _fused_clean(
-        residual, state["psf_patch"], cfg, state.get("mom_w")
+        residual,
+        state["psf_patch"],
+        cfg,
+        state.get("mom_w"),
+        mom_psum_axis=channel_axis,
     )
     model_pixels = model_pixels + comp_pixels
 
     peak = jnp.max(jnp.abs(residual))
+    if channel_axis is not None:
+        peak = jax.lax.pmax(peak, channel_axis)
     return (
         model_pixels,
         tuple(new_gains),
@@ -630,9 +649,17 @@ def _fused_selfcal_cycle_cube(
     )
 
 
-def _fused_clean(residual, psf_patch, cfg: _FusedCfg, mom_w=None):
+def _fused_clean(
+    residual, psf_patch, cfg: _FusedCfg, mom_w=None, mom_psum_axis=None
+):
     """In-graph deconvolution lanes (deconvolution.py:110-236 semantics,
-    window=None)."""
+    window=None).
+
+    ``mom_psum_axis``: mesh axis over which image channels are sharded —
+    the MSMFS channel→moment transforms reduce over frequency, so the
+    partial moment cubes psum across the mesh; hogbom/msclean lanes are
+    per-channel and stay local.
+    """
     from .ops.cleaners import hogbom, msclean
 
     nchan, npol, ny, nx = residual.shape
@@ -687,6 +714,9 @@ def _fused_clean(residual, psf_patch, cfg: _FusedCfg, mom_w=None):
         w_m, w_pm = mom_w
         dirty_t = jnp.einsum("cm,cpyx->mpyx", w_m, residual)
         psf_t = jnp.einsum("cm,cpyx->mpyx", w_pm, psf_patch)
+        if mom_psum_axis is not None:
+            dirty_t = jax.lax.psum(dirty_t, mom_psum_axis)
+            psf_t = jax.lax.psum(psf_t, mom_psum_axis)
         psf_peak = jnp.max(psf_t)
         dpix = dirty_t / psf_peak
         ppix = psf_t / psf_peak
@@ -704,7 +734,7 @@ def _fused_clean(residual, psf_patch, cfg: _FusedCfg, mom_w=None):
                 fracthresh=cfg.clean_frac,
                 findpeak=cfg.findpeak,
             )
-            comp_t = comp_t.at[:, p].set(cc)
+            comp_t = comp_t.at[:, p].set(cc.astype(comp_t.dtype))
         # back to the channel cube on the same frequency grid; the
         # psf_peak-normalised moment comps are already in per-channel
         # flux units (reference deconvolution.py:735-737 semantics)
@@ -817,8 +847,10 @@ class _FusedSelfCal(_SortedWorkspace):
             findpeak=clean_kwargs.get("findpeak", "RASCIL"),
         )
 
-    def state(self, gwts, gress):
-        if self.plan.nchan > 1:
+    def state(self, gwts, gress, cube: bool | None = None):
+        if cube is None:
+            cube = self.plan.nchan > 1
+        if cube:
             # channel-batched layout for _fused_selfcal_cycle_cube:
             # channel-stacked plan pytree + [nchan, npol, n] streams
             plans = jax.tree_util.tree_map(

@@ -162,3 +162,90 @@ class TestDistributedSelfcal:
         assert abs(
             float(jnp.max(s0.pixels)) - float(jnp.max(s1.pixels))
         ) < 0.05
+
+    def _cube_obs(self, rng, nchan=8, npixel=64):
+        vis = make_visibility(
+            nants=8, ntimes=3, nchan=nchan, rmax=300.0, phasecentre=PC
+        )
+        model = create_image_from_visibility(
+            vis, npixel=npixel, oversampling=4.0, nchan=nchan
+        )
+        ra, dec = model.pixel_to_radec(npixel // 2 + 7, npixel // 2 - 5)
+        # mild spectral slope so MSMFS moments are non-trivial
+        flux = 2.0 * (np.asarray(vis.frequency) / 1.0e8) ** -0.7
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]], flux[None, :, None], vis.frequency
+        )
+        vis = dft_skycomponent_visibility(vis, comps)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        return apply_gaintable(vis, gt_true), model
+
+    def test_channel_sharded_fused_ical_cube(self, rng, mesh):
+        """Channel-sharded fused cube cycle (local gridding/FFT/CLEAN per
+        channel shard, psum only for the gain normal equations) vs the
+        single-device fused cube ical."""
+        from ska_sdp_func_python_tpu.parallel import sharded_ical
+        from ska_sdp_func_python_tpu.pipeline import ical
+
+        corrupted, model = self._cube_obs(rng)
+        kw = dict(
+            nmajor=3,
+            calibration_context="T",
+            algorithm="hogbom",
+            niter=150,
+            gain=0.2,
+            fractional_threshold=0.01,
+        )
+        c1, r1, s1, g1 = sharded_ical(
+            corrupted, model, mesh, context="ng", shard="channel", **kw
+        )
+        c0, r0, s0, g0 = ical(
+            corrupted, model, context="ng", use_plan=True, fused=True,
+            **kw,
+        )
+        ga = np.asarray(g0["T"].gain)[..., 0, 0]
+        gb = np.asarray(g1["T"].gain)[..., 0, 0]
+        pa = ga * np.exp(-1j * np.angle(ga[:, :1]))
+        pb = gb * np.exp(-1j * np.angle(gb[:, :1]))
+        assert np.max(np.abs(pa - pb)) < 1e-4
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert r1p < 0.25, r1p
+        np.testing.assert_allclose(
+            np.asarray(r1.pixels), np.asarray(r0.pixels), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(c1.pixels), np.asarray(c0.pixels), atol=2e-3
+        )
+
+    def test_channel_sharded_fused_ical_msmfs(self, rng, mesh):
+        """MSMFS over channel shards: the channel->moment transforms psum
+        partial moment cubes across the mesh about the global reference
+        frequency; must match the single-device fused MSMFS cycle."""
+        from ska_sdp_func_python_tpu.parallel import sharded_ical
+        from ska_sdp_func_python_tpu.pipeline import ical
+
+        corrupted, model = self._cube_obs(rng)
+        kw = dict(
+            nmajor=2,
+            calibration_context="T",
+            algorithm="mmclean",
+            nmoment=2,
+            niter=100,
+            gain=0.2,
+            scales=[0, 3],
+            fractional_threshold=0.01,
+        )
+        c1, r1, s1, g1 = sharded_ical(
+            corrupted, model, mesh, context="ng", shard="channel", **kw
+        )
+        c0, r0, s0, g0 = ical(
+            corrupted, model, context="ng", use_plan=True, fused=True,
+            **kw,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1.pixels), np.asarray(r0.pixels), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(c1.pixels), np.asarray(c0.pixels), atol=2e-3
+        )
