@@ -117,6 +117,29 @@ def main():
         flush=True,
     )
 
+    if "predict" in sys.argv:
+        from ska_sdp_func_python_tpu.ops.imaging import predict_with_plan
+
+        img = jnp.zeros((npixel, npixel), jnp.float32).at[
+            npixel // 2, npixel // 2
+        ].set(1.0)
+
+        @jax.jit
+        def run_predict(plan, img):
+            acc = None
+            for _ in range(K):
+                vv = predict_with_plan(plan, img, to_sorted=True)
+                img = img + jnp.real(vv[0]) * jnp.float32(1e-30)
+                acc = vv if acc is None else acc + vv
+            return acc
+
+        tp = (best_of(run_predict, plan, img) - overhead) / K
+        print(
+            f"full predict (to_sorted): {tp*1e3:.1f} ms = "
+            f"{nvis/tp/1e6:.1f} Mvis/s",
+            flush=True,
+        )
+
 
 if __name__ == "__main__":
     main()
