@@ -4,6 +4,7 @@ full invert_with_plan, both chained K inside one jit (the axon tunnel
 adds ~27 ms fixed per dispatch).
 """
 
+import argparse
 import sys
 import time
 
@@ -26,9 +27,16 @@ K = 4
 
 
 def main():
-    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    tile = int(sys.argv[2]) if len(sys.argv) > 2 else 0
-    prec = sys.argv[3] if len(sys.argv) > 3 else "config"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("chunk", nargs="?", type=int, default=512)
+    ap.add_argument("tile", nargs="?", type=int, default=0)
+    ap.add_argument("prec", nargs="?", default="config")
+    ap.add_argument("--predict", action="store_true")
+    # accept legacy "predict" as a bare word anywhere on the command line
+    argv = [a for a in sys.argv[1:] if a != "predict"]
+    args = ap.parse_args(argv)
+    args.predict = args.predict or "predict" in sys.argv
+    chunk, tile, prec = args.chunk, args.tile, args.prec
     if tile:
         import ska_sdp_func_python_tpu.ops.imaging as imaging_mod
 
@@ -75,7 +83,9 @@ def main():
         vals = jax.lax.complex(vr_s, vi_s)
         acc = None
         for _ in range(K):
-            d, s = invert_with_plan(plan, vals, wgt, values_sorted=True)
+            d, s = invert_with_plan(
+                plan, vals, wgt, values_sorted=True, precision=prec
+            )
             eps = d[0, 0] * jnp.float32(1e-30)
             vals = vals + jax.lax.complex(eps, eps)
             acc = d if acc is None else acc + d
@@ -117,7 +127,7 @@ def main():
         flush=True,
     )
 
-    if "predict" in sys.argv:
+    if args.predict:
         from ska_sdp_func_python_tpu.ops.imaging import predict_with_plan
 
         img = jnp.zeros((npixel, npixel), jnp.float32).at[
@@ -128,7 +138,9 @@ def main():
         def run_predict(plan, img):
             acc = None
             for _ in range(K):
-                vv = predict_with_plan(plan, img, to_sorted=True)
+                vv = predict_with_plan(
+                    plan, img, to_sorted=True, precision=prec
+                )
                 img = img + jnp.real(vv[0]) * jnp.float32(1e-30)
                 acc = vv if acc is None else acc + vv
             return acc

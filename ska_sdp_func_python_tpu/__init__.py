@@ -33,9 +33,31 @@ if (
     not _os.environ.get("SKA_SDP_TPU_NO_JIT_CACHE")
     and _jax.config.jax_compilation_cache_dir is None
 ):
+    # Key the cache directory by a host-machine fingerprint: XLA:CPU AOT
+    # entries embed machine features (AVX level etc.), and reloading a
+    # cache written on different hardware can SIGILL. A per-machine
+    # subdirectory keeps TPU-compile reuse on the same host while making
+    # cross-machine reuse impossible.
+    def _machine_fingerprint() -> str:
+        import hashlib
+        import platform as _platform
+
+        parts = [_platform.machine(), _platform.system()]
+        try:
+            with open("/proc/cpuinfo") as fh:
+                for line in fh:
+                    if line.startswith(("model name", "flags", "Features")):
+                        parts.append(line.strip())
+                        break
+        except OSError:
+            pass
+        return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
+
     _jax.config.update(
         "jax_compilation_cache_dir",
-        _os.path.expanduser("~/.cache/ska_sdp_func_python_tpu/jax_cache"),
+        _os.path.expanduser(
+            "~/.cache/ska_sdp_func_python_tpu/jax_cache/" + _machine_fingerprint()
+        ),
     )
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

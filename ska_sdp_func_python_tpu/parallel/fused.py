@@ -388,11 +388,12 @@ def sharded_ical(
             stacked, model_px, gains, do_cal=do_cal,
             with_model=cycle > 0,
         )
-        log.info(
-            "sharded_ical: cycle %d peak residual %.6f",
-            cycle,
-            float(peak),
-        )
+        if log.isEnabledFor(logging.INFO):
+            log.info(
+                "sharded_ical: cycle %d peak residual %.6f",
+                cycle,
+                float(peak),
+            )
     current = model.replace(pixels=model_px.astype(model.pixels.dtype))
     residual = model.replace(pixels=res_px) if res_px is not None else None
     gaintables = ws0.gaintables(gains, gwts, gress)

@@ -113,10 +113,11 @@ def distributed_ical(
         )
         comp, _ = deconvolve_cube(residual, psf, **clean_kwargs)
         current = current.replace(pixels=current.pixels + comp.pixels)
-        log.info(
-            "distributed_ical: cycle %d peak residual %.6f",
-            cycle,
-            float(jnp.max(jnp.abs(residual.pixels))),
-        )
+        if log.isEnabledFor(logging.INFO):
+            log.info(
+                "distributed_ical: cycle %d peak residual %.6f",
+                cycle,
+                float(jnp.max(jnp.abs(residual.pixels))),
+            )
     restored = restore_cube(current, psf=psf, residual=residual)
     return current, residual, restored, gt

@@ -169,14 +169,25 @@ class _SortedWorkspace:
             model_s = cs if model_s is None else model_s + cs
         return model_s
 
-    def residual_invert(self, template: Image, current: Image | None):
+    def residual_invert(
+        self,
+        template: Image,
+        current: Image | None,
+        model_nonzero: bool | None = None,
+    ):
         """One sort-free major-cycle leg: predict (sorted) -> subtract ->
-        invert. Returns the normalised residual Image and sumwt."""
+        invert. Returns the normalised residual Image and sumwt.
+
+        ``model_nonzero`` lets callers that track the model state host-side
+        (e.g. "have we run a minor cycle yet?") skip the device round-trip
+        of checking whether ``current`` is all-zero."""
         from .ops.imaging import invert_with_plan, normalise_sumwt
 
-        use_model = current is not None and bool(
-            jnp.max(jnp.abs(current.pixels)) > 0.0
-        )
+        if model_nonzero is None:
+            model_nonzero = current is not None and bool(
+                jnp.max(jnp.abs(current.pixels)) > 0.0
+            )
+        use_model = current is not None and model_nonzero
         pixels = jnp.zeros_like(template.pixels)
         sumwt = jnp.zeros(
             (self.plan.nchan, self.npol), dtype=jnp.float32
@@ -702,7 +713,7 @@ def _fused_clean(
                     scales=cfg.scales,
                     fracthresh=cfg.clean_frac,
                 )
-                comp = comp.at[c, p].set(cc)
+                comp = comp.at[c, p].set(cc.astype(comp.dtype))
         return comp
     if cfg.algorithm in ("msmfsclean", "mfsmsclean", "mmclean"):
         # MSMFS via frequency moments (deconvolution.py:237-300 semantics
@@ -908,9 +919,15 @@ class _FusedSelfCal(_SortedWorkspace):
         }
 
 
-def _predict_model(vis, model, components, context, **kwargs):
+def _predict_model(
+    vis, model, components, context, model_nonzero=None, **kwargs
+):
     mvis = vis.replace(vis=zeros_like_safe(vis.vis))
-    if model is not None and bool(jnp.max(jnp.abs(model.pixels)) > 0.0):
+    if model_nonzero is None:
+        model_nonzero = model is not None and bool(
+            jnp.max(jnp.abs(model.pixels)) > 0.0
+        )
+    if model is not None and model_nonzero:
         mvis = predict_visibility(mvis, model, context=context, **kwargs)
     if components is not None and components.ncomp > 0:
         cvis = dft_skycomponent_visibility(
@@ -982,11 +999,14 @@ def continuum_imaging(
                 do_cal=(False,),
                 with_model=cycle > 0,
             )
-            log.info(
-                "continuum_imaging[fused]: cycle %d peak residual %.6f",
-                cycle,
-                float(peak),
-            )
+            if log.isEnabledFor(logging.INFO):
+                # float(peak) is a device->host fetch; only pay it when
+                # the log line is actually emitted
+                log.info(
+                    "continuum_imaging[fused]: cycle %d peak residual %.6f",
+                    cycle,
+                    float(peak),
+                )
         current = model.replace(
             pixels=model_px.astype(model.pixels.dtype)
         )
@@ -1005,10 +1025,13 @@ def continuum_imaging(
     for cycle in range(nmajor):
         if ws is not None:
             # sorted-domain major cycle: no per-cycle value sorts
-            residual, _ = ws.residual_invert(model, current)
+            residual, _ = ws.residual_invert(
+                model, current, model_nonzero=cycle > 0
+            )
         else:
             mvis = _predict_model(
-                vis, current, components, context, **ikw
+                vis, current, components, context,
+                model_nonzero=cycle > 0, **ikw
             )
             rvis = subtract_visibility(vis, mvis)
             residual, _ = invert_visibility(
@@ -1016,11 +1039,12 @@ def continuum_imaging(
             )
         comp, _ = deconvolve_cube(residual, psf, **kwargs)
         current = current.replace(pixels=current.pixels + comp.pixels)
-        log.info(
-            "continuum_imaging: cycle %d peak residual %.6f",
-            cycle,
-            float(jnp.max(jnp.abs(residual.pixels))),
-        )
+        if log.isEnabledFor(logging.INFO):
+            log.info(
+                "continuum_imaging: cycle %d peak residual %.6f",
+                cycle,
+                float(jnp.max(jnp.abs(residual.pixels))),
+            )
     restored = _restore_with_components(current, psf, residual, components)
     return current, residual, restored
 
@@ -1099,7 +1123,13 @@ def ical(
     cvis = vis
     residual = None
     for cycle in range(start, nmajor):
-        mvis = _predict_model(vis, current, components, context, **ikw)
+        # the model is nonzero once at least one minor cycle has added
+        # components (resume states with cycle>0 included) — tracked
+        # host-side to avoid a device round-trip per cycle
+        mvis = _predict_model(
+            vis, current, components, context,
+            model_nonzero=cycle > 0, **ikw
+        )
         cvis, gaintables = calibrate_chain(
             vis,
             mvis,
@@ -1114,11 +1144,12 @@ def ical(
         )
         comp, _ = deconvolve_cube(residual, psf, **kwargs)
         current = current.replace(pixels=current.pixels + comp.pixels)
-        log.info(
-            "ical: cycle %d peak residual %.6f",
-            cycle,
-            float(jnp.max(jnp.abs(residual.pixels))),
-        )
+        if log.isEnabledFor(logging.INFO):
+            log.info(
+                "ical: cycle %d peak residual %.6f",
+                cycle,
+                float(jnp.max(jnp.abs(residual.pixels))),
+            )
         if checkpoint_path is not None:
             SelfCalState(current, gaintables, cycle + 1).save(
                 checkpoint_path
@@ -1189,11 +1220,12 @@ def _ical_fused(
             do_cal=do_cal,
             with_model=cycle > 0,
         )
-        log.info(
-            "ical[fused]: cycle %d peak residual %.6f",
-            cycle,
-            float(peak),
-        )
+        if log.isEnabledFor(logging.INFO):
+            log.info(
+                "ical[fused]: cycle %d peak residual %.6f",
+                cycle,
+                float(peak),
+            )
         if checkpoint_path is not None:
             SelfCalState(
                 current.replace(pixels=model_px),
