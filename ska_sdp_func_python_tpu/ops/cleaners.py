@@ -73,7 +73,186 @@ def _argmax2d(a):
     return idx // nx, idx % nx
 
 
-@partial(jax.jit, static_argnames=("niter",))
+# ---------------------------------------------------------------------------
+# Pallas fast path: the ENTIRE minor-cycle loop as one kernel with the
+# residual, component image and PSF canvas resident in VMEM.
+#
+# The XLA while_loop version below pays ~94 us/iteration at 512^2 — not
+# for data (each iteration touches ~3 MB, a few microseconds at HBM
+# bandwidth) but for per-iteration op dispatch and HBM round-trips of the
+# loop state. Keeping the loop on-core cuts an iteration to a handful of
+# VMEM passes: peak search (max + first-index reduction), a dynamic-shift
+# PSF subtraction via pltpu.roll, and a masked component accumulate.
+# ---------------------------------------------------------------------------
+
+
+def _hogbom_pallas_kernel(
+    dirty_ref,
+    canvas_ref,
+    win_ref,
+    comps_ref,
+    res_ref,
+    *,
+    nx: int,
+    py_lo: int,
+    py_hi: int,
+    px_lo: int,
+    px_hi: int,
+    gain: float,
+    thresh: float,
+    fracthresh: float,
+    niter: int,
+    stop_factor: float,
+):
+    """One program: run the full Hogbom loop with everything in VMEM.
+
+    ``canvas_ref`` holds the PSF rolled so its centre pixel sits at
+    (0, 0); ``pltpu.roll(canvas, my, 0) / (.., mx, 1)`` then places the
+    centre at the current peak, and the (py_lo..py_hi, px_lo..px_hi)
+    window around the peak masks off the wrap-around — reproducing the
+    reference's overlapIndices patch clipping (cleaners.py:235-277)
+    with no data-dependent shapes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    res_ref[...] = dirty_ref[...]
+    comps_ref[...] = jnp.zeros_like(comps_ref)
+    canvas = canvas_ref[...]
+    pmax = jnp.max(canvas)
+    psf_c = canvas[0, 0]
+    absthresh = jnp.maximum(
+        jnp.float32(thresh),
+        jnp.float32(fracthresh) * jnp.max(jnp.abs(dirty_ref[...])),
+    )
+    ny_, nx_ = res_ref.shape
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ny_, nx_), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ny_, nx_), 1)
+    lin = rr * nx + cc
+    win = win_ref[...] if win_ref is not None else None
+
+    def cond(carry):
+        i, done = carry
+        return (i < niter) & jnp.logical_not(done)
+
+    def body(carry):
+        i, _ = carry
+        res = res_ref[...]
+        search = jnp.abs(res * win) if win is not None else jnp.abs(res)
+        m = jnp.max(search)
+        best = jnp.min(
+            jnp.where(search == m, lin, jnp.int32(ny_ * nx))
+        )
+        myi = best // nx
+        mxi = best - myi * nx
+        val = jnp.sum(jnp.where(lin == best, res, 0.0))
+        mval = val * gain / pmax
+        rolled = pltpu.roll(pltpu.roll(canvas, myi, 0), mxi, 1)
+        dy = rr - myi
+        dx = cc - mxi
+        valid = (
+            (dy >= py_lo) & (dy < py_hi) & (dx >= px_lo) & (dx < px_hi)
+        )
+        res_ref[...] = res - jnp.where(valid, rolled, 0.0) * mval
+        comps_ref[...] = comps_ref[...] + jnp.where(
+            lin == best, mval, 0.0
+        )
+        val_new = val - mval * psf_c
+        done2 = jnp.abs(val_new) < stop_factor * absthresh
+        return i + 1, done2
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+
+# max pixels for the VMEM-resident kernel (res + comps + canvas + dirty
+# + a couple of temporaries, f32): 512^2 uses ~6 MB of the ~16 MB VMEM
+_PALLAS_CLEAN_MAX_PIXELS = 512 * 512
+
+
+def _pallas_clean_ok(dirty, psf, interpret):
+    if not (interpret or jax.default_backend() == "tpu"):
+        return False
+    ny, nx = dirty.shape[-2:]
+    py, px = psf.shape[-2:]
+    return (
+        ny * nx <= _PALLAS_CLEAN_MAX_PIXELS
+        and py <= ny
+        and px <= nx
+        and nx % 128 == 0
+        and not jnp.iscomplexobj(dirty)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "gain", "thresh", "niter", "fracthresh", "stop_factor",
+        "interpret", "has_window",
+    ),
+)
+def _hogbom_pallas(
+    dirty,
+    psf,
+    window=None,
+    *,
+    gain: float,
+    thresh: float,
+    niter: int,
+    fracthresh: float,
+    stop_factor: float = 0.9,
+    interpret: bool = False,
+    has_window: bool = False,
+):
+    import jax.experimental.pallas as pl
+
+    dirty = dirty.astype(jnp.float32)
+    psf = psf.astype(jnp.float32)
+    ny, nx = dirty.shape
+    py, px = psf.shape
+    cy, cx = py // 2, px // 2
+    embed = jnp.zeros((ny, nx), jnp.float32).at[:py, :px].set(psf)
+    canvas = jnp.roll(embed, (-cy, -cx), axis=(0, 1))
+    args = [dirty, canvas]
+    if has_window:
+        args.append(
+            jnp.broadcast_to(window, dirty.shape).astype(jnp.float32)
+        )
+    kernel = partial(
+        _hogbom_pallas_kernel,
+        nx=nx,
+        py_lo=-cy,
+        py_hi=py - cy,
+        px_lo=-cx,
+        px_hi=px - cx,
+        gain=float(gain),
+        thresh=float(thresh),
+        fracthresh=float(fracthresh),
+        niter=int(niter),
+        stop_factor=float(stop_factor),
+    )
+    if not has_window:
+        kernel = partial(kernel, win_ref=None)
+
+        def kern(dirty_ref, canvas_ref, comps_ref, res_ref):
+            kernel(dirty_ref, canvas_ref, comps_ref=comps_ref,
+                   res_ref=res_ref)
+    else:
+        kern = kernel
+    comps, res = pl.pallas_call(
+        kern,
+        out_shape=(
+            jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+    return comps, res
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "gain", "thresh", "niter", "fracthresh", "use_pallas"
+    ),
+)
 def hogbom(
     dirty,
     psf,
@@ -82,13 +261,37 @@ def hogbom(
     thresh: float = 0.0,
     niter: int = 100,
     fracthresh: float = 0.01,
+    use_pallas: bool | None = None,
 ):
     """Hogbom CLEAN (cleaners.py:23-133). Returns (comps, residual).
 
     :param dirty: [ny, nx]; :param psf: [py, px] with unit peak
     :param window: optional [ny, nx] search window (1 = allowed)
+    :param use_pallas: force (True) or disable (False) the VMEM-resident
+        Pallas loop; None = automatic (TPU backend, image fits VMEM).
+        ``True`` on a CPU backend runs the kernel in interpret mode.
     """
     ny, nx = dirty.shape
+    interpret = jax.default_backend() != "tpu"
+    auto = use_pallas is None and _pallas_clean_ok(
+        dirty, psf, interpret=False
+    )
+    forced = use_pallas and _pallas_clean_ok(
+        dirty, psf, interpret=interpret
+    )
+    if auto or forced:
+        return _hogbom_pallas(
+            dirty,
+            psf,
+            window,
+            gain=float(gain),
+            thresh=float(thresh),
+            niter=niter,
+            fracthresh=float(fracthresh),
+            stop_factor=0.9,
+            interpret=interpret,
+            has_window=window is not None,
+        )
     pmax = jnp.max(psf)
     psf_big = _pad_psf_like(psf, ny, nx)
     absthresh = jnp.maximum(thresh, fracthresh * jnp.max(jnp.abs(dirty)))

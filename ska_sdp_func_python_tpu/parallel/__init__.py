@@ -12,8 +12,10 @@ from .distributed import (
 )
 from .selfcal import distributed_ical
 from .fused import sharded_ical
+from . import multihost
 
 __all__ = [
+    "multihost",
     "make_mesh",
     "replicated",
     "shard_rows",

@@ -165,6 +165,19 @@ def sharded_ical(
     if shard not in ("baseline", "channel"):
         raise ValueError(f"unknown shard axis {shard!r}")
     ndev = mesh.shape[axis]
+    multiproc = jax.process_count() > 1
+    if multiproc and shard == "channel":
+        raise ValueError(
+            "shard='channel' assembles the PSF patch host-side and is "
+            "single-process; use shard='baseline' for multi-host runs "
+            "(its per-cycle collectives are O(nants^2 + grid), "
+            "independent of the visibility count)"
+        )
+    from .multihost import local_shard_indices, stack_shards_global
+
+    local_ds = (
+        local_shard_indices(mesh, axis) if multiproc else list(range(ndev))
+    )
     # every shard must stack onto the same w planes (range from the real
     # rows, before zero-weight padding)
     wl = vis.uvw_lambda[..., 2]
@@ -195,9 +208,10 @@ def sharded_ical(
         vis = _pad_baselines(vis, ndev)
         nbl_loc = vis.nbaselines // ndev
 
-    # per-shard workspaces (each builds its own plan = its own local sort)
+    # per-shard workspaces (each builds its own plan = its own local
+    # sort); a multi-process run constructs ONLY this process's shards
     workspaces = []
-    for d in range(ndev):
+    for d in local_ds:
         if shard == "channel":
             svis = _shard_slice_chan(vis, d, nch_loc)
             smodel = _model_slice_chan(model, d, nch_loc)
@@ -242,7 +256,7 @@ def sharded_ical(
         freq_g = jnp.asarray(model.frequency)
         w_m_g = moment_weights(freq_g, None, nmoment).astype(jnp.float32)
         w_pm_g = moment_weights(freq_g, None, nm_psf).astype(jnp.float32)
-        for d, w in enumerate(workspaces):
+        for d, w in zip(local_ds, workspaces):
             sl = slice(d * nch_loc, (d + 1) * nch_loc)
             w.mom_w = (w_m_g[sl], w_pm_g[sl])
     ws0 = workspaces[0]
@@ -255,13 +269,8 @@ def sharded_ical(
     # (even at one local channel) so the SPMD body is identical everywhere
     cube = cfg.nchan > 1 if shard == "baseline" else True
     states = [w.state(gwts, gress, cube=cube) for w in workspaces]
-    stacked = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs), *states
-    )
     sharding = NamedSharding(mesh, P(axis))
-    stacked = jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), stacked
-    )
+    stacked = stack_shards_global(states, local_ds, mesh, axis)
 
     # ---- PSF via the same sharded machinery ----
     # baseline shards: grid the local rows' weights, psum the uv grids;
@@ -323,7 +332,7 @@ def sharded_ical(
                     psf_cp(plans[c], state["wgt_s"][c][p], p)
                 )
         return pixels
-    psf_pixels = _psf_shard(stacked)
+    psf_pixels = jax.jit(_psf_shard)(stacked)
     psf = model.replace(pixels=psf_pixels.astype(model.pixels.dtype))
     from ..ops.deconvolution import bound_psf
 
@@ -334,9 +343,14 @@ def sharded_ical(
     if shard == "channel":
         # device d cleans its own channels against its own PSF channels
         patch_stacked = bp.reshape((ndev, nch_loc) + bp.shape[1:])
+        stacked["psf_patch"] = jax.device_put(patch_stacked, sharding)
     else:
-        patch_stacked = jnp.broadcast_to(bp[None], (ndev,) + bp.shape)
-    stacked["psf_patch"] = jax.device_put(patch_stacked, sharding)
+        # replicate-then-shard under jit so a multi-process run never
+        # needs an eagerly-addressable full array
+        stacked["psf_patch"] = jax.jit(
+            lambda b: jnp.broadcast_to(b[None], (ndev,) + b.shape),
+            out_shardings=sharding,
+        )(bp)
 
     if shard == "channel":
         # model/residual/sumwt live on the sharded channel axis; gains,

@@ -1,0 +1,123 @@
+"""Two-process multi-host integration test (VERDICT round-1 item 3).
+
+Spawns two real OS processes, each owning one CPU device, connected by
+the jax.distributed runtime. They run the production
+``parallel.sharded_ical`` (baseline-sharded fused self-cal) with
+process-local shard construction and cross-process collectives, and the
+result must match the single-process 2-device run.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_sharded_ical(tmp_path):
+    port = _free_port()
+    out = str(tmp_path / "mh.npz")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(HERE, "_multihost_worker.py"),
+                str(pid),
+                "2",
+                f"127.0.0.1:{port}",
+                out,
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=840)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, tail in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{tail[-4000:]}"
+    got = np.load(out)
+
+    # single-process 2-device reference on the virtual CPU mesh
+    import jax
+
+    from simul import make_visibility
+    from test_solvers import _simulate_gaintable
+
+    from ska_sdp_func_python_tpu.models import (
+        SkyComponents,
+        create_gaintable_from_visibility,
+    )
+    from ska_sdp_func_python_tpu.ops import (
+        apply_gaintable,
+        create_image_from_visibility,
+        dft_skycomponent_visibility,
+    )
+    from ska_sdp_func_python_tpu.parallel import make_mesh, sharded_ical
+
+    rng = np.random.default_rng(1805550721)
+    pc = (0.0, np.deg2rad(-35.0))
+    vis = make_visibility(
+        nants=10, ntimes=4, nchan=1, rmax=300.0, phasecentre=pc
+    )
+    model = create_image_from_visibility(
+        vis, npixel=128, oversampling=4.0, nchan=1
+    )
+    ra, dec = model.pixel_to_radec(128 // 2 + 9, 128 // 2 - 6)
+    comps = SkyComponents.from_lists(
+        [[float(ra), float(dec)]], [[[1.3]]], vis.frequency
+    )
+    vis = dft_skycomponent_visibility(vis, comps)
+    gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+    gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+    corrupted = apply_gaintable(vis, gt_true)
+    mesh = make_mesh(shape=(2,), devices=jax.devices()[:2])
+    current, residual, restored, gts = sharded_ical(
+        corrupted,
+        model,
+        mesh,
+        context="ng",
+        nmajor=3,
+        calibration_context="T",
+        algorithm="hogbom",
+        niter=200,
+        gain=0.2,
+        fractional_threshold=0.01,
+    )
+    # identical SPMD program, identical shards; only the runtime differs
+    # (2 processes over gRPC vs 1 process), so results match tightly
+    assert np.max(np.abs(got["model"] - np.asarray(current.pixels))) < 1e-7
+    assert (
+        np.max(np.abs(got["residual"] - np.asarray(residual.pixels)))
+        < 1e-7
+    )
+    ga = np.asarray(gts["T"].gain)[..., 0, 0]
+    gb = got["gain"][..., 0, 0]
+    pa = ga * np.exp(-1j * np.angle(ga[:, :1]))
+    pb = gb * np.exp(-1j * np.angle(gb[:, :1]))
+    assert np.max(np.abs(pa - pb)) < 1e-7
+    assert float(np.max(np.abs(got["residual"]))) < 0.2
