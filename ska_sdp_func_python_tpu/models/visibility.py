@@ -45,7 +45,7 @@ __all__ = ["Visibility", "create_visibility_from_arrays", "C_M_S"]
         "antenna2",
         "phasecentre",
     ],
-    meta_fields=["polarisation_frame", "nants"],
+    meta_fields=["polarisation_frame", "nants", "station_diameter"],
 )
 @dataclasses.dataclass
 class Visibility:
@@ -70,6 +70,10 @@ class Visibility:
     phasecentre: jax.Array
     polarisation_frame: str = "stokesI"
     nants: int = 0
+    # minimum station/dish diameter [m] of the array configuration (the
+    # reference reads configuration.diameter for imaging advice,
+    # imaging/base.py:506); SKA-LOW station default
+    station_diameter: float = 35.0
 
     # --- shape accessors -------------------------------------------------
     @property
@@ -139,6 +143,7 @@ def create_visibility_from_arrays(
     phasecentre=(0.0, 0.0),
     polarisation_frame="stokesI",
     nants=None,
+    station_diameter=35.0,
 ) -> Visibility:
     """Convenience constructor filling defaults (zero vis, unit weight)."""
     uvw = jnp.asarray(uvw)
@@ -211,4 +216,5 @@ def create_visibility_from_arrays(
         phasecentre=jnp.asarray(phasecentre),
         polarisation_frame=frame,
         nants=int(nants),
+        station_diameter=float(station_diameter),
     )

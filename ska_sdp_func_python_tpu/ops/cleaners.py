@@ -384,7 +384,12 @@ def create_scalestack(npixel_y: int, npixel_x: int, scales, norm=True):
     stacks = []
     for scale in scales:
         if scale > 0:
-            r = jnp.sqrt((iy**2 + ix**2).astype(jnp.float64)) / (scale / 2.0)
+            # f64 on CPU (x64 parity tests); TPU has no f64 — avoid the
+            # truncation warning by requesting only what exists
+            rdt = (
+                jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            )
+            r = jnp.sqrt((iy**2 + ix**2).astype(rdt)) / (scale / 2.0)
             blob = grdsf(jnp.minimum(r, 1.0))[0] * (1.0 - r**2)
             blob = jnp.where(r < 1.0, blob, 0.0)
             blob = jnp.maximum(blob, 0.0)

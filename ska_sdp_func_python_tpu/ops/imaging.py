@@ -16,6 +16,7 @@ Sign conventions (verified against the DFT in tests/test_imaging.py):
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass as _dataclass
 from functools import partial
 
@@ -27,6 +28,8 @@ from ..models.image import Image, create_image
 from ..models.polarisation import convert_pol_frame
 from ..models.visibility import Visibility, C_M_S
 from .fft import extract_mid, fft, ifft, pad_mid
+
+log = logging.getLogger("ska-sdp-func-python-tpu")
 from .gridding import (
     _es_beta,
     convolutional_degrid,
@@ -997,59 +1000,113 @@ def advise_wide_field(
     oversampling_synthesised_beam: float = 3.0,
     guard_band_image: float = 6.0,
     facets: int = 1,
-    wprojection_planes: int = 1,
     verbose: bool = False,
 ) -> dict:
     """Advice on imaging parameters (imaging/base.py:441-790), host-side.
 
-    Returns a dict with the same keys the reference provides (field of view,
-    cellsize, npixels, w sampling, time/frequency sampling).
+    Key-for-key identical output set to the reference: wavelength/uv
+    extrema, primary-beam/image/facet fields of view, synthesized beam,
+    cellsize, npixels rounded to 2 / {2,3} / {2,3,4,5}-smooth sizes, w /
+    time / frequency sampling at image, facet and primary-beam scales,
+    and w-stack / w-projection plane counts with kernel support at both
+    the image and primary-beam field of view. The station/dish diameter
+    comes from the visibility's configuration metadata
+    (``vis.station_diameter``, cf. configuration.diameter at
+    imaging/base.py:506).
     """
-    max_wavelength = C_M_S / np.min(np.asarray(vis.frequency))
-    min_wavelength = C_M_S / np.max(np.asarray(vis.frequency))
+    freq = np.asarray(vis.frequency)
+    max_wavelength = C_M_S / np.min(freq)
+    min_wavelength = C_M_S / np.max(freq)
     uvw = np.asarray(vis.uvw)
     maximum_baseline = (
         np.max(np.abs(uvw)) / min_wavelength if uvw.size else 1.0
     )
     maximum_w = np.max(np.abs(uvw[..., 2])) / min_wavelength
+    if maximum_baseline <= 0.0:
+        raise ValueError("Error in UVW coordinates: all uvw are zero")
 
-    diameter = 35.0  # SKA-ish default dish diameter [m]
+    diameter = float(getattr(vis, "station_diameter", 35.0) or 35.0)
+    if diameter <= 0.0:
+        raise ValueError("Station/dish diameter must be greater than zero")
     primary_beam_fov = max_wavelength / diameter
     image_fov = primary_beam_fov * guard_band_image
-    facet_fov = image_fov / facets
+    facet_fov = (
+        primary_beam_fov * guard_band_image / facets
+        if facets > 1
+        else image_fov
+    )
 
-    synthesized_beam = 1.0 / maximum_baseline if maximum_baseline > 0 else 1.0
+    synthesized_beam = 1.0 / maximum_baseline
     cellsize = synthesized_beam / oversampling_synthesised_beam
 
-    def pow2(x):
-        return int(2 ** np.ceil(np.log2(max(x, 1))))
+    def pwr2(n):
+        return int(2 ** int(np.ceil(np.log(n) / np.log(2.0))))
+
+    def pwr23(n):
+        best = pwr2(n)
+        if best * 3 // 4 >= n:
+            best = best * 3 // 4
+        return best
+
+    def pwr2345(n):
+        # smallest {2,3,4,5}-power >= n (base.py:563-575 without pyfftw)
+        number = np.array([2, 3, 4, 5])
+        ex = np.ceil(np.log(n) / np.log(number)).astype("int")
+        return int(min(np.power(number[:], ex[:])))
 
     npixels = int(round(image_fov / cellsize))
-    npixels2 = pow2(npixels)
+    npixels2 = pwr2(npixels)
+    npixels23 = pwr23(npixels)
+    npixels_min = pwr2345(npixels)
 
-    # Cornwell, Golap & Bhatnagar 2012 eq. 24
+    # Cornwell, Humphreys & Voronkov (2012) eq. 24
     w_sampling_image = np.sqrt(2.0 * delA) / (np.pi * image_fov**2)
+    w_sampling_facet = (
+        np.sqrt(2.0 * delA) / (np.pi * facet_fov**2)
+        if facets > 1
+        else w_sampling_image
+    )
     w_sampling_primary_beam = np.sqrt(2.0 * delA) / (
         np.pi * primary_beam_fov**2
     )
-    wstep = w_sampling_primary_beam
-    vis_slices = (
-        max(1, int(round(maximum_w / wstep))) if wstep > 0 else 1
-    )
 
-    freq = np.asarray(vis.frequency)
+    time_sampling_image = 86400.0 * (synthesized_beam / image_fov)
+    time_sampling_primary_beam = 86400.0 * (
+        synthesized_beam / primary_beam_fov
+    )
     max_freq = np.max(freq)
-    # 10% smearing limits
-    time_sampling_image = 86400.0 * synthesized_beam / (2 * np.pi * image_fov)
-    freq_sampling_image = (
-        max_freq * synthesized_beam / image_fov if image_fov > 0 else max_freq
+    freq_sampling_image = max_freq * (synthesized_beam / image_fov)
+    freq_sampling_primary_beam = max_freq * (
+        synthesized_beam / primary_beam_fov
     )
 
-    return {
+    wstep_primary_beam = w_sampling_primary_beam
+    vis_slices_primary_beam = max(
+        1, int(2 * maximum_w / wstep_primary_beam)
+    )
+    wprojection_planes_primary_beam = vis_slices_primary_beam
+    nwpixels_primary_beam = int(
+        2.0 * wprojection_planes_primary_beam * primary_beam_fov
+    )
+    nwpixels_primary_beam -= nwpixels_primary_beam % 2
+
+    wstep_image = w_sampling_image
+    vis_slices_image = max(1, int(2 * maximum_w / wstep_image))
+    wprojection_planes_image = vis_slices_image
+    nwpixels_image = int(2.0 * wprojection_planes_image * image_fov)
+    nwpixels_image -= nwpixels_image % 2
+
+    advice = {
+        "delA": delA,
+        "oversampling_synthesised_beam": oversampling_synthesised_beam,
+        "guard_band_image": guard_band_image,
+        "facets": facets,
+        "verbose": verbose,
         "max_wavelength": max_wavelength,
         "min_wavelength": min_wavelength,
         "maximum_baseline": maximum_baseline,
         "maximum_w": maximum_w,
+        "diameter": diameter,
         "primary_beam_fov": primary_beam_fov,
         "image_fov": image_fov,
         "facet_fov": facet_fov,
@@ -1057,13 +1114,35 @@ def advise_wide_field(
         "cellsize": cellsize,
         "npixels": npixels,
         "npixels2": npixels2,
+        "npixels23": npixels23,
+        "npixels_min": npixels_min,
         "w_sampling_image": w_sampling_image,
+        "w_sampling_facet": w_sampling_facet,
         "w_sampling_primary_beam": w_sampling_primary_beam,
-        "wstep": wstep,
-        "vis_slices": vis_slices,
         "time_sampling_image": time_sampling_image,
+        "time_sampling_primary_beam": time_sampling_primary_beam,
+        "max_freq": max_freq,
         "freq_sampling_image": freq_sampling_image,
+        "freq_sampling_primary_beam": freq_sampling_primary_beam,
+        "wstep_primary_beam": wstep_primary_beam,
+        "vis_slices_primary_beam": vis_slices_primary_beam,
+        "wprojection_planes_primary_beam": (
+            wprojection_planes_primary_beam
+        ),
+        "nwpixels_primary_beam": nwpixels_primary_beam,
+        "wstep_image": wstep_image,
+        "vis_slices_image": vis_slices_image,
+        "wprojection_planes_image": wprojection_planes_image,
+        "nwpixels_image": nwpixels_image,
+        # convenience aliases (round-1 API; primary-beam advice is the
+        # reference's default recommendation)
+        "wstep": wstep_primary_beam,
+        "vis_slices": vis_slices_primary_beam,
     }
+    if verbose:
+        for k, v in advice.items():
+            log.info("advise_wide_field: (%s) %s", k, v)
+    return advice
 
 
 # --------------------------------------------------------------------------

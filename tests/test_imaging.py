@@ -148,6 +148,65 @@ class TestWeighting:
         )
         assert float(jnp.sum(wv_r.imaging_weight)) > 0
 
+    @staticmethod
+    def _reference_weights(vis, model, weighting, robustness):
+        """The reference's numpy algorithm, transcribed from
+        grid_data/gridding.py:258-332 (density grid with conjugate
+        points) and :413-489 (uniform / Briggs-robust reweighting,
+        Briggs thesis eqs. 3.15-3.16)."""
+        npixel = model.npixel
+        scale = npixel * model.cellsize
+        uvw_l = np.asarray(vis.uvw_lambda)
+        u_pix = -uvw_l[..., 0] * scale + npixel // 2
+        v_pix = uvw_l[..., 1] * scale + npixel // 2
+        fw = np.asarray(vis.flagged_weight)
+        T, B, F, P = fw.shape
+        iu = np.round(u_pix).astype(int).ravel()
+        iv = np.round(v_pix).astype(int).ravel()
+        iuc, ivc = npixel - iu, npixel - iv
+        ok = (
+            (iu >= 0) & (iu < npixel) & (iv >= 0) & (iv < npixel)
+            & (iuc >= 0) & (iuc < npixel) & (ivc >= 0) & (ivc < npixel)
+        )
+        out = np.zeros_like(fw)
+        for pol in range(P):
+            wts = fw[..., pol].ravel()
+            grid = np.zeros((npixel, npixel))
+            np.add.at(grid, (iv[ok], iu[ok]), wts[ok])
+            np.add.at(grid, (ivc[ok], iuc[ok]), wts[ok])
+            sumwt = 2.0 * wts[ok].sum()
+            gdwt = np.where(ok, grid[np.clip(iv, 0, npixel - 1),
+                                     np.clip(iu, 0, npixel - 1)], 0.0)
+            new = np.zeros_like(wts)
+            pos = ok & (gdwt > 0)
+            if weighting == "uniform":
+                new[pos] = wts[pos] / gdwt[pos]
+            else:
+                sumlocwt = np.sum(grid**2)
+                f2 = (
+                    (5.0 * 10.0 ** (-robustness)) ** 2 * sumwt / sumlocwt
+                )
+                new[pos] = wts[pos] / (1.0 + f2 * gdwt[pos])
+            out[..., pol] = new.reshape(T, B, F)
+        return out
+
+    def test_uniform_weighting_matches_reference_formula(self):
+        vis, model = _vis_and_image()
+        wv = weight_visibility(vis, model, weighting="uniform")
+        ref = self._reference_weights(vis, model, "uniform", 0.0)
+        got = np.asarray(wv.flagged_imaging_weight)
+        assert np.max(np.abs(got - ref)) < 1e-10, np.max(np.abs(got - ref))
+
+    def test_robust_weighting_matches_reference_formula(self):
+        vis, model = _vis_and_image()
+        for robustness in (-2.0, 0.0, 2.0):
+            wv = weight_visibility(
+                vis, model, weighting="robust", robustness=robustness
+            )
+            ref = self._reference_weights(vis, model, "robust", robustness)
+            got = np.asarray(wv.flagged_imaging_weight)
+            assert np.max(np.abs(got - ref)) < 1e-10, robustness
+
     def test_gaussian_taper_reduces_long_baselines(self):
         vis, model = _vis_and_image()
         tv = taper_visibility_gaussian(vis, beam=0.01)
@@ -176,6 +235,91 @@ class TestAdvise:
             assert key in advice
         assert advice["cellsize"] > 0
         assert advice["npixels2"] >= 2
+
+    def test_advise_matches_reference_formulas(self):
+        """Key-for-key comparison against the reference's advice formulas
+        (imaging/base.py:441-790), transcribed here with numpy."""
+        vis, _ = _vis_and_image()
+        delA, osb, guard, facets = 0.02, 3.0, 6.0, 2
+        advice = advise_wide_field(
+            vis, delA=delA, oversampling_synthesised_beam=osb,
+            guard_band_image=guard, facets=facets,
+        )
+        C = 299792458.0
+        freq = np.asarray(vis.frequency)
+        max_wl = C / freq.min()
+        min_wl = C / freq.max()
+        uvw = np.asarray(vis.uvw)
+        max_bl = np.max(np.abs(uvw)) / min_wl
+        max_w = np.max(np.abs(uvw[..., 2])) / min_wl
+        diameter = vis.station_diameter
+        pb_fov = max_wl / diameter
+        image_fov = pb_fov * guard
+        facet_fov = pb_fov * guard / facets
+        syn_beam = 1.0 / max_bl
+        cellsize = syn_beam / osb
+        npixels = int(round(image_fov / cellsize))
+
+        def pwr2(n):
+            return int(2 ** int(np.ceil(np.log(n) / np.log(2.0))))
+
+        def pwr23(n):
+            best = pwr2(n)
+            return best * 3 // 4 if best * 3 // 4 >= n else best
+
+        def pwr2345(n):
+            number = np.array([2, 3, 4, 5])
+            ex = np.ceil(np.log(n) / np.log(number)).astype("int")
+            return int(min(np.power(number[:], ex[:])))
+
+        w_s_img = np.sqrt(2.0 * delA) / (np.pi * image_fov**2)
+        w_s_fac = np.sqrt(2.0 * delA) / (np.pi * facet_fov**2)
+        w_s_pb = np.sqrt(2.0 * delA) / (np.pi * pb_fov**2)
+        expected = {
+            "max_wavelength": max_wl,
+            "min_wavelength": min_wl,
+            "maximum_baseline": max_bl,
+            "maximum_w": max_w,
+            "diameter": diameter,
+            "primary_beam_fov": pb_fov,
+            "image_fov": image_fov,
+            "facet_fov": facet_fov,
+            "synthesized_beam": syn_beam,
+            "cellsize": cellsize,
+            "npixels": npixels,
+            "npixels2": pwr2(npixels),
+            "npixels23": pwr23(npixels),
+            "npixels_min": pwr2345(npixels),
+            "w_sampling_image": w_s_img,
+            "w_sampling_facet": w_s_fac,
+            "w_sampling_primary_beam": w_s_pb,
+            "time_sampling_image": 86400.0 * syn_beam / image_fov,
+            "time_sampling_primary_beam": 86400.0 * syn_beam / pb_fov,
+            "max_freq": freq.max(),
+            "freq_sampling_image": freq.max() * syn_beam / image_fov,
+            "freq_sampling_primary_beam": freq.max() * syn_beam / pb_fov,
+            "wstep_primary_beam": w_s_pb,
+            "vis_slices_primary_beam": max(1, int(2 * max_w / w_s_pb)),
+            "wstep_image": w_s_img,
+            "vis_slices_image": max(1, int(2 * max_w / w_s_img)),
+        }
+        expected["wprojection_planes_primary_beam"] = expected[
+            "vis_slices_primary_beam"
+        ]
+        expected["wprojection_planes_image"] = expected["vis_slices_image"]
+        nw_pb = int(2.0 * expected["vis_slices_primary_beam"] * pb_fov)
+        expected["nwpixels_primary_beam"] = nw_pb - nw_pb % 2
+        nw_im = int(2.0 * expected["vis_slices_image"] * image_fov)
+        expected["nwpixels_image"] = nw_im - nw_im % 2
+        for key, val in expected.items():
+            assert key in advice, key
+            assert np.isclose(advice[key], val, rtol=1e-12), (
+                key, advice[key], val,
+            )
+        # the reference also returns the call parameters
+        for key in ("delA", "oversampling_synthesised_beam",
+                    "guard_band_image", "facets", "verbose"):
+            assert key in advice
 
 
 class TestWInterpAccuracy:
