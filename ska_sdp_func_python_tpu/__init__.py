@@ -32,6 +32,10 @@ import os as _os
 if (
     not _os.environ.get("SKA_SDP_TPU_NO_JIT_CACHE")
     and _jax.config.jax_compilation_cache_dir is None
+    # CPU-pinned runs (tests) gain nothing from the cache, and XLA:CPU
+    # AOT entries record pseudo-features (prefer-no-scatter/gather) the
+    # loader flags as machine mismatches even on the same host
+    and _jax.config.jax_platforms != "cpu"
 ):
     # Key the cache directory by a host-machine fingerprint: XLA:CPU AOT
     # entries embed machine features (AVX level etc.), and reloading a

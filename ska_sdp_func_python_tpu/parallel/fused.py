@@ -165,6 +165,13 @@ def sharded_ical(
     if shard not in ("baseline", "channel"):
         raise ValueError(f"unknown shard axis {shard!r}")
     ndev = mesh.shape[axis]
+    if shard == "channel" and "B" in calibration_context:
+        raise ValueError(
+            "bandpass ('B') solves per GLOBAL frequency channel; with "
+            "channel-sharded data each device only holds a local "
+            "channel slice, so the per-channel normal equations cannot "
+            "assemble by psum — use shard='baseline' for B contexts"
+        )
     multiproc = jax.process_count() > 1
     if multiproc and shard == "channel":
         raise ValueError(

@@ -223,6 +223,9 @@ class _FusedTermCfg(typing.NamedTuple):
     name: str
     phase_only: bool
     first_selfcal: int
+    # per-channel gaintable (bandpass "B"): normal equations keep the
+    # frequency axis and the inverse-apply factors are per (t, b, f)
+    per_chan: bool = False
 
 
 class _FusedCfg(typing.NamedTuple):
@@ -290,14 +293,24 @@ def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
         xe = corrected * jnp.conj(mvis) * fw.astype(corrected.dtype)
         we = (jnp.real(mvis) ** 2 + jnp.imag(mvis) ** 2) * fw
         w_t = cal["w_t"]
-        xb = jnp.einsum("st,tbfp->sbp", w_t.astype(xe.dtype), xe)[
-            :, :, None, :
-        ]
-        wb = jnp.einsum("st,tbfp->sbp", w_t, we)[:, :, None, :]
+        if term.per_chan:
+            # bandpass: solve every frequency channel separately —
+            # the normal equations keep the channel axis
+            # (chain_calibration.py "B" semantics)
+            xb = jnp.einsum("st,tbfp->sbfp", w_t.astype(xe.dtype), xe)
+            wb = jnp.einsum("st,tbfp->sbfp", w_t, we)
+        else:
+            xb = jnp.einsum("st,tbfp->sbp", w_t.astype(xe.dtype), xe)[
+                :, :, None, :
+            ]
+            wb = jnp.einsum("st,tbfp->sbp", w_t, we)[:, :, None, :]
+        nchan_sol = xb.shape[2]
         nsol = w_t.shape[0]
         nants = gains[it].shape[1]
-        x = czeros((nsol, nants, nants, 1, npol), xb.dtype)
-        xwt = jnp.zeros((nsol, nants, nants, 1, npol), dtype=wb.dtype)
+        x = czeros((nsol, nants, nants, nchan_sol, npol), xb.dtype)
+        xwt = jnp.zeros(
+            (nsol, nants, nants, nchan_sol, npol), dtype=wb.dtype
+        )
         x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
         xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
         if psum_axis is not None:
@@ -339,13 +352,14 @@ def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
             gain_new = gain_new / gabs.astype(gain_new.dtype)
         new_gains[it], gwts[it], gress[it] = gain_new, gwt, gres
 
-        gg = gain_new[cal["row_idx"]]  # [ntime, nants, 1, nrec, nrec]
-        hr = cal["has_row"][:, None]
+        # [ntime, nants, Fc, nrec, nrec] with Fc = 1 (T/G) or nchan (B)
+        gg = gain_new[cal["row_idx"]]
+        hr = cal["has_row"][:, None, None]
         inv_pols = []
         for r1, r2 in recs:
-            g1 = jnp.take(gg[:, :, 0, r1, r1], a1, axis=1)
-            g2 = jnp.take(gg[:, :, 0, r2, r2], a2, axis=1)
-            sm = g1 * jnp.conj(g2)  # [ntime, nbl]
+            g1 = jnp.take(gg[:, :, :, r1, r1], a1, axis=1)
+            g2 = jnp.take(gg[:, :, :, r2, r2], a2, axis=1)
+            sm = g1 * jnp.conj(g2)  # [ntime, nbl, Fc]
             m2 = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
             ok = m2 > 0.0
             inv_p = jnp.where(
@@ -361,8 +375,9 @@ def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
                     jnp.ones(inv_p.shape, jnp.float32).astype(inv_p.dtype),
                 )
             )
-        inv = jnp.stack(inv_pols, axis=-1)  # [ntime, nbl, npol]
-        corrected = corrected * inv[:, :, None, :]
+        inv = jnp.stack(inv_pols, axis=-1)  # [ntime, nbl, Fc, npol]
+        # apply over the vis channel axis (Fc broadcasts when 1)
+        corrected = corrected * inv
         inv_tot = inv if inv_tot is None else inv_tot * inv
     return new_gains, gwts, gress, inv_tot
 
@@ -457,8 +472,10 @@ def _fused_selfcal_cycle(
             )
             ops = []
             for p in range(npol):
+                # inv_tot's channel axis is 1 (T/G, broadcast over the
+                # plan's channel span) or nf_c (bandpass, per channel)
                 f_p = jnp.broadcast_to(
-                    inv_tot[:, :, None, p],
+                    inv_tot[:, :, :, p],
                     inv_tot.shape[:2] + (nf_c,),
                 ).reshape(-1)
                 ops.extend([jnp.real(f_p), jnp.imag(f_p)])
@@ -584,12 +601,16 @@ def _fused_selfcal_cycle_cube(
         new_gains, gwts, gress, inv_tot = _solve_terms(
             state, cfg, gains, do_cal, mvis, psum_axis or channel_axis
         )
-        # factor streams: same (t, b) factor for every channel, sorted
-        # into each channel plan's order with one vmapped multi-payload
-        # sort over the stacked rank keys
-        flat = inv_tot.transpose(2, 0, 1).reshape(npol, -1)
+        # factor streams sorted into each channel plan's order with one
+        # vmapped multi-payload sort over the stacked rank keys. T/G
+        # factors are per (t, b) (broadcast over channels); bandpass
+        # factors carry their own channel axis (Fc = nchan)
+        inv_bc = jnp.broadcast_to(
+            inv_tot, inv_tot.shape[:2] + (nchan, npol)
+        )
+        perchan = inv_bc.transpose(2, 3, 0, 1).reshape(nchan, npol, -1)
 
-        def sort_chan(rank):
+        def sort_chan(rank, flat):
             ops = []
             for p in range(npol):
                 ops.extend([jnp.real(flat[p]), jnp.imag(flat[p])])
@@ -601,7 +622,9 @@ def _fused_selfcal_cycle_cube(
                 ]
             )
 
-        inv_sa = jax.vmap(sort_chan)(plans.gp.rank)  # [nchan, npol, n]
+        inv_sa = jax.vmap(sort_chan)(
+            plans.gp.rank, perchan
+        )  # [nchan, npol, n]
         corr = obs_sa * inv_sa
     else:
         corr = obs_sa
@@ -756,11 +779,13 @@ def _fused_clean(
 class _FusedSelfCal(_SortedWorkspace):
     """Device-resident workspace for :func:`_fused_selfcal_cycle`.
 
-    Supports the fully-fusable configurations: diagonal Jones terms with
-    single-channel gaintables (any combination of "T"/"G"; bandpass "B"
-    excluded), npol 1/2/4 visibilities in the model's polarisation frame,
-    and windowless hogbom/msclean deconvolution. ``pipeline.ical`` falls
-    back to the composed path otherwise.
+    Supports the fully-fusable configurations: diagonal Jones terms —
+    any combination of "T"/"G" (single-channel gaintables) and "B"
+    (per-channel bandpass; the normal equations keep the frequency axis
+    and the inverse factors are per (t, b, f)) — npol 1/2/4 visibilities
+    in the model's polarisation frame, and windowless hogbom/msclean
+    deconvolution. ``pipeline.ical`` falls back to the composed path
+    otherwise.
     """
 
     def __init__(
@@ -808,6 +833,7 @@ class _FusedSelfCal(_SortedWorkspace):
                     name=name,
                     phase_only=controls[name]["phase_only"],
                     first_selfcal=controls[name]["first_selfcal"],
+                    per_chan=gt0.gain.shape[2] > 1,
                 )
             )
         self.a1 = jnp.asarray(vis.antenna1, jnp.int32)
@@ -1082,7 +1108,6 @@ def ical(
             vis.npol == 1
             or vis.polarisation_frame == model.polarisation_frame
         )
-        and "B" not in calibration_context
         and all(
             controls[c]["shape"] in ("scalar", "vector")
             for c in calibration_context
