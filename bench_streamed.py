@@ -1,0 +1,179 @@
+"""Streamed (out-of-core) self-cal at the 100M+ visibility scale
+(BASELINE config 5 infrastructure on one chip; VERDICT round-1 item 4).
+
+Generates a synthetic SKA-LOW-like store on disk (point source at the
+phase centre corrupted by per-(time, antenna) phases), then runs
+``streaming.streamed_ical``: per time slab the C++ store prefetches
+while the device builds the slab plan, degrids, solves the slab's gain
+intervals and grids the corrected residual; uv grids accumulate across
+slabs; one FFT tail + CLEAN per cycle.
+
+Prints one JSON line per phase and a summary with Mvis/s through the
+full streamed cycle and the 1B-vis extrapolation.
+
+Run: python bench_streamed.py [--nvis 100e6] [--npixel 1024]
+     [--chunk-times 200] [--nmajor 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
+
+
+def make_store(path, nvis_target, nants, seed=11):
+    """Pure-numpy store generation (never touches the device: the axon
+    tunnel cannot transfer complex arrays, and 100M+ rows should go
+    straight from host RAM to disk)."""
+    from simul import random_array_xyz
+    from ska_sdp_func_python_tpu.utils.coordinates import xyz_to_uvw
+    from ska_sdp_func_python_tpu.io import write_visibility_arrays
+
+    rng = np.random.default_rng(seed)
+    ants = random_array_xyz(nants, rmax=2000.0, seed=seed)
+    a1, a2 = np.triu_indices(nants, 1)
+    nbl = len(a1)
+    ntimes = max(2, int(round(nvis_target / nbl)))
+    dec = np.deg2rad(-35.0)
+    has = np.linspace(-np.pi / 6.0, np.pi / 6.0, ntimes)
+    t0 = time.time()
+    # vectorised earth-rotation synthesis (same math as
+    # utils.coordinates.xyz_to_uvw, batched over hour angles)
+    blines = ants[a2] - ants[a1]  # [nbl, 3]
+    ch, sh = np.cos(has), np.sin(has)
+    cd, sd = np.cos(dec), np.sin(dec)
+    rot = np.zeros((ntimes, 3, 3))
+    rot[:, 0, 0] = ch
+    rot[:, 0, 1] = -sh
+    rot[:, 1, 0] = sh * sd
+    rot[:, 1, 1] = ch * sd
+    rot[:, 1, 2] = cd
+    rot[:, 2, 0] = -sh * cd
+    rot[:, 2, 1] = -ch * cd
+    rot[:, 2, 2] = sd
+    uvw = np.einsum("tij,bj->tbi", rot, blines)
+    # per-antenna phase offsets with a slow drift (the "T" corruption);
+    # kept mild so the cycle-0 (uncalibrated) image still sees the
+    # source — the standard self-cal starting condition
+    walk = rng.normal(0.0, 0.005, (ntimes, nants)).cumsum(axis=0)
+    phases = rng.normal(0.0, 0.3, (1, nants)) + walk
+    g = np.exp(1j * phases)  # [ntimes, nants]
+    flux = 2.0
+    vis = (flux * g[:, a1] * np.conj(g[:, a2]))[:, :, None, None]
+    tsec = has * 86164.1 / (2 * np.pi)
+    print(
+        f"# generated {ntimes * nbl / 1e6:.1f}M vis "
+        f"({nants} ants, {ntimes} times) in {time.time()-t0:.0f}s",
+        file=sys.stderr, flush=True,
+    )
+    t0 = time.time()
+    write_visibility_arrays(
+        path,
+        uvw=uvw,
+        time=tsec,
+        frequency=np.asarray([1.2e8]),
+        antenna1=a1.astype(np.int32),
+        antenna2=a2.astype(np.int32),
+        vis=vis.astype(np.complex64),
+        chunk_times=64,
+    )
+    sz = os.path.getsize(path) / 1e9
+    print(
+        f"# store written: {sz:.2f} GB in {time.time()-t0:.0f}s",
+        file=sys.stderr, flush=True,
+    )
+    return ntimes * nbl, np.asarray([0.0, dec])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nvis", type=float, default=100e6)
+    ap.add_argument("--npixel", type=int, default=1024)
+    ap.add_argument("--chunk-times", type=int, default=200)
+    ap.add_argument("--nmajor", type=int, default=3)
+    ap.add_argument("--nants", type=int, default=274)
+    ap.add_argument("--path", default="/tmp/stream_bench.svis")
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+
+    from ska_sdp_func_python_tpu.models import Image
+    from ska_sdp_func_python_tpu.streaming import streamed_ical
+    from ska_sdp_func_python_tpu.models.image import create_image
+
+    if not os.path.exists(args.path):
+        nvis, pc = make_store(args.path, args.nvis, args.nants)
+    else:
+        from ska_sdp_func_python_tpu.io import VisStore
+
+        with VisStore(args.path) as s:
+            nvis = s.ntime * s.nbl * s.nchan
+        pc = jnp.asarray([0.0, np.deg2rad(-35.0)])
+        print(f"# reusing store ({nvis/1e6:.1f}M vis)", file=sys.stderr)
+
+    model = create_image(
+        npixel=args.npixel,
+        cellsize=5e-5,
+        phasecentre=np.asarray(pc),
+        frequency=np.asarray([1.2e8]),
+        polarisation_frame="stokesI",
+    )
+
+    kw = dict(
+        chunk_times=args.chunk_times,
+        calibration_context="T",
+        context="ng",
+        algorithm="hogbom",
+        niter=300,
+        gain=0.2,
+        fractional_threshold=0.01,
+    )
+    # warmup: compile every slab-step signature once (remote compiles
+    # are 30-120 s each and would otherwise be billed to cycle 0)
+    t0 = time.time()
+    streamed_ical(args.path, model, np.asarray(pc), nmajor=1, **kw)
+    print(
+        f"# warmup (compiles + 1 cycle): {time.time()-t0:.0f}s",
+        file=sys.stderr, flush=True,
+    )
+    t0 = time.time()
+    current, residual, restored, gt = streamed_ical(
+        args.path, model, np.asarray(pc), nmajor=args.nmajor, **kw
+    )
+    peak = float(jnp.max(restored.pixels))
+    res = float(jnp.max(jnp.abs(residual.pixels)))
+    wall = time.time() - t0
+    per_cycle = wall / args.nmajor
+    mvis_s = nvis / per_cycle / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": "streamed_ical_mvis_per_s",
+                "value": round(mvis_s, 2),
+                "unit": f"Mvis/s per major cycle ({nvis/1e6:.0f}M vis, "
+                f"{args.npixel}^2, incl. IO+plans+solve+clean)",
+                "vs_baseline": None,
+                "wall_s": round(wall, 1),
+                "cycles": args.nmajor,
+                "restored_peak_jy": round(peak, 4),
+                "peak_residual": round(res, 5),
+                "extrapolated_1B_per_cycle_s": round(
+                    1e9 / (mvis_s * 1e6), 1
+                ),
+            }
+        ),
+        flush=True,
+    )
+    if not args.keep:
+        os.remove(args.path)
+
+
+if __name__ == "__main__":
+    main()

@@ -67,4 +67,4 @@ if (
     _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 from . import models, ops, parallel, utils  # noqa: F401
-from . import pipeline  # noqa: F401
+from . import pipeline, streaming  # noqa: F401

@@ -67,10 +67,48 @@ def _ptr(arr, ctype):
     return arr.ctypes.data_as(ctypes.POINTER(ctype))
 
 
+def write_visibility_arrays(
+    path: str,
+    *,
+    uvw,
+    time,
+    frequency,
+    antenna1,
+    antenna2,
+    vis,
+    weight=None,
+    flags=None,
+    chunk_times: int = 16,
+):
+    """Write raw numpy arrays to the native store (no device round
+    trip — the axon tunnel cannot transfer complex arrays, and store
+    generation at the 100M+ scale should never touch the device).
+
+    ``vis`` is complex [ntime, nbl, nchan, npol]; ``weight``/``flags``
+    default to ones/zeros.
+    """
+    ntime, nbl, nchan, npol = vis.shape
+    if weight is None:
+        weight = np.ones(vis.shape, np.float32)
+    if flags is None:
+        flags = np.zeros(vis.shape, np.uint8)
+
+    class _V:
+        pass
+
+    v = _V()
+    v.vis, v.weight, v.flags = vis, weight, flags
+    v.frequency, v.time = frequency, time
+    v.antenna1, v.antenna2, v.uvw = antenna1, antenna2, uvw
+    return write_visibility(v, path, chunk_times=chunk_times)
+
+
 def write_visibility(vis, path: str, chunk_times: int = 16):
-    """Write a Visibility pytree to the native store."""
+    """Write a Visibility pytree (or any object with numpy-compatible
+    vis/weight/flags/uvw/time/frequency/antenna1/antenna2) to the
+    native store."""
     lib = _load_lib()
-    ntime, nbl, nchan, npol = vis.vis.shape
+    ntime, nbl, nchan, npol = np.shape(vis.vis)
     handle = lib.svis_create(
         path.encode(), ntime, nbl, nchan, npol
     )

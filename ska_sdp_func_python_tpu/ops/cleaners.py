@@ -162,22 +162,108 @@ def _hogbom_pallas_kernel(
     jax.lax.while_loop(cond, body, (jnp.int32(0), False))
 
 
+def _hogbom_pallas_list_kernel(
+    dirty_ref,
+    canvas_ref,
+    win_ref,
+    comps_ref,
+    res_ref,
+    *,
+    nx: int,
+    py_lo: int,
+    py_hi: int,
+    px_lo: int,
+    px_hi: int,
+    gain: float,
+    thresh: float,
+    fracthresh: float,
+    niter: int,
+    stop_factor: float,
+):
+    """Large-image variant: components are emitted as a compact
+    [niter, 128] (y, x, val, used) row list instead of an image, and the
+    residual aliases the dirty input — VMEM holds res + canvas + one
+    temporary, which fits 1024^2 f32."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    canvas = canvas_ref[...]
+    pmax = jnp.max(canvas)
+    psf_c = canvas[0, 0]
+    absthresh = jnp.maximum(
+        jnp.float32(thresh),
+        jnp.float32(fracthresh) * jnp.max(jnp.abs(res_ref[...])),
+    )
+    ny_, nx_ = res_ref.shape
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ny_, nx_), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ny_, nx_), 1)
+    lin = rr * nx + cc
+    win = win_ref[...] if win_ref is not None else None
+    comps_ref[...] = jnp.zeros_like(comps_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def cond(carry):
+        i, done = carry
+        return (i < niter) & jnp.logical_not(done)
+
+    def body(carry):
+        i, _ = carry
+        res = res_ref[...]
+        search = jnp.abs(res * win) if win is not None else jnp.abs(res)
+        m = jnp.max(search)
+        best = jnp.min(
+            jnp.where(search == m, lin, jnp.int32(ny_ * nx))
+        )
+        myi = best // nx
+        mxi = best - myi * nx
+        val = jnp.sum(jnp.where(lin == best, res, 0.0))
+        mval = val * gain / pmax
+        rolled = pltpu.roll(pltpu.roll(canvas, myi, 0), mxi, 1)
+        dy = rr - myi
+        dx = cc - mxi
+        valid = (
+            (dy >= py_lo) & (dy < py_hi) & (dx >= px_lo) & (dx < px_hi)
+        )
+        res_ref[...] = res - jnp.where(valid, rolled, 0.0) * mval
+        row = (
+            jnp.where(col == 0, myi.astype(jnp.float32), 0.0)
+            + jnp.where(col == 1, mxi.astype(jnp.float32), 0.0)
+            + jnp.where(col == 2, mval, 0.0)
+            + jnp.where(col == 3, 1.0, 0.0)
+        )
+        comps_ref[pl.dslice(i, 1), :] = row
+        val_new = val - mval * psf_c
+        done2 = jnp.abs(val_new) < stop_factor * absthresh
+        return i + 1, done2
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+
 # max pixels for the VMEM-resident kernel (res + comps + canvas + dirty
-# + a couple of temporaries, f32): 512^2 uses ~6 MB of the ~16 MB VMEM
+# + a couple of temporaries, f32): 512^2 uses ~6 MB of the ~16 MB VMEM;
+# above it, up to 1024^2, the list-output kernel (aliased residual, no
+# comps image in VMEM) takes over
 _PALLAS_CLEAN_MAX_PIXELS = 512 * 512
+_PALLAS_CLEAN_LIST_MAX_PIXELS = 1024 * 1024
 
 
-def _pallas_clean_ok(dirty, psf, interpret):
+def _pallas_clean_ok(dirty, psf, interpret, niter=None):
     if not (interpret or jax.default_backend() == "tpu"):
         return False
     ny, nx = dirty.shape[-2:]
     py, px = psf.shape[-2:]
-    return (
-        ny * nx <= _PALLAS_CLEAN_MAX_PIXELS
-        and py <= ny
-        and px <= nx
-        and nx % 128 == 0
+    if not (
+        py <= ny and px <= nx and nx % 128 == 0
         and not jnp.iscomplexobj(dirty)
+    ):
+        return False
+    if ny * nx <= _PALLAS_CLEAN_MAX_PIXELS:
+        return True
+    # list-output variant: the [niter, 128] component list must also
+    # fit VMEM next to the residual and canvas
+    return (
+        ny * nx <= _PALLAS_CLEAN_LIST_MAX_PIXELS
+        and (niter is None or niter <= 2048)
     )
 
 
@@ -215,8 +301,9 @@ def _hogbom_pallas(
         args.append(
             jnp.broadcast_to(window, dirty.shape).astype(jnp.float32)
         )
+    use_list = ny * nx > _PALLAS_CLEAN_MAX_PIXELS
     kernel = partial(
-        _hogbom_pallas_kernel,
+        _hogbom_pallas_list_kernel if use_list else _hogbom_pallas_kernel,
         nx=nx,
         py_lo=-cy,
         py_hi=py - cy,
@@ -236,14 +323,32 @@ def _hogbom_pallas(
                    res_ref=res_ref)
     else:
         kern = kernel
-    comps, res = pl.pallas_call(
+    if not use_list:
+        comps, res = pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+                jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+            ),
+            interpret=interpret,
+        )(*args)
+        return comps, res
+    nlist = max(int(niter), 8)
+    clist, res = pl.pallas_call(
         kern,
         out_shape=(
-            jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((nlist, 128), jnp.float32),
             jax.ShapeDtypeStruct((ny, nx), jnp.float32),
         ),
+        # the residual starts as (and replaces) the dirty image, so the
+        # kernel never holds both plus a component image in VMEM
+        input_output_aliases={0: 1},
         interpret=interpret,
     )(*args)
+    yi = clist[:, 0].astype(jnp.int32)
+    xi = clist[:, 1].astype(jnp.int32)
+    vals = jnp.where(clist[:, 3] > 0.0, clist[:, 2], 0.0)
+    comps = jnp.zeros((ny, nx), jnp.float32).at[yi, xi].add(vals)
     return comps, res
 
 
@@ -274,10 +379,10 @@ def hogbom(
     ny, nx = dirty.shape
     interpret = jax.default_backend() != "tpu"
     auto = use_pallas is None and _pallas_clean_ok(
-        dirty, psf, interpret=False
+        dirty, psf, interpret=False, niter=niter
     )
     forced = use_pallas and _pallas_clean_ok(
-        dirty, psf, interpret=interpret
+        dirty, psf, interpret=interpret, niter=niter
     )
     if auto or forced:
         return _hogbom_pallas(

@@ -769,18 +769,23 @@ def make_visibility_plan(
     )
 
 
-def _nw_for(vis: Visibility, im: Image, do_wstacking: bool, nw=None) -> int:
+def _nw_for(
+    vis: Visibility, im: Image, do_wstacking: bool, nw=None, wmax=None
+) -> int:
     """Static w-plane count: reference-style heuristic from the maximum |w|
-    and field of view (imaging/base.py:699-744)."""
+    and field of view (imaging/base.py:699-744). ``wmax`` (wavelengths)
+    overrides the per-vis maximum — streamed pipelines pass the global
+    maximum so every slab stacks onto identical planes."""
     if not do_wstacking:
         return 1
     if nw is not None:
         return int(nw)
-    wmax = float(
-        np.max(np.abs(np.asarray(vis.uvw[..., 2])))
-        * np.max(np.asarray(vis.frequency))
-        / C_M_S
-    )
+    if wmax is None:
+        wmax = float(
+            np.max(np.abs(np.asarray(vis.uvw[..., 2])))
+            * np.max(np.asarray(vis.frequency))
+            / C_M_S
+        )
     fov = im.npixel * im.cellsize
     # Cornwell+2012 eq. 24-ish sampling: dw ~ 1/(fov^2) scaled for safety
     nw_est = int(np.ceil(4.0 * wmax * fov * fov)) + 1

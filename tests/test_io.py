@@ -64,3 +64,70 @@ class TestVisStore:
         np.testing.assert_allclose(
             got, np.real(np.asarray(vis.vis)).astype(np.float32)
         )
+
+
+class TestStreamedICAL:
+    def test_streamed_matches_in_memory_ical(self, tmp_path, rng):
+        """streamed_ical over the native store == in-memory ical on the
+        same data (same algorithm, per-slab exact gain intervals)."""
+        import jax.numpy as jnp
+
+        from ska_sdp_func_python_tpu.models import (
+            SkyComponents,
+            create_gaintable_from_visibility,
+        )
+        from ska_sdp_func_python_tpu.ops import (
+            apply_gaintable,
+            create_image_from_visibility,
+            dft_skycomponent_visibility,
+        )
+        from ska_sdp_func_python_tpu.pipeline import ical
+        from ska_sdp_func_python_tpu.streaming import streamed_ical
+        from test_solvers import _simulate_gaintable
+
+        pc = (0.0, np.deg2rad(-35.0))
+        vis = make_visibility(
+            nants=10, ntimes=8, nchan=1, rmax=300.0, phasecentre=pc
+        )
+        model = create_image_from_visibility(
+            vis, npixel=128, oversampling=4.0, nchan=1
+        )
+        ra, dec = model.pixel_to_radec(128 // 2 + 9, 128 // 2 - 6)
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]], [[[1.5]]], vis.frequency
+        )
+        vis = dft_skycomponent_visibility(vis, comps)
+        gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+        gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+        corrupted = apply_gaintable(vis, gt_true)
+
+        path = str(tmp_path / "stream.svis")
+        write_visibility(corrupted, path, chunk_times=2)
+
+        kw = dict(
+            nmajor=3, algorithm="hogbom", niter=200, gain=0.2,
+            fractional_threshold=0.01,
+        )
+        current, residual, restored, gt = streamed_ical(
+            path, model, pc, chunk_times=2,
+            calibration_context="T", context="ng", **kw,
+        )
+        c0, r0, s0, g0 = ical(
+            corrupted, model, calibration_context="T", context="ng",
+            use_plan=True, **kw,
+        )
+        r_stream = float(jnp.max(jnp.abs(residual.pixels)))
+        r_mem = float(jnp.max(jnp.abs(r0.pixels)))
+        assert r_stream < 0.2, r_stream
+        assert abs(r_stream - r_mem) < 0.02, (r_stream, r_mem)
+        p_stream = float(jnp.max(restored.pixels))
+        p_mem = float(jnp.max(s0.pixels))
+        assert abs(p_stream - p_mem) < 0.05, (p_stream, p_mem)
+        # slab-local solves == monolithic solves (interval-local NE):
+        # per-time phases match the in-memory gaintable
+        ga = np.asarray(g0["T"].gain)[..., 0, 0, 0]
+        gb = np.asarray(gt.gain)[..., 0, 0, 0]
+        assert ga.shape == gb.shape
+        pa = ga * np.exp(-1j * np.angle(ga[:, :1]))
+        pb = gb * np.exp(-1j * np.angle(gb[:, :1]))
+        assert np.max(np.abs(pa - pb)) < 5e-3, np.max(np.abs(pa - pb))
