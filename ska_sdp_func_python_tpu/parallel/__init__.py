@@ -12,10 +12,13 @@ from .distributed import (
 )
 from .selfcal import distributed_ical
 from .fused import sharded_ical
+from .redistribute import redistribute_visibility, reshard
 from . import multihost
 
 __all__ = [
     "multihost",
+    "reshard",
+    "redistribute_visibility",
     "make_mesh",
     "replicated",
     "shard_rows",

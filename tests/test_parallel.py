@@ -249,3 +249,51 @@ class TestDistributedSelfcal:
         np.testing.assert_allclose(
             np.asarray(c1.pixels), np.asarray(c0.pixels), atol=2e-3
         )
+
+
+class TestRedistribute:
+    def test_visibility_all_to_all_roundtrip(self, rng, mesh):
+        """baseline-sharded -> time-sharded -> back: values unchanged,
+        shardings as requested (the M6 all-to-all re-chunking between
+        solve/image stages)."""
+        from ska_sdp_func_python_tpu.parallel import (
+            redistribute_visibility,
+        )
+
+        vis, _ = _obs(rng)
+        # pad axes to the device count for even shards
+        nt, nbl = vis.ntimes, vis.nbaselines
+        ndev = 8
+        padt, padb = (-nt) % ndev, (-nbl) % ndev
+
+        def pad2(x):
+            w = [(0, 0)] * x.ndim
+            if x.ndim >= 2:
+                w[0], w[1] = (0, padt), (0, padb)
+            return jnp.pad(x, w)
+
+        vis = vis.replace(
+            vis=pad2(vis.vis),
+            weight=pad2(vis.weight),
+            imaging_weight=pad2(vis.imaging_weight),
+            flags=pad2(vis.flags),
+            uvw=pad2(vis.uvw),
+            time=jnp.pad(vis.time, (0, padt)),
+            integration_time=jnp.pad(vis.integration_time, (0, padt)),
+            antenna1=jnp.pad(jnp.asarray(vis.antenna1), (0, padb)),
+            antenna2=jnp.pad(jnp.asarray(vis.antenna2), (0, padb)),
+        )
+        bl_sharded = redistribute_visibility(vis, mesh, to="baseline")
+        spec = bl_sharded.vis.sharding.spec
+        assert spec[1] == "data", spec
+        t_sharded = redistribute_visibility(
+            bl_sharded, mesh, to="time"
+        )
+        spec = t_sharded.vis.sharding.spec
+        assert spec[0] == "data", spec
+        np.testing.assert_array_equal(
+            np.asarray(t_sharded.vis), np.asarray(vis.vis)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t_sharded.uvw), np.asarray(vis.uvw)
+        )
