@@ -103,7 +103,11 @@ def main():
     nvis = vis.ntimes * vis.nbaselines * vis.nchan
     nmajor = 2
     cyc = {}
-    for n in sizes:
+    # on the virtual CPU mesh the Pallas kernels run in interpret mode
+    # (slow); keep to the end sizes — the harness shape is what matters
+    # here, real efficiency numbers come from a real pod slice
+    ical_sizes = [sizes[0], sizes[-1]] if len(sizes) > 1 else sizes
+    for n in ical_sizes:
         mesh = make_mesh(devices=jax.devices()[:n], axis_names=("data",))
 
         def run_ical():
@@ -115,12 +119,10 @@ def main():
             np.asarray(r.pixels.ravel()[0])
 
         run_ical()  # compile (plans rebuilt per call; cycle jit cached)
-        best = 1e9
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_ical()
-            best = min(best, time.perf_counter() - t0)
-        cyc[n] = best / nmajor
+        t0 = time.perf_counter()
+        run_ical()
+        cyc[n] = (time.perf_counter() - t0) / nmajor
+    sizes = ical_sizes
     base = cyc[sizes[0]] * sizes[0]
     for n in sizes:
         eff = base / (cyc[n] * n)

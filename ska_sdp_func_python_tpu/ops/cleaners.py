@@ -430,7 +430,157 @@ def hogbom(
     return comps, res
 
 
-@partial(jax.jit, static_argnames=("niter",))
+def _hogbom_complex_pallas_kernel(
+    dq_ref,
+    du_ref,
+    canvas_ref,
+    win_ref,
+    cq_ref,
+    cu_ref,
+    rq_ref,
+    ru_ref,
+    *,
+    nx: int,
+    py_lo: int,
+    py_hi: int,
+    px_lo: int,
+    px_hi: int,
+    gain: float,
+    thresh: float,
+    fracthresh: float,
+    niter: int,
+):
+    """Complex (Q+iU) Hogbom as one VMEM-resident loop: the peak search
+    is over the polarised intensity sqrt(Q^2+U^2) and the (real) PSF
+    patch subtracts a complex loop value from both planes."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    rq_ref[...] = dq_ref[...]
+    ru_ref[...] = du_ref[...]
+    cq_ref[...] = jnp.zeros_like(cq_ref)
+    cu_ref[...] = jnp.zeros_like(cu_ref)
+    canvas = canvas_ref[...]
+    pmax = jnp.max(canvas)
+    psf_c = canvas[0, 0]
+    mod0 = jnp.sqrt(dq_ref[...] ** 2 + du_ref[...] ** 2)
+    absthresh = jnp.maximum(
+        jnp.float32(thresh), jnp.float32(fracthresh) * jnp.max(mod0)
+    )
+    ny_, nx_ = rq_ref.shape
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ny_, nx_), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ny_, nx_), 1)
+    lin = rr * nx + cc
+    win = win_ref[...] if win_ref is not None else None
+
+    def cond(carry):
+        i, done = carry
+        return (i < niter) & jnp.logical_not(done)
+
+    def body(carry):
+        i, _ = carry
+        rq = rq_ref[...]
+        ru = ru_ref[...]
+        if win is not None:
+            search = jnp.sqrt((rq * win) ** 2 + (ru * win) ** 2)
+        else:
+            search = jnp.sqrt(rq * rq + ru * ru)
+        m = jnp.max(search)
+        best = jnp.min(
+            jnp.where(search == m, lin, jnp.int32(ny_ * nx))
+        )
+        myi = best // nx
+        mxi = best - myi * nx
+        is_best = lin == best
+        vq = jnp.sum(jnp.where(is_best, rq, 0.0))
+        vu = jnp.sum(jnp.where(is_best, ru, 0.0))
+        mq = vq * gain / pmax
+        mu = vu * gain / pmax
+        rolled = pltpu.roll(pltpu.roll(canvas, myi, 0), mxi, 1)
+        dy = rr - myi
+        dx = cc - mxi
+        valid = (
+            (dy >= py_lo) & (dy < py_hi) & (dx >= px_lo) & (dx < px_hi)
+        )
+        patch = jnp.where(valid, rolled, 0.0)
+        rq_ref[...] = rq - patch * mq
+        ru_ref[...] = ru - patch * mu
+        cq_ref[...] = cq_ref[...] + jnp.where(is_best, mq, 0.0)
+        cu_ref[...] = cu_ref[...] + jnp.where(is_best, mu, 0.0)
+        vq_new = vq - mq * psf_c
+        vu_new = vu - mu * psf_c
+        done2 = jnp.sqrt(vq_new**2 + vu_new**2) < absthresh
+        return i + 1, done2
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "gain", "thresh", "niter", "fracthresh", "interpret",
+        "has_window",
+    ),
+)
+def _hogbom_complex_pallas(
+    dirty_q,
+    dirty_u,
+    psf_q,
+    window=None,
+    *,
+    gain: float,
+    thresh: float,
+    niter: int,
+    fracthresh: float,
+    interpret: bool = False,
+    has_window: bool = False,
+):
+    import jax.experimental.pallas as pl
+
+    dq = dirty_q.astype(jnp.float32)
+    du = dirty_u.astype(jnp.float32)
+    psf = psf_q.astype(jnp.float32)
+    ny, nx = dq.shape
+    py, px = psf.shape
+    cy, cx = py // 2, px // 2
+    embed = jnp.zeros((ny, nx), jnp.float32).at[:py, :px].set(psf)
+    canvas = jnp.roll(embed, (-cy, -cx), axis=(0, 1))
+    args = [dq, du, canvas]
+    if has_window:
+        args.append(jnp.broadcast_to(window, dq.shape).astype(jnp.float32))
+    kernel = partial(
+        _hogbom_complex_pallas_kernel,
+        nx=nx,
+        py_lo=-cy,
+        py_hi=py - cy,
+        px_lo=-cx,
+        px_hi=px - cx,
+        gain=float(gain),
+        thresh=float(thresh),
+        fracthresh=float(fracthresh),
+        niter=int(niter),
+    )
+    if not has_window:
+        kernel = partial(kernel, win_ref=None)
+
+        def kern(dq_ref, du_ref, canvas_ref, cq, cu, rq, ru):
+            kernel(dq_ref, du_ref, canvas_ref, cq_ref=cq, cu_ref=cu,
+                   rq_ref=rq, ru_ref=ru)
+    else:
+        kern = kernel
+    shp = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        out_shape=(shp, shp, shp, shp),
+        interpret=interpret,
+    )(*args)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "gain", "thresh", "niter", "fracthresh", "use_pallas"
+    ),
+)
 def hogbom_complex(
     dirty_q,
     dirty_u,
@@ -441,10 +591,34 @@ def hogbom_complex(
     thresh: float = 0.0,
     niter: int = 100,
     fracthresh: float = 0.01,
+    use_pallas: bool | None = None,
 ):
     """Complex Hogbom CLEAN of Q+iU (cleaners.py:136-232).
 
     Returns (comps_q, comps_u, res_q, res_u)."""
+    # the Pallas fast path holds 6 image arrays + temporaries in VMEM,
+    # so it takes the smaller image budget
+    interpret = jax.default_backend() != "tpu"
+    auto = use_pallas is None and _pallas_clean_ok(
+        dirty_q, psf_q, interpret=False
+    ) and dirty_q.shape[0] * dirty_q.shape[1] <= _PALLAS_CLEAN_MAX_PIXELS
+    forced = use_pallas and _pallas_clean_ok(
+        dirty_q, psf_q, interpret=interpret
+    ) and dirty_q.shape[0] * dirty_q.shape[1] <= _PALLAS_CLEAN_MAX_PIXELS
+    if auto or forced:
+        cq, cu, rq, ru = _hogbom_complex_pallas(
+            dirty_q,
+            dirty_u,
+            psf_q,
+            window,
+            gain=float(gain),
+            thresh=float(thresh),
+            niter=niter,
+            fracthresh=float(fracthresh),
+            interpret=interpret,
+            has_window=window is not None,
+        )
+        return cq, cu, rq, ru
     dirty = dirty_q + 1j * dirty_u
     ny, nx = dirty.shape
     pmax = jnp.max(psf_q)

@@ -311,3 +311,20 @@ class TestPallasHogbomParity:
         c1, r1 = hogbom(d, p, win, gain=0.1, niter=40, use_pallas=True)
         np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
         np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
+
+    def test_complex_variant_matches_xla(self, rng):
+        """Pallas complex Hogbom vs the XLA loop (1e-6: the polarised
+        modulus uses sqrt(q^2+u^2) vs complex abs' hypot, so agreement
+        is f32-level rather than bit-exact)."""
+        d, p = self._setup(rng)
+        du = jnp.asarray(
+            np.roll(np.asarray(d), 5, axis=1) * np.float32(0.5)
+        )
+        o0 = hogbom_complex(d, du, p, p, None, gain=0.1, niter=50,
+                            use_pallas=False)
+        o1 = hogbom_complex(d, du, p, p, None, gain=0.1, niter=50,
+                            use_pallas=True)
+        for a, b in zip(o0, o1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6
+            )
