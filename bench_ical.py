@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--npixel", type=int, default=512)
     ap.add_argument("--warm", type=int, default=3)
     ap.add_argument("--reps", type=int, default=6)
+    ap.add_argument("--nw", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -89,7 +90,9 @@ def main():
     corrupted = apply_gaintable(vis, gt_true)
     corrupted = weight_visibility(corrupted, model, weighting="uniform")
 
-    plan = make_visibility_plan(corrupted, model, context="ng")
+    plan = make_visibility_plan(
+        corrupted, model, context="ng", nw=args.nw
+    )
     psf, _ = invert_visibility(
         corrupted, model, dopsf=True, context="ng", plan=plan
     )

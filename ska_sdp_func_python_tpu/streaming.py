@@ -288,14 +288,20 @@ def streamed_ical(
         wl = store.uvw[..., 2] * freq_max / C_M_S
         w_range = (float(np.min(wl)), float(np.max(wl)))
 
-        # slab templates + per-slab gain tables (host side, tiny)
-        chunk_vis = []
-        gt0s = []
-        cal_aux = []
-        for (t0, nt) in steps:
-            cv = _chunk_visibility(
+        # per-slab gain tables + interval maps (host side, tiny). Slab
+        # Visibility templates are built LAZILY inside the loops: at the
+        # 1B-vis scale even the uvw of all slabs must not pin device
+        # memory at once.
+        def chunk_visibility(k):
+            t0, nt = steps[k]
+            return _chunk_visibility(
                 store, t0, nt, nt_pad, phasecentre, "stokesI"
             )
+
+        gt0s = []
+        cal_aux = []
+        for k in range(len(steps)):
+            cv = chunk_visibility(k)
             gt0 = create_gaintable_from_visibility(
                 cv, jones_type=term, timeslice=timeslice
             )
@@ -306,15 +312,15 @@ def streamed_ical(
             row_idx, has_row = _gain_row_of_time(
                 cv.time, gt0.time, gt0.interval
             )
-            chunk_vis.append(cv)
             gt0s.append(gt0)
             cal_aux.append((w_t, row_idx, has_row))
+            del cv
         a1 = jnp.asarray(store.antenna1, jnp.int32)
         a2 = jnp.asarray(store.antenna2, jnp.int32)
         do_wstacking = context not in ("2d",)
         wmax_l = max(abs(w_range[0]), abs(w_range[1]))
         nwp = _nw_for(
-            chunk_vis[0], model, do_wstacking, nw, wmax=wmax_l
+            chunk_visibility(0), model, do_wstacking, nw, wmax=wmax_l
         )
 
         def build_plan(cv):
@@ -355,7 +361,7 @@ def streamed_ical(
         swt = 0.0
         plan0 = None
         for k, re, im, fw in stream_slabs():
-            plan = build_plan(chunk_vis[k])
+            plan = build_plan(chunk_visibility(k))
             if plan0 is None:
                 plan0 = plan
             g, s = psf_grids(plan, fw)
@@ -384,7 +390,7 @@ def streamed_ical(
             acc = None
             swt = 0.0
             for k, re, im, fw in stream_slabs():
-                plan = build_plan(chunk_vis[k])
+                plan = build_plan(chunk_visibility(k))
                 model_s = predict_with_plan(
                     plan, model_px, to_sorted=True
                 )
