@@ -22,6 +22,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.gaintable import GainTable, create_gaintable_from_visibility
 from ..models.visibility import Visibility
@@ -48,17 +49,39 @@ def _symmetrise(x, xwt):
     return jnp.where(diag, 0.0, x), jnp.where(diag, 0.0, xwt)
 
 
-def _gain_substitution_scalar(gain, x, xwt):
+def ne_index_map(a1, a2, nants):
+    """Static cell->column map for gather-based normal-equation assembly:
+    cell (i, j) of the [nants, nants] antenna matrix reads column
+    ``ne_idx[i*nants+j]`` of ``[conj(xb); xb; 0]`` (width 2*nbl+1).
+    Matches the scatter form ``x.at[:, a1, a2].set(conj(xb))
+    .at[:, a2, a1].set(xb)`` including its last-write-wins semantics.
+    The gather runs ~15x faster than the four scatters at the 10M
+    BASELINE shape ([267, 37401] -> [267, 274, 274])."""
+    nbl = len(a1)
+    idx = np.full((nants, nants), 2 * nbl, np.int32)
+    k = np.arange(nbl, dtype=np.int32)
+    idx[a1, a2] = k
+    idx[a2, a1] = k + nbl
+    return idx.reshape(-1)
+
+
+def _gain_substitution_scalar(gain, xxwt, ww):
     """g_j <- sum_i g_i x_ij w_ij / sum_i |g_i|^2 w_ij (solvers.py:287-320).
 
-    gain: [nants, nchan, 1, 1]; x/xwt: [nants, nants, nchan, 1].
+    gain: [nants, nchan, 1, 1]; xxwt = x*w and ww: [nants, nants, nchan]
+    (both loop-invariant — precomputed by the caller so the iteration
+    never rematerialises the 2 nants^2-sized products).
+
+    The reductions are written as broadcast-multiply + sum rather than
+    einsum: as dots they are batched MATVECS (N=1), which the MXU runs
+    at ~1/128 lane utilisation — measured ~10 ms per iteration at
+    [267, 274, 274]; the VPU form is bandwidth-bound.
     """
     g = gain[..., 0, 0]  # [nants, nchan]
-    xx = x[..., 0]  # [nants, nants, nchan]
-    ww = xwt[..., 0]
-    xxwt = xx * ww.astype(xx.dtype)
-    top = jnp.einsum("ik,ijk->jk", g, xxwt)
-    bot = jnp.einsum("ik,ijk->jk", (g * jnp.conj(g)).real, ww)
+    top = jnp.sum(g[:, None, :] * xxwt, axis=0)
+    bot = jnp.sum(
+        (g * jnp.conj(g)).real[:, None, :] * ww, axis=0
+    )
     ok = bot > 0.0
     newg = jnp.where(ok, top / jnp.where(ok, bot, 1.0).astype(top.dtype), 0.0)
     gwt = jnp.where(ok, bot, 0.0)
@@ -134,10 +157,12 @@ def _solve_scalar_one(x, xwt, gain0, niter, tol, phase_only, refant, damping):
     """Scalar-path solve for one solution interval
     (solvers.py:217-284). x: [nants, nants, nchan, 1]."""
     x, xwt = _symmetrise(x, xwt)
+    ww = xwt[..., 0]
+    xxwt = x[..., 0] * ww.astype(x.dtype)
 
     def body(state):
         gain, gwt, change, it = state
-        newgain, newgwt = _gain_substitution_scalar(gain, x, xwt)
+        newgain, newgwt = _gain_substitution_scalar(gain, xxwt, ww)
         if phase_only:
             newgain = _phase_normalise(newgain)
         angles = jnp.angle(newgain)
@@ -287,14 +312,27 @@ def build_normal_equations(point_vis: Visibility, gain_table: GainTable):
     nsol = w_t.shape[0]
     nchan = xb.shape[2]
     npol = xb.shape[3]
-    a1 = point_vis.antenna1
-    a2 = point_vis.antenna2
     from ..config import czeros
 
-    x = czeros((nsol, nants, nants, nchan, npol), xb.dtype)
-    xwt = jnp.zeros((nsol, nants, nants, nchan, npol), dtype=wb.dtype)
-    x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
-    xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
+    # gather-based antenna-pair assembly (see ne_index_map): one static
+    # take per array instead of four scatters (15x at the 10M BASELINE)
+    ne_idx = jnp.asarray(
+        ne_index_map(
+            np.asarray(point_vis.antenna1),
+            np.asarray(point_vis.antenna2),
+            nants,
+        )
+    )
+    zx = czeros((nsol, 1, nchan, npol), xb.dtype)
+    ext = jnp.concatenate([jnp.conj(xb), xb, zx], axis=1)
+    x = jnp.take(ext, ne_idx, axis=1).reshape(
+        nsol, nants, nants, nchan, npol
+    )
+    zw = jnp.zeros((nsol, 1, nchan, npol), dtype=wb.dtype)
+    extw = jnp.concatenate([wb, wb, zw], axis=1)
+    xwt = jnp.take(extw, ne_idx, axis=1).reshape(
+        nsol, nants, nants, nchan, npol
+    )
     return x, xwt
 
 

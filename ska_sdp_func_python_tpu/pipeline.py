@@ -307,12 +307,20 @@ def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
         nchan_sol = xb.shape[2]
         nsol = w_t.shape[0]
         nants = gains[it].shape[1]
-        x = czeros((nsol, nants, nants, nchan_sol, npol), xb.dtype)
-        xwt = jnp.zeros(
-            (nsol, nants, nants, nchan_sol, npol), dtype=wb.dtype
+        # antenna-pair assembly as ONE static gather per array (the
+        # scatter form costs ~11 ms at the 10M BASELINE vs 0.7 ms for
+        # the gather; ne_idx maps cell (i,j) -> column of
+        # [conj(xb); xb; 0])
+        zx = czeros((nsol, 1, nchan_sol, npol), xb.dtype)
+        ext = jnp.concatenate([jnp.conj(xb), xb, zx], axis=1)
+        x = jnp.take(ext, state["ne_idx"], axis=1).reshape(
+            nsol, nants, nants, nchan_sol, npol
         )
-        x = x.at[:, a1, a2].set(jnp.conj(xb)).at[:, a2, a1].set(xb)
-        xwt = xwt.at[:, a1, a2].set(wb).at[:, a2, a1].set(wb)
+        zw = jnp.zeros((nsol, 1, nchan_sol, npol), dtype=wb.dtype)
+        extw = jnp.concatenate([wb, wb, zw], axis=1)
+        xwt = jnp.take(extw, state["ne_idx"], axis=1).reshape(
+            nsol, nants, nants, nchan_sol, npol
+        )
         if psum_axis is not None:
             # baseline-sharded: assemble the full normal equations
             # across the mesh (SURVEY.md 2c / BASELINE north star)
@@ -838,6 +846,15 @@ class _FusedSelfCal(_SortedWorkspace):
             )
         self.a1 = jnp.asarray(vis.antenna1, jnp.int32)
         self.a2 = jnp.asarray(vis.antenna2, jnp.int32)
+        from .ops.solvers import ne_index_map
+
+        self.ne_idx = jnp.asarray(
+            ne_index_map(
+                np.asarray(vis.antenna1),
+                np.asarray(vis.antenna2),
+                vis.nants,
+            )
+        )
         bpsf = bound_psf(psf, psf, clean_kwargs.get("psf_support", None))
         self.psf_patch = bpsf.pixels.astype(jnp.float32)
         frac, cgain, cniter, cthresh, scales = common_arguments(
@@ -911,6 +928,7 @@ class _FusedSelfCal(_SortedWorkspace):
                 "cal": tuple(self.cal),
                 "a1": self.a1,
                 "a2": self.a2,
+                "ne_idx": self.ne_idx,
                 "psf_patch": self.psf_patch,
                 "mom_w": self.mom_w,
                 "gain_wt": tuple(gwts),
@@ -930,6 +948,7 @@ class _FusedSelfCal(_SortedWorkspace):
             "cal": tuple(self.cal),
             "a1": self.a1,
             "a2": self.a2,
+            "ne_idx": self.ne_idx,
             "psf_patch": self.psf_patch,
             "mom_w": self.mom_w,
             "gain_wt": tuple(gwts),

@@ -111,6 +111,7 @@ def _slab_solve_and_residual(
     has_row,
     a1,
     a2,
+    ne_idx,
     gain0,
     niter: int,
     tol: float,
@@ -145,13 +146,17 @@ def _slab_solve_and_residual(
     nants = gain0.shape[1]
     from .config import czeros
 
-    x = czeros((nsol, nants, nants, 1, 1), xb.dtype)
-    xwt = jnp.zeros((nsol, nants, nants, 1, 1), dtype=wb.dtype)
-    x = (
-        x.at[:, a1, a2, 0, 0].set(jnp.conj(xb))
-        .at[:, a2, a1, 0, 0].set(xb)
+    # gather-based antenna-pair assembly (solvers.ne_index_map)
+    zx = czeros((nsol, 1), xb.dtype)
+    ext = jnp.concatenate([jnp.conj(xb), xb, zx], axis=1)
+    x = jnp.take(ext, ne_idx, axis=1).reshape(
+        nsol, nants, nants, 1, 1
     )
-    xwt = xwt.at[:, a1, a2, 0, 0].set(wb).at[:, a2, a1, 0, 0].set(wb)
+    zw = jnp.zeros((nsol, 1), dtype=wb.dtype)
+    extw = jnp.concatenate([wb, wb, zw], axis=1)
+    xwt = jnp.take(extw, ne_idx, axis=1).reshape(
+        nsol, nants, nants, 1, 1
+    )
     has_data = jnp.sum(jnp.abs(xwt), axis=(1, 2, 3, 4)) > 0.0
     gain, gwt, gres = solve_gains_core(
         x, xwt, gain0, niter=niter, tol=tol,
@@ -317,6 +322,14 @@ def streamed_ical(
             del cv
         a1 = jnp.asarray(store.antenna1, jnp.int32)
         a2 = jnp.asarray(store.antenna2, jnp.int32)
+        from .ops.solvers import ne_index_map
+
+        nants_store = (
+            int(max(store.antenna1.max(), store.antenna2.max())) + 1
+        )
+        ne_idx = jnp.asarray(
+            ne_index_map(store.antenna1, store.antenna2, nants_store)
+        )
         do_wstacking = context not in ("2d",)
         wmax_l = max(abs(w_range[0]), abs(w_range[1]))
         nwp = _nw_for(
@@ -398,7 +411,8 @@ def streamed_ical(
                     w_t, row_idx, has_row = cal_aux[k]
                     g, s, gain, gwt, gres = _slab_solve_and_residual(
                         plan, re, im, fw, model_s,
-                        w_t, row_idx, has_row, a1, a2, gains[k],
+                        w_t, row_idx, has_row, a1, a2, ne_idx,
+                        gains[k],
                         niter=solver_niter, tol=tol,
                         phase_only=phase_only,
                     )
