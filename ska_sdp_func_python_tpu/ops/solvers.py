@@ -88,24 +88,17 @@ def _gain_substitution_scalar(gain, xxwt, ww):
     return newg[..., None, None], gwt[..., None, None]
 
 
-def _gain_substitution_matrix(gain, x, xwt):
+def _gain_substitution_matrix(gain, wx, w):
     """Entrywise 2x2 substitution (solvers.py:440-478).
 
-    gain: [nants, nchan, 2, 2]; x/xwt: [nants, nants, nchan, 2, 2].
+    gain: [nants, nchan, 2, 2]; wx = w*x and w (off-diagonal-masked
+    weights): [nants, nants, nchan, 2, 2], both loop-invariant —
+    precomputed by the caller. Reductions are broadcast-multiply + sum
+    (VPU) rather than einsum matvecs (see _gain_substitution_scalar).
     """
-    nants = gain.shape[0]
-    i = jnp.arange(nants)
-    offdiag = (i[:, None] != i[None, :]).astype(xwt.dtype)[
-        :, :, None, None, None
-    ]
-    w = xwt * offdiag
     # top_j = sum_i w_ij x_ij g_i ; bot_i = sum_j w_ij |g_j|^2 (elementwise)
-    top = jnp.einsum(
-        "ij...,i...->j...", w.astype(x.dtype) * x, gain
-    )
-    bot = jnp.einsum(
-        "ij...,j...->i...", w, (gain * jnp.conj(gain)).real
-    )
+    top = jnp.sum(wx * gain[:, None], axis=0)
+    bot = jnp.sum(w * (gain * jnp.conj(gain)).real[None, :], axis=1)
     # reference zeroes the numerator and forces the denominator to 1 where
     # bot <= 0 (solvers.py:470-475); gwt is the *unmasked* bot
     ok = bot > 0.0
@@ -189,10 +182,17 @@ def _solve_matrix_one(x, xwt, gain0, niter, tol, phase_only):
     x: [nants, nants, nchan, 2, 2] (already embedded if npol==2)."""
     x, xwt = _symmetrise(x, xwt)
     gain0 = gain0.at[..., 0, 1].set(0.0).at[..., 1, 0].set(0.0)
+    nants = gain0.shape[0]
+    i = jnp.arange(nants)
+    offdiag = (i[:, None] != i[None, :]).astype(xwt.dtype)[
+        :, :, None, None, None
+    ]
+    w = xwt * offdiag
+    wx = w.astype(x.dtype) * x
 
     def body(state):
         gain, gwt, change, it = state
-        newgain, newgwt = _gain_substitution_matrix(gain, x, xwt)
+        newgain, newgwt = _gain_substitution_matrix(gain, wx, w)
         if phase_only:
             newgain = _phase_normalise(newgain)
         change = jnp.max(jnp.abs(newgain - gain))
