@@ -67,29 +67,6 @@ class StreamedICALResult(tuple):
         return self[3]
 
 
-def _chunk_visibility(store, t0, nt, nt_pad, phasecentre, pol_frame):
-    """Template Visibility for one slab (zero data; weights patched by
-    the caller). The last slab pads to ``nt_pad`` rows with zero-weight
-    times so every slab shares ONE jit signature."""
-    uvw = np.zeros((nt_pad, store.nbl, 3))
-    uvw[:nt] = store.uvw[t0 : t0 + nt]
-    time = np.zeros((nt_pad,))
-    time[:nt] = store.time[t0 : t0 + nt]
-    if nt_pad > nt:
-        # dummy times far outside every solution interval, monotone
-        dt = store.time[-1] - store.time[0] + 1e6
-        time[nt:] = store.time[-1] + dt + np.arange(nt_pad - nt)
-    return create_visibility_from_arrays(
-        uvw=uvw,
-        time=time,
-        frequency=store.frequency,
-        antenna1=store.antenna1,
-        antenna2=store.antenna2,
-        phasecentre=phasecentre,
-        polarisation_frame=pol_frame,
-    )
-
-
 def _pad_slab(arr, nt_pad):
     nt = arr.shape[0]
     if nt == nt_pad:
@@ -221,6 +198,8 @@ def streamed_ical(
     solver_niter: int = 200,
     tol: float = 1e-6,
     first_selfcal: int = 0,
+    cache_slabs: bool | None = None,
+    slab_cache_bytes: float = 8e9,
     **clean_kwargs,
 ):
     """Streamed ICAL over a native visibility store.
@@ -231,6 +210,12 @@ def streamed_ical(
     :param chunk_times: time rows per slab (device memory bound); gain
         solution intervals must not straddle slab boundaries
         (``timeslice='auto'`` always satisfies this)
+    :param cache_slabs: keep each slab's uploaded observed stream and
+        uvw template on device across cycles (skips per-cycle store IO
+        and host->device transfer at the cost of ~36 B/vis of HBM).
+        ``None`` = automatic: cache when the estimate fits
+        ``slab_cache_bytes``. At the 1B-vis scale caching is off and
+        every cycle truly re-streams.
     :return: (model, residual, restored, gaintable) — the gaintable
         concatenates every slab's solution intervals
 
@@ -297,10 +282,45 @@ def streamed_ical(
         # Visibility templates are built LAZILY inside the loops: at the
         # 1B-vis scale even the uvw of all slabs must not pin device
         # memory at once.
+        # slab caching: ~36 B/vis of device memory buys zero per-cycle
+        # store IO / host->device transfer (which dominates over slow
+        # links — the axon tunnel moves ~20 MB/s)
+        n_slab_vis = nt_pad * store.nbl
+        est_bytes = len(steps) * n_slab_vis * 36
+        if cache_slabs is None:
+            cache_slabs = est_bytes <= slab_cache_bytes
+        _tmpl_cache: dict = {}
+        _slab_cache: dict = {}
+
         def chunk_visibility(k):
+            # only the uvw block is worth caching (12 B/vis, and the
+            # only host->device transfer here); the zero-filled data
+            # fields are recreated on device each call for free
             t0, nt = steps[k]
-            return _chunk_visibility(
-                store, t0, nt, nt_pad, phasecentre, "stokesI"
+            uvw = _tmpl_cache.get(k) if cache_slabs else None
+            if uvw is None:
+                uvw_np = np.zeros((nt_pad, store.nbl, 3))
+                uvw_np[:nt] = store.uvw[t0 : t0 + nt]
+                if not jax.config.jax_enable_x64:
+                    uvw_np = uvw_np.astype(np.float32)
+                uvw = jnp.asarray(uvw_np)
+                if cache_slabs:
+                    _tmpl_cache[k] = uvw
+            time_np = np.zeros((nt_pad,))
+            time_np[:nt] = store.time[t0 : t0 + nt]
+            if nt_pad > nt:
+                dt = store.time[-1] - store.time[0] + 1e6
+                time_np[nt:] = (
+                    store.time[-1] + dt + np.arange(nt_pad - nt)
+                )
+            return create_visibility_from_arrays(
+                uvw=uvw,
+                time=time_np,
+                frequency=store.frequency,
+                antenna1=store.antenna1,
+                antenna2=store.antenna2,
+                phasecentre=phasecentre,
+                polarisation_frame="stokesI",
             )
 
         gt0s = []
@@ -344,19 +364,27 @@ def streamed_ical(
 
         def stream_slabs():
             """(k, re, im, flagged weight) per slab, padded, with the
-            C++ thread prefetching the next slab."""
+            C++ thread prefetching the next slab. With slab caching the
+            device copies persist across cycles and later passes never
+            touch the store or the host->device link."""
+            if cache_slabs and len(_slab_cache) == len(steps):
+                for k in range(len(steps)):
+                    yield (k, *_slab_cache[k])
+                return
             store.prefetch(*steps[0])
             for k, (t0, nt) in enumerate(steps):
                 re, im, wt, fl = store.wait(nt)
                 if k + 1 < len(steps):
                     store.prefetch(*steps[k + 1])
                 fw = wt * (1 - fl)
-                yield (
-                    k,
+                item = (
                     jnp.asarray(_pad_slab(re, nt_pad).reshape(-1)),
                     jnp.asarray(_pad_slab(im, nt_pad).reshape(-1)),
                     jnp.asarray(_pad_slab(fw, nt_pad).reshape(-1)),
                 )
+                if cache_slabs:
+                    _slab_cache[k] = item
+                yield (k, *item)
 
         # ---- PSF pass (once) ----
         from .ops.gridding_plan import grid_with_plan
