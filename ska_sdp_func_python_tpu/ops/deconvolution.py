@@ -118,7 +118,11 @@ def deconvolve_cube(
     :return: (component Image, residual Image)
     """
     algorithm = kwargs.get("algorithm", "msclean")
-    window = find_window(dirty, kwargs.get("window_shape", None), **kwargs)
+    window = find_window(
+        dirty,
+        kwargs.get("window_shape", None),
+        **{k: v for k, v in kwargs.items() if k != "window_shape"},
+    )
     psf = bound_psf(dirty, psf, kwargs.get("psf_support", None))
     fracthresh, gain, niter, thresh, scales = common_arguments(**kwargs)
 

@@ -523,7 +523,10 @@ def _fused_selfcal_cycle(
     residual = pixels * scale[:, :, None, None]
 
     # ---- CLEAN minor cycles ----
-    comp_pixels = _fused_clean(residual, state["psf_patch"], cfg)
+    comp_pixels = _fused_clean(
+        residual, state["psf_patch"], cfg,
+        window=state.get("clean_window"),
+    )
     model_pixels = model_pixels + comp_pixels
 
     peak = jnp.max(jnp.abs(residual))
@@ -674,6 +677,7 @@ def _fused_selfcal_cycle_cube(
         cfg,
         state.get("mom_w"),
         mom_psum_axis=channel_axis,
+        window=state.get("clean_window"),
     )
     model_pixels = model_pixels + comp_pixels
 
@@ -692,10 +696,19 @@ def _fused_selfcal_cycle_cube(
 
 
 def _fused_clean(
-    residual, psf_patch, cfg: _FusedCfg, mom_w=None, mom_psum_axis=None
+    residual,
+    psf_patch,
+    cfg: _FusedCfg,
+    mom_w=None,
+    mom_psum_axis=None,
+    window=None,
 ):
-    """In-graph deconvolution lanes (deconvolution.py:110-236 semantics,
-    window=None).
+    """In-graph deconvolution lanes (deconvolution.py:110-236 semantics).
+
+    ``window``: optional [nchan, npol, ny, nx] clean window (1 = search
+    allowed) for the hogbom/msclean lanes — find_window's "quarter"/
+    "no_edge"/mask shapes run in-graph; windowed MSMFS composes instead
+    (gated in ``ical``/``continuum_imaging``).
 
     ``mom_psum_axis``: mesh axis over which image channels are sharded —
     the MSMFS channel→moment transforms reduce over frequency, so the
@@ -716,17 +729,24 @@ def _fused_clean(
             :, p2.shape[-2] // 2, p2.shape[-1] // 2
         ].set(1.0)
         p2_safe = jnp.where(ok[:, None, None], p2, delta)
-        cb, _ = jax.vmap(
-            lambda d, p: hogbom(
+
+        def lane(d, p, w=None):
+            return hogbom(
                 d,
                 p,
-                None,
+                w,
                 gain=cfg.clean_gain,
                 thresh=cfg.clean_thresh,
                 niter=cfg.clean_niter,
                 fracthresh=cfg.clean_frac,
             )
-        )(d2, p2_safe)
+
+        if window is None:
+            cb, _ = jax.vmap(lane)(d2, p2_safe)
+        else:
+            cb, _ = jax.vmap(lane)(
+                d2, p2_safe, window.reshape(-1, ny, nx)
+            )
         cb = jnp.where(ok[:, None, None], cb, 0.0)
         return cb.reshape(residual.shape)
     if cfg.algorithm == "msclean":
@@ -736,7 +756,7 @@ def _fused_clean(
                 cc, _ = msclean(
                     residual[c, p],
                     psf_patch[c, p],
-                    None,
+                    window[c, p] if window is not None else None,
                     None,
                     gain=cfg.clean_gain,
                     thresh=cfg.clean_thresh,
@@ -857,6 +877,24 @@ class _FusedSelfCal(_SortedWorkspace):
         )
         bpsf = bound_psf(psf, psf, clean_kwargs.get("psf_support", None))
         self.psf_patch = bpsf.pixels.astype(jnp.float32)
+        from .ops.deconvolution import find_window
+
+        win = find_window(
+            model,
+            clean_kwargs.get("window_shape"),
+            **{
+                k: clean_kwargs[k]
+                for k in ("mask", "window_edge")
+                if k in clean_kwargs
+            },
+        )
+        self.clean_window = (
+            None
+            if win is None
+            else jnp.broadcast_to(
+                jnp.asarray(win, jnp.float32), model.pixels.shape
+            )
+        )
         frac, cgain, cniter, cthresh, scales = common_arguments(
             **clean_kwargs
         )
@@ -930,6 +968,7 @@ class _FusedSelfCal(_SortedWorkspace):
                 "a2": self.a2,
                 "ne_idx": self.ne_idx,
                 "psf_patch": self.psf_patch,
+                "clean_window": self.clean_window,
                 "mom_w": self.mom_w,
                 "gain_wt": tuple(gwts),
                 "gain_res": tuple(gress),
@@ -950,6 +989,7 @@ class _FusedSelfCal(_SortedWorkspace):
             "a2": self.a2,
             "ne_idx": self.ne_idx,
             "psf_patch": self.psf_patch,
+            "clean_window": self.clean_window,
             "mom_w": self.mom_w,
             "gain_wt": tuple(gwts),
             "gain_res": tuple(gress),
@@ -962,6 +1002,17 @@ class _FusedSelfCal(_SortedWorkspace):
                 self.cfg.terms, self.gt0s, gains, gwts, gress
             )
         }
+
+
+def _window_fusable(kwargs) -> bool:
+    """Clean windows ("quarter"/"no_edge"/explicit mask) run in-graph
+    for the hogbom/msclean lanes; windowed MSMFS stays composed."""
+    if (
+        kwargs.get("window_shape") is None
+        and kwargs.get("mask") is None
+    ):
+        return True
+    return kwargs.get("algorithm", "msclean") in ("hogbom", "msclean")
 
 
 def _predict_model(
@@ -1005,7 +1056,7 @@ def continuum_imaging(
     _alg = kwargs.get("algorithm", "msclean")
     can_fuse = (
         ikw.get("plan") is not None
-        and kwargs.get("window_shape") is None
+        and _window_fusable(kwargs)
         and (
             _alg in ("hogbom", "msclean")
             or (
@@ -1016,6 +1067,15 @@ def continuum_imaging(
     )
     if fused is None:
         fused = can_fuse
+    if fused and not can_fuse:
+        log.warning(
+            "continuum_imaging: fused=True requested but this "
+            "configuration is not fusable (plan=%s, algorithm=%r, "
+            "window=%r) — falling back to the composed path",
+            ikw.get("plan") is not None,
+            _alg,
+            kwargs.get("window_shape"),
+        )
     if fused and can_fuse:
         # ONE dispatch per major cycle (see _fused_selfcal_cycle); the
         # calibration leg is compiled out with do_cal=False
@@ -1131,7 +1191,7 @@ def ical(
             controls[c]["shape"] in ("scalar", "vector")
             for c in calibration_context
         )
-        and kwargs.get("window_shape") is None
+        and _window_fusable(kwargs)
         and (
             kwargs.get("algorithm", "msclean") in ("hogbom", "msclean")
             or (
@@ -1144,6 +1204,18 @@ def ical(
     )
     if fused is None:
         fused = can_fuse
+    if fused and not can_fuse:
+        log.warning(
+            "ical: fused=True requested but this configuration is not "
+            "fusable (plan=%s, algorithm=%r, window=%r, context=%r, "
+            "npol=%d/%d) — falling back to the composed path",
+            ikw.get("plan") is not None,
+            kwargs.get("algorithm", "msclean"),
+            kwargs.get("window_shape"),
+            calibration_context,
+            vis.npol,
+            model.npol,
+        )
     if fused and can_fuse:
         return _ical_fused(
             vis,
