@@ -148,11 +148,13 @@ def bench_clean():
     dirty_j = jnp.asarray(dirty)
     psf_j = jnp.asarray(psf)
 
-    # slope-based steady state: a remote-TPU dispatch costs ~30 ms fixed,
-    # so time (niter_hi - niter_lo) extra iterations between two calls —
-    # a single-call number at a few hundred iterations measures mostly
-    # the dispatch, not the minor cycle (this hid an 80x in round 1)
-    niter_lo, niter_hi = 1000, 4000
+    # slope-based steady state: a remote-TPU dispatch costs ~30 ms fixed
+    # WITH ~10 ms of jitter, so the iteration spread must be large
+    # enough that the extra work dwarfs the jitter — a single-call
+    # number at a few hundred iterations measures mostly the dispatch
+    # (this hid an 80x in round 1), and a small spread can even go
+    # negative on dispatch variance
+    spreads = {"hogbom": (1000, 50000), "msclean": (500, 8000)}
 
     def run_hogbom(niter):
         c, r = hogbom(
@@ -172,6 +174,7 @@ def bench_clean():
         ("hogbom_minor_cycles_per_s", run_hogbom),
         ("msclean_minor_cycles_per_s", run_msclean),
     ):
+        niter_lo, niter_hi = spreads[name.split("_")[0]]
         ts = {}
         for niter in (niter_lo, niter_hi):
             sync(fn(niter))
