@@ -124,7 +124,11 @@ def bench_invert_predict():
                 {
                     "metric": name,
                     "value": round(nvis / best / 1e6, 3),
-                    "unit": "Mvis/s (1024^2, nw=8)",
+                    # the standalone core path re-sorts per call and uses
+                    # padding 2; the plan path (bench.py headline) is the
+                    # production steady state at ~316 Mvis/s
+                    "unit": "Mvis/s (1024^2, nw=8, core path cold, "
+                    "incl. per-call sort)",
                     "vs_baseline": round(nvis / best / 1e6 / 10.0, 3),
                 }
             )
