@@ -164,6 +164,15 @@ def sharded_ical(
         controls = create_calibration_controls()
     if shard not in ("baseline", "channel"):
         raise ValueError(f"unknown shard axis {shard!r}")
+    from ..pipeline import _window_fusable
+
+    if not _window_fusable(clean_kwargs):
+        raise ValueError(
+            "sharded_ical runs the fused in-graph CLEAN, which supports "
+            "windows only for hogbom/msclean — windowed "
+            f"{clean_kwargs.get('algorithm')!r} must use the composed "
+            "pipeline"
+        )
     ndev = mesh.shape[axis]
     if shard == "channel" and "B" in calibration_context:
         raise ValueError(
