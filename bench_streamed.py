@@ -83,6 +83,10 @@ def make_store(path, nvis_target, nants, seed=11):
         vis=vis.astype(np.complex64),
         chunk_times=64,
     )
+    del vis, uvw, rot
+    import gc
+
+    gc.collect()
     sz = os.path.getsize(path) / 1e9
     print(
         f"# store written: {sz:.2f} GB in {time.time()-t0:.0f}s",
@@ -97,6 +101,7 @@ def main():
     ap.add_argument("--npixel", type=int, default=1024)
     ap.add_argument("--chunk-times", type=int, default=200)
     ap.add_argument("--nmajor", type=int, default=3)
+    ap.add_argument("--nw", type=int, default=None)
     ap.add_argument("--nants", type=int, default=274)
     ap.add_argument("--path", default="/tmp/stream_bench.svis")
     ap.add_argument("--keep", action="store_true")
@@ -128,6 +133,7 @@ def main():
 
     kw = dict(
         chunk_times=args.chunk_times,
+        nw=args.nw,
         calibration_context="T",
         context="ng",
         algorithm="hogbom",

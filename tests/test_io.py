@@ -131,3 +131,45 @@ class TestStreamedICAL:
         pa = ga * np.exp(-1j * np.angle(ga[:, :1]))
         pb = gb * np.exp(-1j * np.angle(gb[:, :1]))
         assert np.max(np.abs(pa - pb)) < 5e-3, np.max(np.abs(pa - pb))
+
+    def test_streamed_uncached_matches_cached(self, tmp_path, rng):
+        """cache_slabs=False (the 1B-scale re-streaming mode) must give
+        identical results to the cached mode."""
+        import jax.numpy as jnp
+
+        from ska_sdp_func_python_tpu.models import SkyComponents
+        from ska_sdp_func_python_tpu.ops import (
+            create_image_from_visibility,
+            dft_skycomponent_visibility,
+        )
+        from ska_sdp_func_python_tpu.streaming import streamed_ical
+
+        pc = (0.0, np.deg2rad(-35.0))
+        vis = make_visibility(
+            nants=8, ntimes=6, nchan=1, rmax=300.0, phasecentre=pc
+        )
+        model = create_image_from_visibility(
+            vis, npixel=64, oversampling=4.0, nchan=1
+        )
+        ra, dec = model.pixel_to_radec(64 // 2 + 5, 64 // 2 - 4)
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]], [[[1.0]]], vis.frequency
+        )
+        vis = dft_skycomponent_visibility(vis, comps)
+        path = str(tmp_path / "uncached.svis")
+        write_visibility(vis, path, chunk_times=2)
+        kw = dict(
+            nmajor=2, chunk_times=2, calibration_context="T",
+            context="ng", algorithm="hogbom", niter=50, gain=0.2,
+            fractional_threshold=0.01,
+        )
+        r_cached = streamed_ical(path, model, pc, cache_slabs=True, **kw)
+        r_stream = streamed_ical(path, model, pc, cache_slabs=False, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(r_cached.model.pixels),
+            np.asarray(r_stream.model.pixels),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_cached.gaintable.gain),
+            np.asarray(r_stream.gaintable.gain),
+        )
