@@ -35,6 +35,32 @@ import time
 import numpy as np
 
 
+def _bench_flagship_cycle():
+    """Fused end-to-end self-cal major cycle at the 10M-vis/1024^2 scale
+    (bench_ical.py), emitted as an extra JSON line so the round-over-round
+    record carries the flagship metric, not just the kernel. Failures are
+    non-fatal (the headline invert line must always print)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [
+                sys.executable, "bench_ical.py", "--rmax", "40000",
+                "--ntimes", "76", "--npixel", "1024", "--warm", "2",
+                "--reps", "4",
+            ],
+            capture_output=True, text=True, timeout=900,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        for line in out.stderr.splitlines():
+            if line.startswith("#"):
+                print(line, file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - best effort
+        print(f"# flagship cycle bench skipped: {exc}", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -154,6 +180,8 @@ def main():
 
     run_k_unsorted(plan, vr, vi, wgt)  # compile
     best_u = best_of(run_k_unsorted, plan, vr, vi, wgt)
+
+    _bench_flagship_cycle()
 
     baseline_cpu_mvis_s = 10.0
     print(

@@ -26,7 +26,28 @@ __all__ = [
     "frac_dot_turns",
     "gridder_precision",
     "set_gridder_precision",
+    "plan_cache_size",
+    "set_plan_cache_size",
 ]
+
+# Automatic gridding-plan cache in invert_visibility/predict_visibility:
+# number of (uvw, geometry) plans kept alive keyed on uvw/frequency buffer
+# identity. Each cached plan holds the sorted payload on device (~100 B
+# per visibility), so the default is small; 0 disables auto caching.
+_PLAN_CACHE_SIZE: int = 2
+
+
+def plan_cache_size() -> int:
+    return _PLAN_CACHE_SIZE
+
+
+def set_plan_cache_size(n: int) -> None:
+    global _PLAN_CACHE_SIZE
+    _PLAN_CACHE_SIZE = int(n)
+    if _PLAN_CACHE_SIZE <= 0:
+        from .ops import imaging as _imaging
+
+        _imaging._PLAN_CACHE.clear()
 
 # In-kernel matmul precision of the fused Pallas gridder/degridder:
 # "auto" -> "bf16x3" on accelerators, HIGHEST (inherited global default)

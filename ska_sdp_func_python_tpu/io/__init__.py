@@ -1,5 +1,11 @@
-"""Native visibility IO: C++ chunked binary store + streaming loader."""
+"""Native IO: C++ chunked visibility store + gain-solution persistence."""
 
+from .gainio import (
+    load_gaintable,
+    load_gaintables,
+    save_gaintable,
+    save_gaintables,
+)
 from .visio import (
     VisStore,
     stream_visibility_chunks,
@@ -12,4 +18,8 @@ __all__ = [
     "stream_visibility_chunks",
     "write_visibility",
     "write_visibility_arrays",
+    "save_gaintable",
+    "load_gaintable",
+    "save_gaintables",
+    "load_gaintables",
 ]

@@ -225,16 +225,20 @@ def _grid_slot_kernel(
     values separate means the big geometry payload is never copied on a
     plan-reuse call — only the two 4-byte value rows change per call.
     Consecutive slots of the same segment map to the SAME output block
-    index, so the [1, 2*nplanes_out*buf, buf] tile accumulator stays
+    index, so the [1, buf, 2*nplanes_out*buf] tile accumulator stays
     resident in VMEM across them (Mosaic only flushes on an index
     change); the segment's first slot initialises it. This pipelined
     slot structure is ~2x faster than a manual per-segment DMA walk —
     the measured bottleneck was per-iteration DMA issue/wait overhead
     on the scalar core, not bandwidth or compute.
 
-    Output row blocks [re_lo; (re_hi;) im_lo(; im_hi)]: all plane
-    products come out of ONE [2*nplanes_out*buf, chunk] x [buf, chunk]
-    MXU contraction.
+    Output lane panels [re_lo | (re_hi |) im_lo (| im_hi)]: all plane
+    products come out of ONE [buf, chunk] x [2*nplanes_out*buf, chunk]
+    MXU contraction. The component panels ride the LANE axis (output
+    [buf, 2*nplanes_out*buf]) rather than the sublane axis: MXU lane
+    tiles are 128 wide, so an N of buf=72 wasted 44% of every pass
+    while N = 4*buf = 288 wastes 25% (M is sublane-granular — any
+    multiple of 8 is free).
     """
     i = pl.program_id(0)
     seg = slot_seg_ref[i]
@@ -283,16 +287,16 @@ def _grid_slot_kernel(
         kv = es(tv0 + r - data[1][None, :])  # [buf, chunk]
         ku = es(tu0 + r - data[0][None, :])
     if nplanes_out == 1:
-        lhs = jnp.concatenate([kv * vr, kv * vi], axis=0)
+        rhs = jnp.concatenate([ku * vr, ku * vi], axis=0)
     else:
         w0 = 1.0 - frac
         w1 = frac
-        lhs = jnp.concatenate(
-            [kv * (vr * w0), kv * (vr * w1), kv * (vi * w0), kv * (vi * w1)],
+        rhs = jnp.concatenate(
+            [ku * (vr * w0), ku * (vr * w1), ku * (vi * w0), ku * (vi * w1)],
             axis=0,
         )
-    dn = (((1,), (1,)), ((), ()))  # contract chunk axis -> [rows, buf]
-    contrib = _dot(lhs, ku, dn, precision)
+    dn = (((1,), (1,)), ((), ()))  # contract chunk axis -> [buf, panels]
+    contrib = _dot(kv, rhs, dn, precision)
     first = slot_first_ref[i] == 1
 
     @pl.when(first)
@@ -528,7 +532,7 @@ def _grid_execute(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 2 * nplanes_out * buf, buf),
+            (1, buf, 2 * nplanes_out * buf),
             lambda i, sg, sc, fi, st, ct: (sg[i], 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -551,7 +555,7 @@ def _grid_execute(
         grid_spec=grid_spec,
         interpret=interpret,
         out_shape=jax.ShapeDtypeStruct(
-            (nseg, 2 * nplanes_out * buf, buf), jnp.float32
+            (nseg, buf, 2 * nplanes_out * buf), jnp.float32
         ),
     )(slot_seg, slot_col, slot_first, starts, counts, payload, vals)
 
@@ -568,10 +572,12 @@ def _grid_execute(
         )
 
     if wstacked:
-        # row blocks [re_lo; re_hi; im_lo; im_hi]; combine lower/upper
+        # lane panels [re_lo | re_hi | im_lo | im_hi]; combine lower/upper
         # halves into per-plane tile stacks: plane p receives seg (p, :)
         # lower halves and seg (p-1, :) uppers
-        o = out.reshape(nseg_planes, ntiles, 4, buf, buf)
+        o = out.reshape(nseg_planes, ntiles, buf, 4, buf).transpose(
+            0, 1, 3, 2, 4
+        )
         zt = jnp.zeros((1, ntiles, buf, buf), jnp.float32)
         acc_r = (
             jnp.concatenate([o[:, :, 0], zt], axis=0)
@@ -584,7 +590,7 @@ def _grid_execute(
         acc = jax.lax.complex(acc_r, acc_i)  # [nplanes, ntiles, buf, buf]
         acc = acc.reshape(nplanes, ntile_axis, ntile_axis, buf, buf)
     else:
-        acc = jax.lax.complex(out[:, :buf], out[:, buf:])
+        acc = jax.lax.complex(out[:, :, :buf], out[:, :, buf:])
         acc = acc.reshape(nseg_planes, ntile_axis, ntile_axis, buf, buf)
 
     def assemble(tiles):
@@ -624,7 +630,7 @@ def _assemble_execute(
     interpret: bool,
 ):
     """Single-pass Pallas overlap-add: raw per-segment tile accumulators
-    [nseg, 2*nplanes_out*buf, buf] -> assembled complex plane grids.
+    [nseg, buf, 2*nplanes_out*buf] -> assembled complex plane grids.
 
     Replaces the XLA combine/roll/transpose chain (which re-lays-out the
     full grid volume several times, ~28 ms at the BASELINE config) with
@@ -635,6 +641,12 @@ def _assemble_execute(
     out-of-grid visibilities are weight-masked. For w-stacked grids,
     plane p sums the lower-plane accumulator of segment-plane p and the
     upper-plane accumulator of segment-plane p-1, masked at the ends.
+
+    Component panels ride the LANE axis of the accumulators (see
+    ``_grid_slot_kernel``), at offsets k*buf that are not 128-aligned;
+    Mosaic cannot slice at arbitrary lane offsets, so panels are brought
+    to lane 0 with ``pltpu.roll`` (cheap VPU lane rotation) and the
+    8-wide halo strips are placed with exact one-hot f32 contractions.
     """
     ts = tile
     buf = ts + support
@@ -644,8 +656,8 @@ def _assemble_execute(
     ntiles2 = ntiles // 2
     nplanes_total = nseg_planes + 1 if wstacked else nseg_planes
     sources = ("lo", "hi") if wstacked else ("lo",)
-    nrows = out.shape[1]  # 2*nplanes_out*buf
-    # row-block index (in units of buf) of each (source, component) panel
+    nl = out.shape[2]  # 2*nplanes_out*buf
+    # lane-panel index (in units of buf) of each (source, component)
     if nplanes_out == 2:
         rb = {("lo", "re"): 0, ("hi", "re"): 1,
               ("lo", "im"): 2, ("hi", "im"): 3}
@@ -656,11 +668,11 @@ def _assemble_execute(
     # stack reshapes (bitcast, no copy) into pairs and each program fetches
     # whole two-segment accumulator pairs: one program per (plane, tv,
     # tile-pair) with 4 fetches per source (self/left/up/up-left pairs) of
-    # (1, 2, nrows, buf). This replaces the earlier per-(source, component)
+    # (1, 2, buf, nl). This replaces the earlier per-(source, component)
     # panel layout (16 small DMAs incl. (1, 8, buf) halo strips per
     # program) — measured ~2x faster at the BASELINE config: the cost was
     # per-fetch issue overhead and index-map scalar work, not bandwidth.
-    out_pairs = out.reshape(ntiles2 * nseg_planes, 2, nrows, buf)
+    out_pairs = out.reshape(ntiles2 * nseg_planes, 2, buf, nl)
 
     def pair_of(p, tv, tj, src, dv, dj):
         ps = jnp.clip(p - (1 if src == "hi" else 0), 0, nseg_planes - 1)
@@ -675,7 +687,7 @@ def _assemble_execute(
         for dv, dj in ((0, 0), (0, -1), (-1, 0), (-1, -1)):
             in_specs.append(
                 pl.BlockSpec(
-                    (1, 2, nrows, buf),
+                    (1, 2, buf, nl),
                     lambda p, tv, tj, s=src, dv=dv, dj=dj:
                     (pair_of(p, tv, tj, s, dv, dj), 0, 0, 0),
                 )
@@ -686,49 +698,50 @@ def _assemble_execute(
         out_r, out_i = refs[-2:]
         p = pl.program_id(0)
 
-        # halo placement via exact one-hot contractions: Mosaic cannot
-        # pad/concat lane-offset slices, but a one-hot dot at HIGHEST
-        # precision reproduces the selected f32 values exactly
-        ii = jax.lax.broadcasted_iota(jnp.int32, (buf, ts), 0)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (buf, ts), 1)
-        p_left = jnp.where(
-            (ii == jj + ts) & (jj < support), 1.0, 0.0
-        ).astype(jnp.float32)  # [buf, ts]: col ts+j -> col j
+        # 8-wide halo placement via exact one-hot contractions: a 0/1
+        # matrix at HIGHEST precision reproduces the selected f32 values
+        # exactly
         i2 = jax.lax.broadcasted_iota(jnp.int32, (ts, 8), 0)
         j2 = jax.lax.broadcasted_iota(jnp.int32, (ts, 8), 1)
-        p_rows = jnp.where(i2 == j2, 1.0, 0.0).astype(
+        p8 = jnp.where(i2 == j2, 1.0, 0.0).astype(
             jnp.float32
-        )  # [ts, 8]: halo row j -> row j
+        )  # [ts, 8] identity in the first 8 rows
 
-        def place_cols(x):  # [rows, buf] -> [rows, ts]
+        def place_cols(x):  # [r, 8] -> [r, ts]: halo col j -> col j
             return jax.lax.dot_general(
-                x, p_left, (((1,), (0,)), ((), ())),
+                x, p8, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32, precision="highest",
             )
 
-        def place_rows(x):  # [8, ts] -> [ts, ts]
+        def place_rows(x):  # [8, ts] -> [ts, ts]: halo row j -> row j
             return jax.lax.dot_general(
-                p_rows, x, (((1,), (0,)), ((), ())),
+                p8, x, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision="highest",
             )
+
+        def shift(x, off, w):
+            """Lanes [off, off+w) of x brought to lane 0 (roll), sliced."""
+            if off:
+                x = pltpu.roll(x, nl - off, 1)
+            return x[:, :w]
 
         def gather(si, k, t):
             """Assembled [ts, ts] core of pair element t for source si,
-            component row-panel k."""
+            component lane-panel k."""
             selfb, prevb, upb, upprevb = in_refs[si * 4:si * 4 + 4]
-            r0 = k * buf
-            core = selfb[0, t, r0:r0 + ts, :ts]
-            left = (
-                selfb[0, 0, r0:r0 + ts, :]
+            c0 = k * buf
+            core = shift(selfb[0, t, :ts, :], c0, ts)
+            left = shift(
+                selfb[0, 0, :ts, :] if t == 1 else prevb[0, 1, :ts, :],
+                c0 + ts, 8,
+            )  # [ts, 8] right-halo cols of the left neighbour
+            up = shift(upb[0, t, ts:ts + 8, :], c0, ts)
+            cor = shift(
+                upb[0, 0, ts:ts + 8, :]
                 if t == 1
-                else prevb[0, 1, r0:r0 + ts, :]
-            )
-            up = upb[0, t, r0 + ts:r0 + ts + 8, :ts]
-            cor = (
-                upb[0, 0, r0 + ts:r0 + ts + 8, :]
-                if t == 1
-                else upprevb[0, 1, r0 + ts:r0 + ts + 8, :]
-            )
+                else upprevb[0, 1, ts:ts + 8, :],
+                c0 + ts, 8,
+            )  # [8, 8] corner halo
             return (
                 core
                 + place_cols(left)

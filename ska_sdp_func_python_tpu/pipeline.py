@@ -78,6 +78,24 @@ class SelfCalState:
         model, cycle = blob["model_cycle"]
         return cls(model=model, gaintables=blob["gaintables"], cycle=cycle)
 
+    def export_gaintables(self, path: str) -> None:
+        """Write the solutions to a standalone HDF5/npz file (the h5parm
+        role of the reference's DP3 bridge, dp3_calibration.py:33-35) —
+        readable without unpickling the full state via
+        :func:`ska_sdp_func_python_tpu.io.load_gaintables`."""
+        from .io import save_gaintables
+
+        save_gaintables(self.gaintables, path)
+
+    @classmethod
+    def import_gaintables(cls, model, path: str, cycle: int = 0):
+        """Build a state from a standalone solution file + model image."""
+        from .io import load_gaintables
+
+        return cls(
+            model=model, gaintables=load_gaintables(path), cycle=cycle
+        )
+
 
 class _SortedWorkspace:
     """Image-frame, plan-sorted visibility workspace for sort-free major

@@ -350,3 +350,67 @@ class TestWInterpAccuracy:
         assert errs["linear"] < 1e-4, errs
         assert errs["nearest"] < 1e-2, errs
         assert errs["linear"] < errs["nearest"], errs
+
+
+class TestAutoPlanCache:
+    """Automatic plan caching in the composed public API: second calls on
+    the same (uvw, frequency) buffers reuse the cached geometry (no
+    re-sort), and results match the uncached core path exactly."""
+
+    def test_cache_hit_and_parity(self):
+        from ska_sdp_func_python_tpu import config
+        from ska_sdp_func_python_tpu.ops import imaging as im
+
+        vis, model = _vis_and_image()
+        comps = _point_comps(model, [(-6, 11)], flux=1.5)
+        vis = dft_skycomponent_visibility(vis, comps)
+
+        im._PLAN_CACHE.clear()
+        ref, sw_ref = invert_visibility(
+            vis, model, context="ng", nw=8, auto_plan=False
+        )
+        d1, sw1 = invert_visibility(
+            vis, model, context="ng", nw=8, auto_plan=True
+        )
+        assert len(im._PLAN_CACHE) == 1
+        (key1, (uvw_ref, _, plan1)), = im._PLAN_CACHE.items()
+        assert uvw_ref is vis.uvw
+        d2, sw2 = invert_visibility(
+            vis, model, context="ng", nw=8, auto_plan=True
+        )
+        # same plan object reused (cache hit, no rebuild)
+        assert im._PLAN_CACHE[key1][2] is plan1
+        np.testing.assert_allclose(
+            np.asarray(d1.pixels), np.asarray(d2.pixels)
+        )
+        # plan path matches the core path at the same padding
+        np.testing.assert_allclose(
+            np.asarray(d1.pixels), np.asarray(ref.pixels),
+            atol=2e-6 * float(np.max(np.abs(np.asarray(ref.pixels)))),
+        )
+        np.testing.assert_allclose(np.asarray(sw1), np.asarray(sw_ref))
+
+        # predict shares the same cache key space
+        vpred = predict_visibility(
+            vis, model, context="ng", nw=8, auto_plan=True
+        )
+        assert vpred.vis.shape == vis.vis.shape
+
+        # different coordinates -> new entry; LRU bounded by config size
+        vis2, model2 = _vis_and_image(ntimes=2)
+        invert_visibility(vis2, model2, context="ng", nw=8, auto_plan=True)
+        assert len(im._PLAN_CACHE) <= config.plan_cache_size()
+        im._PLAN_CACHE.clear()
+
+    def test_cache_disabled(self):
+        from ska_sdp_func_python_tpu import config
+        from ska_sdp_func_python_tpu.ops import imaging as im
+
+        vis, model = _vis_and_image()
+        im._PLAN_CACHE.clear()
+        config.set_plan_cache_size(0)
+        try:
+            invert_visibility(vis, model, context="ng", nw=8, auto_plan=True)
+            assert len(im._PLAN_CACHE) == 0
+        finally:
+            config.set_plan_cache_size(2)

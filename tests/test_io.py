@@ -173,3 +173,70 @@ class TestStreamedICAL:
             np.asarray(r_cached.gaintable.gain),
             np.asarray(r_stream.gaintable.gain),
         )
+
+
+class TestGainIO:
+    """Standalone gaintable persistence (h5parm role of the reference's
+    DP3 bridge, dp3_calibration.py:33-35)."""
+
+    @staticmethod
+    def _tables(rng):
+        from ska_sdp_func_python_tpu.models.gaintable import (
+            create_gaintable_from_visibility,
+        )
+
+        vis = make_visibility(nants=5, ntimes=6, nchan=2)
+        gt_t = create_gaintable_from_visibility(vis, jones_type="T")
+        g = np.asarray(gt_t.gain) * np.exp(
+            1j * rng.normal(size=gt_t.gain.shape)
+        )
+        gt_t = gt_t.replace(gain=g.astype(np.complex64))
+        gt_g = create_gaintable_from_visibility(
+            vis, jones_type="G", timeslice=1e15
+        )
+        return {"T": gt_t, "G": gt_g}
+
+    @pytest.mark.parametrize("ext", ["h5", "npz"])
+    def test_roundtrip(self, tmp_path, rng, ext):
+        from ska_sdp_func_python_tpu.io import (
+            load_gaintables,
+            save_gaintables,
+        )
+
+        tables = self._tables(rng)
+        path = str(tmp_path / f"sols.{ext}")
+        save_gaintables(tables, path)
+        back = load_gaintables(path)
+        assert sorted(back) == ["G", "T"]
+        for k in tables:
+            np.testing.assert_allclose(
+                np.asarray(back[k].gain),
+                np.asarray(tables[k].gain).astype(np.complex64),
+                rtol=1e-6,
+            )
+            np.testing.assert_allclose(
+                np.asarray(back[k].time), np.asarray(tables[k].time)
+            )
+            assert back[k].jones_type == tables[k].jones_type
+            assert back[k].receptor_frame == tables[k].receptor_frame
+
+    def test_single_table_and_state(self, tmp_path, rng):
+        from ska_sdp_func_python_tpu.io import load_gaintable, save_gaintable
+        from ska_sdp_func_python_tpu.models.image import create_image
+        from ska_sdp_func_python_tpu.pipeline import SelfCalState
+
+        tables = self._tables(rng)
+        path = str(tmp_path / "one.h5")
+        save_gaintable(tables["T"], path)
+        gt = load_gaintable(path)
+        np.testing.assert_allclose(
+            np.asarray(gt.gain),
+            np.asarray(tables["T"].gain).astype(np.complex64),
+            rtol=1e-6,
+        )
+        model = create_image(32, 1e-4, 15.0, -45.0)
+        st = SelfCalState(model=model, gaintables=tables, cycle=2)
+        spath = str(tmp_path / "state_sols.npz")
+        st.export_gaintables(spath)
+        st2 = SelfCalState.import_gaintables(model, spath, cycle=2)
+        assert sorted(st2.gaintables) == ["G", "T"]
