@@ -772,6 +772,177 @@ def _msclean_loop(
     return comps, res
 
 
+def _msclean_pallas_kernel(
+    res_ref,
+    canv_ref,
+    pblob_ref,
+    cdiag_ref,
+    comps_ref,
+    res_out_ref,
+    *,
+    gain: float,
+    thresh: float,
+    fracthresh: float,
+    niter: int,
+):
+    """The full msclean minor-cycle loop in one VMEM-resident program.
+
+    ``res_ref`` holds the coupling-scaled residual stack [ns, ny, nx]
+    (res_stack / coupling_diag — the search image, so the loop never
+    rescales); ``canv_ref`` [ns_peak, ns, py, px] the cross-scale PSF
+    stacks pre-divided by coupling_diag[s'] (support-bounded via the
+    driver's ``psf_support``/bound_psf crop, deconvolution.py:92-107 —
+    what makes the stack fit VMEM, per the reference's own contract);
+    ``pblob_ref`` [ns, py, px] the component placement blobs. Peak
+    placement follows the Hogbom Pallas kernel: zero-pad the selected
+    stack to image size, ``pltpu.roll`` the blob centre onto the peak,
+    and mask the patch window (reproducing overlapIndices clipping,
+    reference cleaners.py:235-277) — the scale selection is four
+    ``pl.when`` branches on static indices, so no gathers."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ns, ny, nx = res_ref.shape
+    py, px = canv_ref.shape[-2:]
+    cy, cx = py // 2, px // 2
+    res_out_ref[...] = res_ref[...]
+    comps_ref[...] = jnp.zeros_like(comps_ref)
+    cdiag = cdiag_ref[...]  # [1, ns]
+    sidx = jax.lax.broadcasted_iota(jnp.int32, (ns, ny, nx), 0)
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ns, ny, nx), 1)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ns, ny, nx), 2)
+    lin = (sidx * ny + rr) * nx + cc
+    si1 = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
+    cd0 = jnp.sum(jnp.where(si1 == 0, cdiag, 0.0))
+    absthresh = jnp.maximum(
+        jnp.float32(thresh),
+        jnp.float32(fracthresh) * cd0 * jnp.max(jnp.abs(res_out_ref[0])),
+    )
+    rr2 = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    cc2 = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+
+    def cond(carry):
+        i, done = carry
+        return (i < niter) & jnp.logical_not(done)
+
+    def body(carry):
+        i, _ = carry
+        res = res_out_ref[...]
+        search = jnp.abs(res)
+        m = jnp.max(search)
+        best = jnp.min(jnp.where(search == m, lin, jnp.int32(ns * ny * nx)))
+        ms = best // (ny * nx)
+        rem = best - ms * (ny * nx)
+        my = rem // nx
+        mx = rem - my * nx
+        mval = jnp.sum(jnp.where(lin == best, res, 0.0))
+        cd_ms = jnp.sum(jnp.where(si1 == ms, cdiag, 0.0))
+        # reference stop rule (cleaners.py:600-607): peak of the raw
+        # scale-residual below 0.9*absthresh ends the loop BEFORE the
+        # subtraction
+        stop = jnp.abs(mval * cd_ms) < 0.9 * absthresh
+        gm = gain * mval
+        dy = rr2 - my
+        dx = cc2 - mx
+        valid = (
+            (dy >= -cy) & (dy < py - cy) & (dx >= -cx) & (dx < px - cx)
+        )
+        for s in range(ns):
+
+            @pl.when((ms == s) & jnp.logical_not(stop))
+            def _():
+                csel = jnp.pad(
+                    canv_ref[s], ((0, 0), (0, ny - py), (0, nx - px))
+                )
+                rolled = pltpu.roll(
+                    pltpu.roll(csel, my + (ny - cy), 1), mx + (nx - cx), 2
+                )
+                res_out_ref[...] = res_out_ref[...] - jnp.where(
+                    valid[None], rolled, 0.0
+                ) * gm
+                blob = jnp.pad(
+                    pblob_ref[s], ((0, ny - py), (0, nx - px))
+                )
+                rolledb = pltpu.roll(
+                    pltpu.roll(blob, my + (ny - cy), 0), mx + (nx - cx), 1
+                )
+                comps_ref[...] = comps_ref[...] + jnp.where(
+                    valid, rolledb, 0.0
+                ) * gm
+
+        return i + 1, stop
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+
+_MSCLEAN_PALLAS_MAX_PIXELS = 512 * 512
+_MSCLEAN_PALLAS_MAX_PSF = 256 * 256
+
+
+def _msclean_pallas_ok(dirty, psf, nscales, window, sensitivity, interpret):
+    if not (interpret or jax.default_backend() == "tpu"):
+        return False
+    if window is not None or sensitivity is not None:
+        return False
+    ny, nx = dirty.shape[-2:]
+    py, px = psf.shape[-2:]
+    return (
+        nscales <= 4
+        and ny * nx <= _MSCLEAN_PALLAS_MAX_PIXELS
+        and py * px <= _MSCLEAN_PALLAS_MAX_PSF
+        and py <= ny and px <= nx
+        and nx % 128 == 0 and px % 128 == 0 and py % 8 == 0
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("gain", "thresh", "fracthresh", "niter", "interpret"),
+)
+def _msclean_pallas(
+    res_stack,
+    psf_ss,
+    pscalestack,
+    coupling_diag,
+    *,
+    gain: float,
+    thresh: float,
+    fracthresh: float,
+    niter: int,
+    interpret: bool = False,
+):
+    import jax.experimental.pallas as pl
+
+    ns, ny, nx = res_stack.shape
+    inv = (1.0 / coupling_diag).astype(jnp.float32)
+    res_scaled = res_stack.astype(jnp.float32) * inv[:, None, None]
+    # canv[s_peak, s'] = psf_ss[s', s_peak] / coupling_diag[s']
+    canv = (
+        psf_ss.astype(jnp.float32).transpose(1, 0, 2, 3)
+        * inv[None, :, None, None]
+    )
+    kernel = partial(
+        _msclean_pallas_kernel,
+        gain=float(gain),
+        thresh=float(thresh),
+        fracthresh=float(fracthresh),
+        niter=int(niter),
+    )
+    comps, res_scaled_out = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((ns, ny, nx), jnp.float32),
+        ),
+        input_output_aliases={0: 1},
+        interpret=interpret,
+    )(res_scaled, canv, pscalestack.astype(jnp.float32),
+      coupling_diag.astype(jnp.float32).reshape(1, ns))
+    return comps, res_scaled_out * coupling_diag[:, None, None].astype(
+        jnp.float32
+    )
+
+
 def msclean(
     dirty,
     psf,
@@ -782,8 +953,15 @@ def msclean(
     niter: int = 100,
     scales=(0, 3, 10, 30),
     fracthresh: float = 0.01,
+    use_pallas: bool | None = None,
 ):
     """Multi-scale CLEAN (Cornwell 2008; cleaners.py:279-468).
+
+    On TPU, when the PSF is support-bounded (``deconvolve_cube``'s
+    ``psf_support`` / :func:`bound_psf`) so the cross-scale PSF stack
+    fits VMEM, the whole minor-cycle loop runs as one Pallas program
+    (``use_pallas=None`` auto-selects; windows/sensitivity fall back to
+    the XLA while_loop).
 
     Returns (comps, residual)."""
     ny, nx = dirty.shape
@@ -798,6 +976,24 @@ def msclean(
     psf_ss = convolve_convolve_scalestack(pscalestack, lpsf)
     coupling = jnp.max(psf_ss, axis=(-2, -1))  # [ns, ns]
     coupling_diag = jnp.diagonal(coupling)
+
+    if use_pallas is None:
+        use_pallas = _msclean_pallas_ok(
+            dirty, psf, len(scales), window, sensitivity, interpret=False
+        )
+    if use_pallas:
+        comps, res = _msclean_pallas(
+            res_stack,
+            psf_ss,
+            pscalestack,
+            coupling_diag,
+            gain=float(gain),
+            thresh=float(thresh),
+            fracthresh=float(fracthresh),
+            niter=int(niter),
+            interpret=jax.default_backend() != "tpu",
+        )
+        return comps, pmax * res[0]
 
     if window is None:
         windowstack = None

@@ -559,7 +559,9 @@ def _grid_execute(
         ),
     )(slot_seg, slot_col, slot_first, starts, counts, payload, vals)
 
-    if use_tap_payload(support, tile) and ntile_axis % 2 == 0:
+    if use_tap_payload(support, tile) and (
+        ntile_axis % _assemble_group(tile) == 0
+    ):
         return _assemble_execute(
             out,
             nseg_planes=nseg_planes,
@@ -618,6 +620,13 @@ def _grid_execute(
     return jax.vmap(assemble)(acc)
 
 
+def _assemble_group(tile: int) -> int:
+    """Tiles assembled per program along u: output blocks need a lane
+    dim >= 128 (Mosaic), and >=2 keeps the left-halo source in-group
+    for all but the first element."""
+    return max(2, 128 // tile)
+
+
 def _assemble_execute(
     out,
     *,
@@ -651,10 +660,10 @@ def _assemble_execute(
     ts = tile
     buf = ts + support
     nta = npixel // ts
-    nta2 = nta // 2
+    g = _assemble_group(ts)
+    ntag = nta // g
     ntiles = nta * nta
-    ntiles2 = ntiles // 2
-    nplanes_total = nseg_planes + 1 if wstacked else nseg_planes
+    ntiles_g = ntiles // g
     sources = ("lo", "hi") if wstacked else ("lo",)
     nl = out.shape[2]  # 2*nplanes_out*buf
     # lane-panel index (in units of buf) of each (source, component)
@@ -665,39 +674,50 @@ def _assemble_execute(
         rb = {("lo", "re"): 0, ("lo", "im"): 1}
 
     # u-adjacent segments are contiguous in the accumulator stack, so the
-    # stack reshapes (bitcast, no copy) into pairs and each program fetches
-    # whole two-segment accumulator pairs: one program per (plane, tv,
-    # tile-pair) with 4 fetches per source (self/left/up/up-left pairs) of
-    # (1, 2, buf, nl). This replaces the earlier per-(source, component)
-    # panel layout (16 small DMAs incl. (1, 8, buf) halo strips per
-    # program) — measured ~2x faster at the BASELINE config: the cost was
-    # per-fetch issue overhead and index-map scalar work, not bandwidth.
-    out_pairs = out.reshape(ntiles2 * nseg_planes, 2, buf, nl)
+    # stack reshapes (bitcast, no copy) into pairs. One program per
+    # (segment-plane, tv, tile-pair) assembles BOTH the lower- and
+    # upper-plane panels from ONE fetch set (the w-plane shift-add happens
+    # in XLA afterwards, so lo/hi no longer trigger duplicate fetches),
+    # and the up/up-left neighbours are fetched as 8-row halo STRIPS
+    # (blocks (·,·,8,nl) at row-block ts//8) while the left neighbour
+    # fetches only its second pair element: 368 KB/program instead of the
+    # previous full-pair scheme's 884 KB/source — the assemble stage is
+    # DMA-bound (measured 6.6 ms of a 24.9 ms grid call at the 10M-vis
+    # BASELINE before this restructuring).
+    out_groups = out.reshape(ntiles_g * nseg_planes, g, buf, nl)
 
-    def pair_of(p, tv, tj, src, dv, dj):
-        ps = jnp.clip(p - (1 if src == "hi" else 0), 0, nseg_planes - 1)
+    def group_of(p, tv, tj, dv, dj):
         return (
-            ps * ntiles2
-            + ((tv + dv + nta) % nta) * nta2
-            + ((tj + dj + nta2) % nta2)
+            p * ntiles_g
+            + ((tv + dv + nta) % nta) * ntag
+            + ((tj + dj + ntag) % ntag)
         )
 
-    in_specs = []
-    for src in sources:
-        for dv, dj in ((0, 0), (0, -1), (-1, 0), (-1, -1)):
-            in_specs.append(
-                pl.BlockSpec(
-                    (1, 2, buf, nl),
-                    lambda p, tv, tj, s=src, dv=dv, dj=dj:
-                    (pair_of(p, tv, tj, s, dv, dj), 0, 0, 0),
-                )
-            )
+    in_specs = [
+        # self group (all g elements, full)
+        pl.BlockSpec(
+            (1, g, buf, nl),
+            lambda p, tv, tj: (group_of(p, tv, tj, 0, 0), 0, 0, 0),
+        ),
+        # left-neighbour group, last element only (right-halo source)
+        pl.BlockSpec(
+            (1, 1, buf, nl),
+            lambda p, tv, tj: (group_of(p, tv, tj, 0, -1), g - 1, 0, 0),
+        ),
+        # upper-neighbour group, bottom 8-row strip
+        pl.BlockSpec(
+            (1, g, 8, nl),
+            lambda p, tv, tj: (group_of(p, tv, tj, -1, 0), 0, ts // 8, 0),
+        ),
+        # upper-left group, last element bottom strip (corner halo)
+        pl.BlockSpec(
+            (1, 1, 8, nl),
+            lambda p, tv, tj: (group_of(p, tv, tj, -1, -1), g - 1,
+                               ts // 8, 0),
+        ),
+    ]
 
-    def kernel(*refs):
-        in_refs = refs[:-2]
-        out_r, out_i = refs[-2:]
-        p = pl.program_id(0)
-
+    def kernel(selfb, prevb, upb, upprevb, *outs):
         # 8-wide halo placement via exact one-hot contractions: a 0/1
         # matrix at HIGHEST precision reproduces the selected f32 values
         # exactly
@@ -725,21 +745,18 @@ def _assemble_execute(
                 x = pltpu.roll(x, nl - off, 1)
             return x[:, :w]
 
-        def gather(si, k, t):
-            """Assembled [ts, ts] core of pair element t for source si,
-            component lane-panel k."""
-            selfb, prevb, upb, upprevb = in_refs[si * 4:si * 4 + 4]
+        def gather(k, t):
+            """Assembled [ts, ts] core of group element t for lane-panel
+            k."""
             c0 = k * buf
             core = shift(selfb[0, t, :ts, :], c0, ts)
             left = shift(
-                selfb[0, 0, :ts, :] if t == 1 else prevb[0, 1, :ts, :],
+                selfb[0, t - 1, :ts, :] if t else prevb[0, 0, :ts, :],
                 c0 + ts, 8,
             )  # [ts, 8] right-halo cols of the left neighbour
-            up = shift(upb[0, t, ts:ts + 8, :], c0, ts)
+            up = shift(upb[0, t, :, :], c0, ts)
             cor = shift(
-                upb[0, 0, ts:ts + 8, :]
-                if t == 1
-                else upprevb[0, 1, ts:ts + 8, :],
+                upb[0, t - 1, :, :] if t else upprevb[0, 0, :, :],
                 c0 + ts, 8,
             )  # [8, 8] corner halo
             return (
@@ -749,45 +766,36 @@ def _assemble_execute(
                 + place_rows(place_cols(cor))
             )
 
-        for t in (0, 1):
-            acc = {}
+        for t in range(g):
             for si, src in enumerate(sources):
-                for comp in ("re", "im"):
-                    acc[(src, comp)] = gather(si, rb[(src, comp)], t)
-            if wstacked:
-                lo_ok = jnp.where(p < nseg_planes, 1.0, 0.0)
-                hi_ok = jnp.where(p > 0, 1.0, 0.0)
-                acc_r = (
-                    lo_ok * acc[("lo", "re")] + hi_ok * acc[("hi", "re")]
+                out_r, out_i = outs[2 * si], outs[2 * si + 1]
+                out_r[0, :, t * ts:(t + 1) * ts] = gather(
+                    rb[(src, "re")], t
                 )
-                acc_i = (
-                    lo_ok * acc[("lo", "im")] + hi_ok * acc[("hi", "im")]
+                out_i[0, :, t * ts:(t + 1) * ts] = gather(
+                    rb[(src, "im")], t
                 )
-            else:
-                acc_r = acc[("lo", "re")]
-                acc_i = acc[("lo", "im")]
-            out_r[0, :, t * ts:(t + 1) * ts] = acc_r
-            out_i[0, :, t * ts:(t + 1) * ts] = acc_i
 
-    out_r, out_i = pl.pallas_call(
+    o_spec = pl.BlockSpec((1, ts, g * ts), lambda p, tv, tj: (p, tv, tj))
+    o_shape = jax.ShapeDtypeStruct(
+        (nseg_planes, npixel, npixel), jnp.float32
+    )
+    nsrc = len(sources)
+    outs = pl.pallas_call(
         kernel,
-        grid=(nplanes_total, nta, nta2),
+        grid=(nseg_planes, nta, ntag),
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, ts, 2 * ts),
-                         lambda p, tv, tj: (p, tv, tj)),
-            pl.BlockSpec((1, ts, 2 * ts),
-                         lambda p, tv, tj: (p, tv, tj)),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nplanes_total, npixel, npixel),
-                                 jnp.float32),
-            jax.ShapeDtypeStruct((nplanes_total, npixel, npixel),
-                                 jnp.float32),
-        ),
+        out_specs=(o_spec,) * (2 * nsrc),
+        out_shape=(o_shape,) * (2 * nsrc),
         interpret=interpret,
-    )(*([out_pairs] * len(in_specs)))
-    return jax.lax.complex(out_r, out_i)
+    )(*([out_groups] * len(in_specs)))
+    lo = jax.lax.complex(outs[0], outs[1])
+    if not wstacked:
+        return lo
+    # w-plane shift-add: plane p = lo[p] + hi[p-1] (ends single-sided)
+    hi = jax.lax.complex(outs[2], outs[3])
+    zp = jnp.zeros((1, npixel, npixel), lo.dtype)
+    return jnp.concatenate([lo, zp]) + jnp.concatenate([zp, hi])
 
 
 # ---------------------------------------------------------------------------

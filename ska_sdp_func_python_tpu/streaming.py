@@ -184,6 +184,39 @@ def _slab_residual_only(plan, re, im, fw, model_s):
     return grids, jnp.sum(fw)
 
 
+def _psum_tree(tree):
+    """Sum a pytree across processes (identity in single-process runs).
+
+    The streamed accumulation mirrors ``parallel.fused.sharded_ical``'s
+    in-graph psum; across processes the once-per-cycle reduction runs
+    host-side (allgather + deterministic process-ordered sum, so every
+    process computes bit-identical results and the replicated CLEAN/
+    model update stays synchronised). Complex leaves travel as re/im
+    pairs — neither Gloo nor the axon tunnel moves complex buffers.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def red(x):
+        x = jnp.asarray(x)
+        if jnp.iscomplexobj(x):
+            r = jnp.sum(
+                multihost_utils.process_allgather(jnp.real(x)), axis=0
+            )
+            i = jnp.sum(
+                multihost_utils.process_allgather(jnp.imag(x)), axis=0
+            )
+            return jax.lax.complex(
+                r.astype(jnp.real(x).dtype), i.astype(jnp.real(x).dtype)
+            ).astype(x.dtype)
+        return jnp.sum(
+            multihost_utils.process_allgather(x), axis=0
+        ).astype(x.dtype)
+
+    return jax.tree_util.tree_map(red, tree)
+
+
 def streamed_ical(
     store,
     model: Image,
@@ -200,6 +233,7 @@ def streamed_ical(
     first_selfcal: int = 0,
     cache_slabs: bool | None = None,
     slab_cache_bytes: float = 8e9,
+    distribute: bool = True,
     **clean_kwargs,
 ):
     """Streamed ICAL over a native visibility store.
@@ -216,8 +250,17 @@ def streamed_ical(
         ``None`` = automatic: cache when the estimate fits
         ``slab_cache_bytes``. At the 1B-vis scale caching is off and
         every cycle truly re-streams.
+    :param distribute: in a ``jax.distributed`` multi-process run
+        (``parallel.multihost.initialize``), shard the time slabs
+        round-robin across processes: each process streams only its own
+        slabs from its copy of the store (IO, h2d transfer, plan builds
+        and solves all scale 1/nproc) and the uv-grid/sumwt
+        accumulators are psummed once per cycle — the multi-host form
+        of the BASELINE "1B sharded across a pod slice" shape. The
+        CLEAN tail is replicated deterministically on every process.
     :return: (model, residual, restored, gaintable) — the gaintable
-        concatenates every slab's solution intervals
+        concatenates every slab's solution intervals (gathered from
+        their owning processes in distributed runs)
 
     Current scope: stokesI (npol=1), single-channel data (the 1B-vis
     BASELINE shape), a single per-time Jones term ("T" or "G"
@@ -270,6 +313,15 @@ def streamed_ical(
         ]
         nt_pad = chunk_times
 
+        nproc = jax.process_count() if distribute else 1
+        pid = jax.process_index() if distribute else 0
+        if nproc > 1 and len(steps) < nproc:
+            raise ValueError(
+                f"streamed_ical: {len(steps)} time slabs cannot shard "
+                f"across {nproc} processes; reduce chunk_times"
+            )
+        my_slabs = [k for k in range(len(steps)) if k % nproc == pid]
+
         # global w range and plane count (every slab's grids must stack
         # onto identical planes to accumulate)
         freq_max = float(np.max(store.frequency))
@@ -286,7 +338,7 @@ def streamed_ical(
         # store IO / host->device transfer (which dominates over slow
         # links — the axon tunnel moves ~20 MB/s)
         n_slab_vis = nt_pad * store.nbl
-        est_bytes = len(steps) * n_slab_vis * 36
+        est_bytes = len(my_slabs) * n_slab_vis * 36
         if cache_slabs is None:
             cache_slabs = est_bytes <= slab_cache_bytes
         _tmpl_cache: dict = {}
@@ -363,19 +415,21 @@ def streamed_ical(
             ).plans[0]
 
         def stream_slabs():
-            """(k, re, im, flagged weight) per slab, padded, with the
-            C++ thread prefetching the next slab. With slab caching the
-            device copies persist across cycles and later passes never
-            touch the store or the host->device link."""
-            if cache_slabs and len(_slab_cache) == len(steps):
-                for k in range(len(steps)):
+            """(k, re, im, flagged weight) per OWNED slab, padded, with
+            the C++ thread prefetching this process's next slab. With
+            slab caching the device copies persist across cycles and
+            later passes never touch the store or the host->device
+            link."""
+            if cache_slabs and len(_slab_cache) == len(my_slabs):
+                for k in my_slabs:
                     yield (k, *_slab_cache[k])
                 return
-            store.prefetch(*steps[0])
-            for k, (t0, nt) in enumerate(steps):
+            store.prefetch(*steps[my_slabs[0]])
+            for j, k in enumerate(my_slabs):
+                nt = steps[k][1]
                 re, im, wt, fl = store.wait(nt)
-                if k + 1 < len(steps):
-                    store.prefetch(*steps[k + 1])
+                if j + 1 < len(my_slabs):
+                    store.prefetch(*steps[my_slabs[j + 1]])
                 fw = wt * (1 - fl)
                 item = (
                     jnp.asarray(_pad_slab(re, nt_pad).reshape(-1)),
@@ -408,6 +462,7 @@ def streamed_ical(
             g, s = psf_grids(plan, fw)
             acc = g if acc is None else acc + g
             swt = swt + s
+        acc, swt = _psum_tree((acc, swt))
         psf_px = uv_grids_to_dirty(plan0, acc) / jnp.maximum(swt, 1e-30)
         psf = model.replace(pixels=psf_px[None, None].astype(jnp.float32))
 
@@ -451,6 +506,7 @@ def streamed_ical(
                     )
                 acc = g if acc is None else acc + g
                 swt = swt + s
+            acc, swt = _psum_tree((acc, swt))
             dirty = uv_grids_to_dirty(plan0, acc) / jnp.maximum(
                 swt, 1e-30
             )
@@ -487,6 +543,16 @@ def streamed_ical(
         restored = restore_cube(
             current, psf=psf, residual=residual, clean_beam=clean_beam
         )
+        if nproc > 1:
+            # gather each slab's solutions from its owning process:
+            # non-owners contribute zeros, one deterministic psum per
+            # field reassembles the full set on every process
+            for k in range(len(steps)):
+                if k % nproc != pid:
+                    gains[k] = zeros_like_safe(gains[k])
+                    gwts[k] = jnp.zeros_like(gwts[k])
+                    gress[k] = jnp.zeros_like(gress[k])
+            gains, gwts, gress = _psum_tree((gains, gwts, gress))
         # merge slab gain tables (disjoint, time-ordered intervals)
         gaintable = GainTable(
             gain=jnp.concatenate(gains, axis=0),

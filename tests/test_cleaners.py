@@ -328,3 +328,57 @@ class TestPallasHogbomParity:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=1e-6
             )
+
+
+class TestPallasMscleanParity:
+    """The Pallas VMEM-resident msclean loop must match the XLA
+    while_loop path (interpret on CPU; support-bounded PSF as in the
+    deconvolve_cube psf_support contract)."""
+
+    def _setup(self, rng, n=256, pn=128):
+        from ska_sdp_func_python_tpu.ops.cleaners import msclean  # noqa
+
+        yy, xx = np.mgrid[0:pn, 0:pn]
+        psf = np.exp(
+            -(((yy - pn // 2) / 3.0) ** 2 + ((xx - pn // 2) / 3.0) ** 2)
+        ).astype(np.float32)
+        dirty = np.zeros((n, n), np.float32)
+        big = np.zeros((n, n), np.float32)
+        big[n // 2 - pn // 2:n // 2 + pn // 2,
+            n // 2 - pn // 2:n // 2 + pn // 2] = psf
+        for (y, x, f) in [(100, 120, 2.0), (180, 200, 1.4), (104, 124, 0.9)]:
+            dirty += f * np.roll(np.roll(big, y - n // 2, 0), x - n // 2, 1)
+        # extended emission for the larger scales
+        dirty += 0.5 * np.exp(
+            -(((np.mgrid[0:n, 0:n][0] - 150) / 25.0) ** 2
+              + ((np.mgrid[0:n, 0:n][1] - 80) / 25.0) ** 2)
+        ).astype(np.float32)
+        dirty += rng.normal(0, 0.005, dirty.shape).astype(np.float32)
+        return jnp.asarray(dirty), jnp.asarray(psf)
+
+    def test_matches_xla(self, rng):
+        from ska_sdp_func_python_tpu.ops.cleaners import msclean
+
+        d, p = self._setup(rng)
+        c0, r0 = msclean(d, p, gain=0.1, niter=40, use_pallas=False)
+        c1, r1 = msclean(d, p, gain=0.1, niter=40, use_pallas=True)
+        scale = float(np.max(np.abs(np.asarray(c0)))) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(c1), np.asarray(c0), atol=1e-5 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1), np.asarray(r0),
+            atol=1e-5 * float(np.max(np.abs(np.asarray(r0)))),
+        )
+
+    def test_gate_requires_bounded_psf(self):
+        from ska_sdp_func_python_tpu.ops import cleaners as cl
+
+        d = jnp.zeros((512, 512), jnp.float32)
+        p_big = jnp.zeros((512, 512), jnp.float32)
+        p_ok = jnp.zeros((256, 256), jnp.float32)
+        assert not cl._msclean_pallas_ok(d, p_big, 4, None, None, True)
+        assert cl._msclean_pallas_ok(d, p_ok, 4, None, None, True)
+        assert not cl._msclean_pallas_ok(
+            d, p_ok, 4, jnp.ones_like(d), None, True
+        )
