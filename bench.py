@@ -181,8 +181,9 @@ def main():
     run_k_unsorted(plan, vr, vi, wgt)  # compile
     best_u = best_of(run_k_unsorted, plan, vr, vi, wgt)
 
-    _bench_flagship_cycle()
-
+    # the headline line must always print (and print FIRST — the flagship
+    # cycle below is a long best-effort subprocess that may hit the
+    # driver's time budget)
     baseline_cpu_mvis_s = 10.0
     print(
         json.dumps(
@@ -192,8 +193,11 @@ def main():
                 "unit": "Mvis/s",
                 "vs_baseline": round(mvis_per_s / baseline_cpu_mvis_s, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    _bench_flagship_cycle()
     print(
         f"# steady-state major-cycle invert {nvis/1e6:.1f} Mvis, "
         f"{npixel}^2, nw={nw}, support={support}: best {best*1e3:.1f} ms "
