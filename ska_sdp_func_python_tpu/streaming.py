@@ -8,19 +8,31 @@ STREAM over time slabs from the native prefetching visibility store
 the next slab while the device computes):
 
 * per slab: upload re/im/weight (the axon tunnel cannot transfer complex
-  arrays), build the slab's gridding plan on device, degrid the current
-  model, solve the slab's gain intervals, and grid the corrected
-  residual;
+  arrays), build the slab's gridding plan(s) on device, degrid the
+  current model (plus any in-stream sky components via the DFT), solve
+  the slab's gain intervals for every active Jones term in the
+  calibration chain, and grid the corrected residual;
 * across slabs: uv grids, PSF grids and sum-of-weights ACCUMULATE (the
   same reduction :func:`parallel.fused.sharded_ical` performs with a
   psum across a mesh, here performed serially — device memory is
   bounded by the slab size, not the observation);
-* per cycle: one FFT/w-beam tail + CLEAN on the accumulated grids.
+* per cycle: one FFT/w-beam tail + CLEAN (``ops.deconvolution
+  .deconvolve_cube`` — every cube algorithm incl. windows) on the
+  accumulated grids.
 
-Gain solutions are exact (not lagged): StefCal normal equations are
-solution-interval-local, and solution intervals are derived per slab
-(``timeslice="auto"`` or any interval that does not straddle a slab
-boundary), so each slab's gains are identical to a monolithic solve.
+Scope (round 3, VERDICT item 4): multi-letter calibration chains
+("T", "TG", "TB", ...), npol 1/2/4 with diagonal Jones terms, bandpass
+("B") terms solved per data channel, multi-channel stores imaged as
+MFS (``model.nchan == 1``) or as spectral cubes
+(``model.nchan == store.nchan``), and in-stream sky components
+(DFT-predicted per slab). Full-Jones (crosspol) terms compose via the
+in-memory pipelines.
+
+Gain solutions are interval-local: StefCal normal equations are
+solution-interval-local and solution intervals are derived per slab
+(``timeslice='auto'`` or any interval that does not straddle a slab
+boundary gives gains identical to a monolithic solve; timeslices longer
+than a slab clamp to the slab span).
 
 The reference's counterpart is DP3's DPBuffer streaming
 (calibration/dp3_calibration.py:157-196), which streams only the
@@ -48,7 +60,11 @@ __all__ = ["streamed_ical", "StreamedICALResult"]
 
 
 class StreamedICALResult(tuple):
-    """(model, residual, restored, gaintable) with attribute access."""
+    """(model, residual, restored, gaintable) with attribute access.
+
+    ``gaintable`` is a :class:`GainTable` for single-term runs and a
+    ``{term: GainTable}`` dict for multi-term chains.
+    """
 
     @property
     def model(self):
@@ -76,112 +92,136 @@ def _pad_slab(arr, nt_pad):
     )
 
 
-@partial(jax.jit, static_argnames=("niter", "tol", "phase_only"))
-def _slab_solve_and_residual(
-    plan,
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+@partial(jax.jit, static_argnames=("cfg", "do_cal"))
+def _slab_step(
+    plans,
     re,
     im,
     fw,
-    model_s,
-    w_t,
-    row_idx,
-    has_row,
+    model_px,
+    comp,
+    cal,
+    gains,
+    gwts,
+    gress,
     a1,
     a2,
     ne_idx,
-    gain0,
-    niter: int,
-    tol: float,
-    phase_only: bool,
+    *,
+    cfg,
+    do_cal,
 ):
-    """One slab's calibration + residual gridding, one dispatch.
+    """One slab's full major-cycle leg in one dispatch: model degrid
+    (+ in-stream component DFT), sequential Jones-term solves
+    (:func:`pipeline._solve_terms` — the same program as the fused
+    in-memory cycle), inverse-apply, residual gridding.
 
-    All arrays are slab-local: obs re/im [nt*nbl], flagged weights
-    alike, ``model_s`` the plan-sorted degrid of the current model.
-    Returns (uv grid contribution, sum of weights, gains, gain weights,
-    gain residuals).
+    :param plans: per-image-channel ImagingPlans (one MFS plan covering
+        all data channels when ``cfg.mfs``)
+    :param re/im/fw: slab observed stream, [nt, nbl, nchan, npol] f32
+    :param model_px: current model cube [nchan_img, npol, ny, nx] f32
+    :param comp: None or (lmn [ncomp, 3], vflux [ncomp, nchan, npol],
+        uvw_lambda [nt, nbl, nchan, 3]) for in-stream components
+    :param cal: per-term dicts (w_t, row_idx, has_row), slab-local
+    :return: (uv grids [chan][pol], sumwt [nchan_img, npol], gains,
+        gain weights, gain residuals)
     """
-    from .ops.gridding_plan import grid_with_plan, unsort_values
-    from .ops.solvers import solve_gains_core
+    from .ops.dft import dft_kernel
+    from .ops.gridding_plan import grid_with_plan
+    from .ops.imaging import predict_with_plan
+    from .pipeline import _solve_terms
 
+    nchan_img = len(plans)
+    nt, nbl, nchan, npol = re.shape
     obs = jax.lax.complex(re, im)
-    model_nat = unsort_values(plan.gp, model_s)
-    nt, nbl = w_t.shape[1], a1.shape[0]
-    # solve at the gaintable's precision (f64 in x64 test runs)
-    rdt = jnp.real(gain0).dtype
-    obs2 = obs.reshape(nt, nbl).astype(gain0.dtype)
-    fw2 = fw.reshape(nt, nbl).astype(rdt)
-    mv2 = model_nat.reshape(nt, nbl).astype(gain0.dtype)
-    w_t = w_t.astype(rdt)
+    sdt = gains[0].dtype  # solve at the gaintable's precision
 
-    # product-form normal equations (interval-local => slab-local)
-    xe = obs2 * jnp.conj(mv2) * fw2.astype(obs2.dtype)
-    we = (jnp.real(mv2) ** 2 + jnp.imag(mv2) ** 2) * fw2
-    xb = jnp.einsum("st,tb->sb", w_t.astype(xe.dtype), xe)
-    wb = jnp.einsum("st,tb->sb", w_t, we)
-    nsol = w_t.shape[0]
-    nants = gain0.shape[1]
-    from .config import czeros
+    chans = []
+    for c in range(nchan_img):
+        pols = [
+            predict_with_plan(plans[c], model_px[c, p])
+            for p in range(npol)
+        ]
+        mv = jnp.stack(pols, axis=-1)
+        nf = nchan if cfg.mfs else 1
+        chans.append(mv.reshape(nt, nbl, nf, npol))
+    mvis = chans[0] if cfg.mfs else jnp.concatenate(chans, axis=2)
+    if comp is not None:
+        lmn, vflux, uvw_l = comp
+        cvis = dft_kernel(lmn, vflux, uvw_l)  # [nt, nbl, nchan, npol]
+        mvis = mvis + cvis.astype(mvis.dtype)
+    mvis = mvis.astype(sdt)
 
-    # gather-based antenna-pair assembly (solvers.ne_index_map)
-    zx = czeros((nsol, 1), xb.dtype)
-    ext = jnp.concatenate([jnp.conj(xb), xb, zx], axis=1)
-    x = jnp.take(ext, ne_idx, axis=1).reshape(
-        nsol, nants, nants, 1, 1
+    state = {
+        "a1": a1,
+        "a2": a2,
+        "fw_nat": fw,
+        "ms_nat": obs.astype(sdt),
+        "cal": cal,
+        "ne_idx": ne_idx,
+        "gain_wt": gwts,
+        "gain_res": gress,
+    }
+    new_gains, new_gwts, new_gress, inv_tot = _solve_terms(
+        state, cfg, gains, do_cal, mvis, None
     )
-    zw = jnp.zeros((nsol, 1), dtype=wb.dtype)
-    extw = jnp.concatenate([wb, wb, zw], axis=1)
-    xwt = jnp.take(extw, ne_idx, axis=1).reshape(
-        nsol, nants, nants, 1, 1
-    )
-    has_data = jnp.sum(jnp.abs(xwt), axis=(1, 2, 3, 4)) > 0.0
-    gain, gwt, gres = solve_gains_core(
-        x, xwt, gain0, niter=niter, tol=tol,
-        phase_only=phase_only, crosspol=False, npol=1,
-    )
-    hd = has_data[:, None, None, None, None]
-    eye = jnp.broadcast_to(
-        jnp.eye(gain.shape[-1], dtype=jnp.float32), gain.shape
-    )
-    gain = jnp.where(hd, gain, eye.astype(gain.dtype))
-    gwt = jnp.where(hd, gwt, jnp.zeros_like(gwt))
-    gres = jnp.where(
-        has_data[:, None, None, None], gres, jnp.zeros_like(gres)
-    )
+    corrected = state["ms_nat"]
+    if inv_tot is not None:
+        corrected = corrected * inv_tot
+    resid = (corrected - mvis) * fw.astype(sdt)
 
-    # inverse-apply factors per (t, b)
-    gg = gain[row_idx][:, :, 0, 0, 0]  # [nt, nants]
-    g1 = jnp.take(gg, a1, axis=1)
-    g2 = jnp.take(gg, a2, axis=1)
-    sm = g1 * jnp.conj(g2)
-    m2 = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
-    ok = m2 > 0.0
-    inv = jnp.where(
-        ok, jnp.conj(sm) / jnp.where(ok, m2, 1.0).astype(sm.dtype),
-        sm * 0.0,
+    gridss = []
+    sumwt = jnp.zeros((nchan_img, npol), jnp.float32)
+    for c in range(nchan_img):
+        cs = slice(None) if cfg.mfs else slice(c, c + 1)
+        pol_grids = []
+        for p in range(npol):
+            pol_grids.append(
+                grid_with_plan(
+                    plans[c].gp,
+                    resid[:, :, cs, p].reshape(-1),
+                    values_sorted=False,
+                )
+            )
+            sumwt = sumwt.at[c, p].set(jnp.sum(fw[:, :, cs, p]))
+        gridss.append(tuple(pol_grids))
+    return (
+        tuple(gridss),
+        sumwt,
+        tuple(new_gains),
+        tuple(new_gwts),
+        tuple(new_gress),
     )
-    inv = jnp.where(
-        has_row[:, None], inv,
-        jnp.ones(inv.shape, jnp.float32).astype(inv.dtype),
-    )
-    corrected = obs2 * inv
-    resid = (corrected - mv2).reshape(-1)
-    grids = grid_with_plan(
-        plan.gp, resid * fw.astype(resid.dtype), values_sorted=False
-    )
-    return grids, jnp.sum(fw), gain, gwt, gres
 
 
-@partial(jax.jit, static_argnames=())
-def _slab_residual_only(plan, re, im, fw, model_s):
-    from .ops.gridding_plan import grid_with_plan, unsort_values
+@partial(jax.jit, static_argnames=("mfs", "npol"))
+def _slab_psf(plans, fw, *, mfs, npol):
+    """One slab's PSF gridding: unit visibilities at the flagged
+    weights, per (image channel, pol)."""
+    from .ops.gridding_plan import grid_with_plan
 
-    obs = jax.lax.complex(re, im)
-    resid = obs - unsort_values(plan.gp, model_s)
-    grids = grid_with_plan(
-        plan.gp, resid * fw.astype(resid.dtype), values_sorted=False
-    )
-    return grids, jnp.sum(fw)
+    nchan_img = len(plans)
+    gridss = []
+    sumwt = jnp.zeros((nchan_img, npol), jnp.float32)
+    for c in range(nchan_img):
+        cs = slice(None) if mfs else slice(c, c + 1)
+        pol_grids = []
+        for p in range(npol):
+            vals = fw[:, :, cs, p].reshape(-1)
+            pol_grids.append(
+                grid_with_plan(
+                    plans[c].gp,
+                    jax.lax.complex(vals, jnp.zeros_like(vals)),
+                    values_sorted=False,
+                )
+            )
+            sumwt = sumwt.at[c, p].set(jnp.sum(vals))
+        gridss.append(tuple(pol_grids))
+    return tuple(gridss), sumwt
 
 
 def _psum_tree(tree):
@@ -217,6 +257,9 @@ def _psum_tree(tree):
     return jax.tree_util.tree_map(red, tree)
 
 
+_POL_FRAME_OF_NPOL = {1: "stokesI", 2: "linearnp", 4: "linear"}
+
+
 def streamed_ical(
     store,
     model: Image,
@@ -231,6 +274,9 @@ def streamed_ical(
     solver_niter: int = 200,
     tol: float = 1e-6,
     first_selfcal: int = 0,
+    components=None,
+    polarisation_frame: str | None = None,
+    normalise_gains: str | None = None,
     cache_slabs: bool | None = None,
     slab_cache_bytes: float = 8e9,
     distribute: bool = True,
@@ -239,11 +285,22 @@ def streamed_ical(
     """Streamed ICAL over a native visibility store.
 
     :param store: :class:`io.VisStore` or a path to one
-    :param model: single-channel stokesI image template
+    :param model: image template — ``nchan == 1`` for MFS imaging of
+        the store's channels, ``nchan == store.nchan`` for a spectral
+        cube; ``npol`` must match the store
     :param phasecentre: (ra, dec) rad of the store's phase centre
     :param chunk_times: time rows per slab (device memory bound); gain
-        solution intervals must not straddle slab boundaries
-        (``timeslice='auto'`` always satisfies this)
+        solution intervals are slab-local (``timeslice='auto'`` or any
+        interval not straddling a slab boundary reproduces the
+        monolithic solve; longer timeslices clamp to the slab span)
+    :param calibration_context: Jones chain, e.g. "T", "TG", "TB" —
+        each letter solved sequentially per slab with the others
+        applied, per-channel for "B" (chain_calibration.py semantics)
+    :param components: optional SkyComponents predicted in-stream via
+        the DFT and calibrated against together with the image model
+        (CLEAN updates the image only)
+    :param polarisation_frame: visibility frame of the store (defaults
+        by npol: stokesI / linearnp / linear)
     :param cache_slabs: keep each slab's uploaded observed stream and
         uvw template on device across cycles (skips per-cycle store IO
         and host->device transfer at the cost of ~36 B/vis of HBM).
@@ -258,53 +315,50 @@ def streamed_ical(
         accumulators are psummed once per cycle — the multi-host form
         of the BASELINE "1B sharded across a pod slice" shape. The
         CLEAN tail is replicated deterministically on every process.
-    :return: (model, residual, restored, gaintable) — the gaintable
-        concatenates every slab's solution intervals (gathered from
-        their owning processes in distributed runs)
-
-    Current scope: stokesI (npol=1), single-channel data (the 1B-vis
-    BASELINE shape), a single per-time Jones term ("T" or "G"
-    semantics via ``phase_only`` in controls). Components and bandpass
-    stream via the composed API.
+    :return: (model, residual, restored, gaintable) — ``gaintable``
+        concatenates every slab's solution intervals per term (gathered
+        from their owning processes in distributed runs); a dict
+        ``{term: GainTable}`` for multi-term chains
     """
     from .io.visio import VisStore
     from .ops.calibration_chain import create_calibration_controls
-    from .ops.cleaners import hogbom, msclean
-    from .ops.deconvolution import bound_psf, common_arguments, fit_psf
-    from .ops.deconvolution import restore_cube
+    from .ops.deconvolution import deconvolve_cube, fit_psf, restore_cube
+    from .ops.dft import extract_direction_and_flux
     from .ops.gain_ops import _gain_row_of_time
     from .ops.imaging import (
         make_visibility_plan,
-        predict_with_plan,
         uv_grids_to_dirty,
         _nw_for,
     )
+    from .ops.solvers import ne_index_map
+    from .pipeline import _FusedCfg, _FusedTermCfg
 
     own = False
     if isinstance(store, (str, bytes)):
         store = VisStore(str(store))
         own = True
     try:
-        if store.npol != 1 or store.nchan != 1:
+        npol = store.npol
+        nchan = store.nchan
+        if npol not in (1, 2, 4):
+            raise ValueError(f"streamed_ical: npol {npol} not in (1,2,4)")
+        if model.npol != npol:
             raise ValueError(
-                "streamed_ical streams the 1B-vis BASELINE shape: "
-                f"npol=1, nchan=1 (store has npol={store.npol}, "
-                f"nchan={store.nchan}); reshape multi-channel stores "
-                "into per-channel stores or use the in-memory pipelines"
+                f"model npol {model.npol} != store npol {npol}; convert "
+                "the model to the store's frame first"
             )
-        if model.nchan != 1 or model.npol != 1:
-            raise ValueError("model must be single-channel stokesI")
-        if len(calibration_context) != 1:
+        if model.nchan not in (1, nchan):
             raise ValueError(
-                "streamed_ical solves one per-time Jones term per run "
-                f"(got context {calibration_context!r}); chain further "
-                "terms with repeated runs"
+                f"model nchan {model.nchan} must be 1 (MFS) or the "
+                f"store's nchan {nchan} (cube)"
             )
+        nchan_img = model.nchan
+        mfs = nchan_img == 1 and nchan > 1
+        if polarisation_frame is None:
+            polarisation_frame = _POL_FRAME_OF_NPOL[npol]
         if controls is None:
             controls = create_calibration_controls()
-        term = calibration_context
-        phase_only = bool(controls[term]["phase_only"])
-        timeslice = controls[term]["timeslice"]
+        terms = list(calibration_context)
 
         ntime = store.ntime
         steps = [
@@ -330,14 +384,11 @@ def streamed_ical(
         wl = store.uvw[..., 2] * freq_max / C_M_S
         w_range = (float(np.min(wl)), float(np.max(wl)))
 
-        # per-slab gain tables + interval maps (host side, tiny). Slab
-        # Visibility templates are built LAZILY inside the loops: at the
-        # 1B-vis scale even the uvw of all slabs must not pin device
-        # memory at once.
-        # slab caching: ~36 B/vis of device memory buys zero per-cycle
-        # store IO / host->device transfer (which dominates over slow
-        # links — the axon tunnel moves ~20 MB/s)
-        n_slab_vis = nt_pad * store.nbl
+        # per-slab per-term gain tables + interval maps (host side,
+        # tiny). Slab Visibility templates are built LAZILY inside the
+        # loops: at the 1B-vis scale even the uvw of all slabs must not
+        # pin device memory at once.
+        n_slab_vis = nt_pad * store.nbl * nchan * npol
         est_bytes = len(my_slabs) * n_slab_vis * 36
         if cache_slabs is None:
             cache_slabs = est_bytes <= slab_cache_bytes
@@ -372,29 +423,56 @@ def streamed_ical(
                 antenna1=store.antenna1,
                 antenna2=store.antenna2,
                 phasecentre=phasecentre,
-                polarisation_frame="stokesI",
+                polarisation_frame=polarisation_frame,
             )
 
-        gt0s = []
-        cal_aux = []
+        gt0s = []  # [slab][term] GainTable templates
+        cal_aux = []  # [slab] tuple-of-term dicts (w_t, row_idx, has_row)
+        term_cfgs = []
         for k in range(len(steps)):
             cv = chunk_visibility(k)
-            gt0 = create_gaintable_from_visibility(
-                cv, jones_type=term, timeslice=timeslice
-            )
-            t = cv.time[None, :]
-            lo = (gt0.time - gt0.interval / 2)[:, None]
-            hi = (gt0.time + gt0.interval / 2)[:, None]
-            w_t = ((t >= lo) & (t <= hi)).astype(jnp.float32)
-            row_idx, has_row = _gain_row_of_time(
-                cv.time, gt0.time, gt0.interval
-            )
-            gt0s.append(gt0)
-            cal_aux.append((w_t, row_idx, has_row))
+            gts, cals = [], []
+            for name in terms:
+                gt0 = create_gaintable_from_visibility(
+                    cv,
+                    jones_type=name,
+                    timeslice=controls[name]["timeslice"],
+                )
+                t = cv.time[None, :]
+                lo = (gt0.time - gt0.interval / 2)[:, None]
+                hi = (gt0.time + gt0.interval / 2)[:, None]
+                row_idx, has_row = _gain_row_of_time(
+                    cv.time, gt0.time, gt0.interval
+                )
+                gts.append(gt0)
+                cals.append(
+                    {
+                        "w_t": ((t >= lo) & (t <= hi)).astype(
+                            jnp.float32
+                        ),
+                        "row_idx": row_idx,
+                        "has_row": has_row,
+                    }
+                )
+                if k == 0:
+                    term_cfgs.append(
+                        _FusedTermCfg(
+                            name=name,
+                            phase_only=bool(
+                                controls[name]["phase_only"]
+                            ),
+                            first_selfcal=int(
+                                controls[name].get("first_selfcal", 0)
+                                or 0
+                            ),
+                            per_chan=gt0.gain.shape[2] > 1,
+                        )
+                    )
+            gt0s.append(gts)
+            cal_aux.append(tuple(cals))
             del cv
         a1 = jnp.asarray(store.antenna1, jnp.int32)
         a2 = jnp.asarray(store.antenna2, jnp.int32)
-        from .ops.solvers import ne_index_map
 
         nants_store = (
             int(max(store.antenna1.max(), store.antenna2.max())) + 1
@@ -408,11 +486,36 @@ def streamed_ical(
             chunk_visibility(0), model, do_wstacking, nw, wmax=wmax_l
         )
 
-        def build_plan(cv):
+        cfg = _FusedCfg(
+            nchan=nchan,
+            npol=npol,
+            mfs=mfs,
+            terms=tuple(term_cfgs),
+            normalise_gains=normalise_gains,
+            solver_niter=solver_niter,
+            solver_tol=tol,
+            algorithm=clean_kwargs.get("algorithm", "hogbom"),
+            clean_gain=clean_kwargs.get("gain", 0.1),
+            clean_niter=clean_kwargs.get("niter", 100),
+            clean_thresh=clean_kwargs.get("threshold", 0.0),
+            clean_frac=clean_kwargs.get("fractional_threshold", 0.01),
+            scales=tuple(clean_kwargs.get("scales", (0, 3, 10, 30))),
+        )
+
+        def build_plans(cv):
             return make_visibility_plan(
                 cv, model, context=context, support=support, nw=nwp,
                 w_range=w_range,
-            ).plans[0]
+            ).plans
+
+        # in-stream components: direction cosines + per-(chan, pol)
+        # fluxes are slab-invariant; only uvw_lambda varies per slab
+        comp_static = None
+        if components is not None and components.ncomp > 0:
+            cv0 = chunk_visibility(0)
+            lmn, vflux = extract_direction_and_flux(components, cv0)
+            comp_static = (lmn, vflux)
+            del cv0
 
         def stream_slabs():
             """(k, re, im, flagged weight) per OWNED slab, padded, with
@@ -432,113 +535,85 @@ def streamed_ical(
                     store.prefetch(*steps[my_slabs[j + 1]])
                 fw = wt * (1 - fl)
                 item = (
-                    jnp.asarray(_pad_slab(re, nt_pad).reshape(-1)),
-                    jnp.asarray(_pad_slab(im, nt_pad).reshape(-1)),
-                    jnp.asarray(_pad_slab(fw, nt_pad).reshape(-1)),
+                    jnp.asarray(_pad_slab(re, nt_pad)),
+                    jnp.asarray(_pad_slab(im, nt_pad)),
+                    jnp.asarray(_pad_slab(fw, nt_pad)),
                 )
                 if cache_slabs:
                     _slab_cache[k] = item
                 yield (k, *item)
 
         # ---- PSF pass (once) ----
-        from .ops.gridding_plan import grid_with_plan
-
-        @jax.jit
-        def psf_grids(plan, fw):
-            g = grid_with_plan(
-                plan.gp,
-                jax.lax.complex(fw, jnp.zeros_like(fw)),
-                values_sorted=False,
-            )
-            return g, jnp.sum(fw)
-
         acc = None
-        swt = 0.0
-        plan0 = None
+        swt = None
+        plan0s = None
         for k, re, im, fw in stream_slabs():
-            plan = build_plan(chunk_visibility(k))
-            if plan0 is None:
-                plan0 = plan
-            g, s = psf_grids(plan, fw)
-            acc = g if acc is None else acc + g
-            swt = swt + s
+            plans = build_plans(chunk_visibility(k))
+            if plan0s is None:
+                plan0s = plans
+            g, s = _slab_psf(plans, fw, mfs=mfs, npol=npol)
+            acc = g if acc is None else _tree_add(acc, g)
+            swt = s if swt is None else swt + s
         acc, swt = _psum_tree((acc, swt))
-        psf_px = uv_grids_to_dirty(plan0, acc) / jnp.maximum(swt, 1e-30)
-        psf = model.replace(pixels=psf_px[None, None].astype(jnp.float32))
 
-        frac, cgain, cniter, cthresh, scales = common_arguments(
-            **clean_kwargs
-        )
-        algorithm = clean_kwargs.get("algorithm", "hogbom")
-        bpsf = bound_psf(psf, psf, clean_kwargs.get("psf_support", None))
-        patch = bpsf.pixels[0, 0].astype(jnp.float32)
-
-        gains = [gt.gain for gt in gt0s]
-        gwts = [gt.weight for gt in gt0s]
-        gress = [gt.residual for gt in gt0s]
-        model_px = jnp.zeros(
-            (model.npixel, model.npixel), jnp.float32
-        )
-        residual_px = None
         ny = nx = model.npixel
+
+        def grids_to_cube(acc, swt):
+            cube = jnp.zeros((nchan_img, npol, ny, nx), jnp.float32)
+            for c in range(nchan_img):
+                for p in range(npol):
+                    d = uv_grids_to_dirty(plan0s[c], acc[c][p])
+                    d = d / jnp.maximum(swt[c, p], 1e-30)
+                    cube = cube.at[c, p].set(d.astype(jnp.float32))
+            return cube
+
+        psf = model.replace(pixels=grids_to_cube(acc, swt))
+
+        gains = [[gt.gain for gt in gts] for gts in gt0s]
+        gwts = [[gt.weight for gt in gts] for gts in gt0s]
+        gress = [[gt.residual for gt in gts] for gts in gt0s]
+        model_px = jnp.zeros((nchan_img, npol, ny, nx), jnp.float32)
+        residual = None
+        ck = dict(clean_kwargs)
+        ck.setdefault("algorithm", "hogbom")
         for cycle in range(nmajor):
-            do_cal = cycle >= first_selfcal
-            acc = None
-            swt = 0.0
-            for k, re, im, fw in stream_slabs():
-                plan = build_plan(chunk_visibility(k))
-                model_s = predict_with_plan(
-                    plan, model_px, to_sorted=True
-                )
-                if do_cal:
-                    w_t, row_idx, has_row = cal_aux[k]
-                    g, s, gain, gwt, gres = _slab_solve_and_residual(
-                        plan, re, im, fw, model_s,
-                        w_t, row_idx, has_row, a1, a2, ne_idx,
-                        gains[k],
-                        niter=solver_niter, tol=tol,
-                        phase_only=phase_only,
-                    )
-                    gains[k], gwts[k], gress[k] = gain, gwt, gres
-                else:
-                    g, s = _slab_residual_only(
-                        plan, re, im, fw, model_s
-                    )
-                acc = g if acc is None else acc + g
-                swt = swt + s
-            acc, swt = _psum_tree((acc, swt))
-            dirty = uv_grids_to_dirty(plan0, acc) / jnp.maximum(
-                swt, 1e-30
+            do_cal = tuple(
+                cycle >= max(first_selfcal, t.first_selfcal)
+                for t in term_cfgs
             )
-            residual_px = dirty.astype(jnp.float32)
-            if algorithm == "hogbom":
-                comp, _ = hogbom(
-                    residual_px, patch, None, gain=cgain,
-                    thresh=cthresh, niter=cniter, fracthresh=frac,
+            acc = None
+            swt = None
+            for k, re, im, fw in stream_slabs():
+                cv = chunk_visibility(k)
+                plans = build_plans(cv)
+                comp = None
+                if comp_static is not None:
+                    comp = (*comp_static, cv.uvw_lambda)
+                g, s, gain, gwt, gres = _slab_step(
+                    plans, re, im, fw, model_px, comp,
+                    cal_aux[k], tuple(gains[k]), tuple(gwts[k]),
+                    tuple(gress[k]), a1, a2, ne_idx,
+                    cfg=cfg, do_cal=do_cal,
                 )
-            elif algorithm == "msclean":
-                comp, _ = msclean(
-                    residual_px, patch, None, None, gain=cgain,
-                    thresh=cthresh, niter=cniter, scales=scales,
-                    fracthresh=frac,
-                )
-            else:
-                raise ValueError(
-                    f"streamed_ical clean algorithm {algorithm!r} "
-                    "(hogbom | msclean)"
-                )
-            model_px = model_px + comp.astype(jnp.float32)
+                gains[k] = list(gain)
+                gwts[k] = list(gwt)
+                gress[k] = list(gres)
+                acc = g if acc is None else _tree_add(acc, g)
+                swt = s if swt is None else swt + s
+            acc, swt = _psum_tree((acc, swt))
+            residual = model.replace(pixels=grids_to_cube(acc, swt))
+            comp_img, _ = deconvolve_cube(residual, psf, **ck)
+            model_px = model_px + comp_img.pixels.astype(jnp.float32)
             if log.isEnabledFor(logging.INFO):
                 log.info(
                     "streamed_ical: cycle %d peak residual %.6f",
                     cycle,
-                    float(jnp.max(jnp.abs(residual_px))),
+                    float(jnp.max(jnp.abs(residual.pixels))),
                 )
 
         current = model.replace(
-            pixels=model_px[None, None].astype(model.pixels.dtype)
+            pixels=model_px.astype(model.pixels.dtype)
         )
-        residual = model.replace(pixels=residual_px[None, None])
         clean_beam = fit_psf(psf)
         restored = restore_cube(
             current, psf=psf, residual=residual, clean_beam=clean_beam
@@ -549,20 +624,36 @@ def streamed_ical(
             # field reassembles the full set on every process
             for k in range(len(steps)):
                 if k % nproc != pid:
-                    gains[k] = zeros_like_safe(gains[k])
-                    gwts[k] = jnp.zeros_like(gwts[k])
-                    gress[k] = jnp.zeros_like(gress[k])
+                    gains[k] = [zeros_like_safe(g) for g in gains[k]]
+                    gwts[k] = [jnp.zeros_like(g) for g in gwts[k]]
+                    gress[k] = [jnp.zeros_like(g) for g in gress[k]]
             gains, gwts, gress = _psum_tree((gains, gwts, gress))
-        # merge slab gain tables (disjoint, time-ordered intervals)
-        gaintable = GainTable(
-            gain=jnp.concatenate(gains, axis=0),
-            weight=jnp.concatenate(gwts, axis=0),
-            residual=jnp.concatenate(gress, axis=0),
-            time=jnp.concatenate([gt.time for gt in gt0s]),
-            interval=jnp.concatenate([gt.interval for gt in gt0s]),
-            frequency=gt0s[0].frequency,
-            jones_type=term,
-            receptor_frame=gt0s[0].receptor_frame,
+        # merge slab gain tables per term (disjoint, time-ordered
+        # intervals)
+        gaintables = {}
+        for it, name in enumerate(terms):
+            gaintables[name] = GainTable(
+                gain=jnp.concatenate(
+                    [gains[k][it] for k in range(len(steps))], axis=0
+                ),
+                weight=jnp.concatenate(
+                    [gwts[k][it] for k in range(len(steps))], axis=0
+                ),
+                residual=jnp.concatenate(
+                    [gress[k][it] for k in range(len(steps))], axis=0
+                ),
+                time=jnp.concatenate(
+                    [gt0s[k][it].time for k in range(len(steps))]
+                ),
+                interval=jnp.concatenate(
+                    [gt0s[k][it].interval for k in range(len(steps))]
+                ),
+                frequency=gt0s[0][it].frequency,
+                jones_type=name,
+                receptor_frame=gt0s[0][it].receptor_frame,
+            )
+        gaintable = (
+            gaintables[terms[0]] if len(terms) == 1 else gaintables
         )
         return StreamedICALResult(
             (current, residual, restored, gaintable)
