@@ -114,19 +114,28 @@ def payload_nrows(support: int, tile: int) -> int:
     return 24 if use_tap_payload(support, tile) else 8
 
 
-def _es_taps8(pix, i0, support: int, beta: float | None = None):
+def _es_taps8(pix, i0, support: int, beta: float | None = None, lo=None):
     """The ``support`` separable ES-kernel taps of each coordinate,
     padded to 8 rows: taps[k, c] = es(i0_c + k - pix_c), the value the
-    in-kernel dense evaluation produces at buffer row i0_c + k."""
+    in-kernel dense evaluation produces at buffer row i0_c + k.
+
+    ``lo``: optional f32 residual of a split (hi, lo) coordinate pair
+    (compensated mode): ``i0 + k - pix`` is small (|.| <= support), so
+    subtracting ``lo`` afterwards keeps the full f64 position in f32
+    arithmetic."""
     half = support / 2.0
     if beta is None:
         beta = 2.3 * support
-    k = jnp.arange(support, dtype=jnp.float32)[:, None]
-    offs = i0.astype(jnp.float32)[None, :] + k - pix[None, :]
+    # taps are evaluated at the coordinate dtype (f64 coordinates give
+    # positionally-exact taps) and stored as f32
+    k = jnp.arange(support, dtype=pix.dtype)[:, None]
+    offs = i0.astype(pix.dtype)[None, :] + k - pix[None, :]
+    if lo is not None:
+        offs = offs - lo[None, :]
     nu = offs / half
     nu2 = jnp.clip(nu * nu, 0.0, 1.0)
     t = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
-    t = jnp.where(jnp.abs(nu) < 1.0, t, 0.0)
+    t = jnp.where(jnp.abs(nu) < 1.0, t, 0.0).astype(jnp.float32)
     if support < 8:
         t = jnp.pad(t, ((0, 8 - support), (0, 0)))
     return t
@@ -171,18 +180,25 @@ def _pad_stream(n: int, chunk: int) -> int:
 
 
 def _payload_stack(u_s, v_s, f_s, r3, r4, *, npixel, support, tile,
-                   beta: float | None = None):
+                   beta: float | None = None, u_lo=None, v_lo=None):
     """Stack the sorted per-entry stream into the kernel payload.
 
     Standard (support-8) configs get the 24-row tap payload:
-    [rel_u, rel_v, frac, r3, r4, pad, pad, pad, rot_ku x8, rot_kv x8];
+    [rel_u, rel_v, frac, r3, r4, u_lo, v_lo, pad, rot_ku x8, rot_kv x8];
     other configs keep the 8-row coordinate payload
-    [u, v, frac, r3, r4, pad x3] and the kernels evaluate the ES factors
-    densely. r3/r4 are the two caller rows (values or back-sort indices).
-    """
-    z = jnp.zeros_like(u_s)
+    [u, v, frac, r3, r4, u_lo, v_lo, pad] and the kernels evaluate the ES
+    factors densely, subtracting the lo rows (zero when uncompensated).
+    r3/r4 are the two caller rows (values or back-sort indices);
+    u_lo/v_lo the f32 residuals of split (hi, lo) coordinates
+    (compensated mode, see make_imaging_plan)."""
+    z = jnp.zeros(u_s.shape, jnp.float32)
+    ul = z if u_lo is None else u_lo.astype(jnp.float32)
+    vl = z if v_lo is None else v_lo.astype(jnp.float32)
     if not use_tap_payload(support, tile):
-        return jnp.stack([u_s, v_s, f_s, r3, r4, z, z, z])
+        return jnp.stack(
+            [u_s.astype(jnp.float32), v_s.astype(jnp.float32),
+             f_s.astype(jnp.float32), r3, r4, ul, vl, z]
+        )
     half = support // 2
     iu0 = jnp.floor(u_s).astype(jnp.int32) - (half - 1)
     iv0 = jnp.floor(v_s).astype(jnp.int32) - (half - 1)
@@ -190,8 +206,8 @@ def _payload_stack(u_s, v_s, f_s, r3, r4, *, npixel, support, tile,
     iv0c = jnp.clip(iv0, 0, npixel - support)
     rel_u = (iu0c % tile).astype(jnp.float32)
     rel_v = (iv0c % tile).astype(jnp.float32)
-    rot_ku = _rot8(_es_taps8(u_s, iu0c, support, beta), iu0c)
-    rot_kv = _rot8(_es_taps8(v_s, iv0c, support, beta), iv0c)
+    rot_ku = _rot8(_es_taps8(u_s, iu0c, support, beta, lo=u_lo), iu0c)
+    rot_kv = _rot8(_es_taps8(v_s, iv0c, support, beta, lo=v_lo), iv0c)
     head = jnp.stack([rel_u, rel_v, f_s, r3, r4, z, z, z])
     return jnp.concatenate([head, rot_ku, rot_kv])
 
@@ -284,8 +300,11 @@ def _grid_slot_kernel(
             k = jnp.exp(b * (jnp.sqrt(1.0 - nu2) - 1.0))
             return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
 
-        kv = es(tv0 + r - data[1][None, :])  # [buf, chunk]
-        ku = es(tu0 + r - data[0][None, :])
+        # rows 5/6 hold the split-coordinate residuals (zero when
+        # uncompensated): subtracting them AFTER the small difference
+        # keeps full positional precision in f32
+        kv = es(tv0 + r - data[1][None, :] - data[6][None, :])  # [buf, chunk]
+        ku = es(tu0 + r - data[0][None, :] - data[5][None, :])
     if nplanes_out == 1:
         rhs = jnp.concatenate([ku * vr, ku * vi], axis=0)
     else:
@@ -884,8 +903,9 @@ def _degrid_kernel(
             k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
             return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
 
-        kv = es(tv0 + r - vv)  # [buf, chunk]
-        ku = es(tu0 + r - uu)
+        # rows 5/6: split-coordinate residuals (zero when uncompensated)
+        kv = es(tv0 + r - vv - data[6][None, :])  # [buf, chunk]
+        ku = es(tu0 + r - uu - data[5][None, :])
     livef = jnp.where(live, 1.0, 0.0)
 
     # val[c] = sum_x ( sum_r T[r, x] kv[r, c] ) ku[x, c]

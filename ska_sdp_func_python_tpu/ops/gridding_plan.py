@@ -139,15 +139,24 @@ def make_grid_plan(
     tile: int = 64,
     chunk: int = 512,
     beta: float | None = None,
+    u_lo=None,
+    v_lo=None,
 ) -> GridPlan:
     """Build a reusable plan from fractional grid coordinates.
 
     Same (u_pix, v_pix, plane_idx, plane_frac) contract as
     ``fused_grid_wstack``; the returned plan serves both gridding and
-    degridding on these coordinates.
+    degridding on these coordinates. ``u_lo``/``v_lo``: f32 residuals of
+    split (hi, lo) coordinate pairs — the compensated mode that keeps
+    f64 positional precision on an f32-only device (make_imaging_plan
+    computes the split host-side).
     """
-    u_pix = u_pix.astype(jnp.float32)
-    v_pix = v_pix.astype(jnp.float32)
+    # f64 coordinates are kept through the sort so the payload taps are
+    # evaluated at full positional precision (cast to f32 only at the
+    # tap store, see _payload_stack)
+    if u_pix.dtype != jnp.float64:
+        u_pix = u_pix.astype(jnp.float32)
+        v_pix = v_pix.astype(jnp.float32)
     half = support // 2
     ts = tile
     ntile_axis = npixel // ts
@@ -182,19 +191,25 @@ def make_grid_plan(
         seg = (p0 * ntiles + base).astype(jnp.int32)
     elif nearest:
         p0 = jnp.clip(plane_idx, 0, nplanes - 1)
-        frac = jnp.zeros_like(u_pix)
+        frac = jnp.zeros(u_pix.shape, jnp.float32)
         seg = (p0 * ntiles + base).astype(jnp.int32)
     else:
-        frac = jnp.zeros_like(u_pix)
+        frac = jnp.zeros(u_pix.shape, jnp.float32)
         seg = base.astype(jnp.int32)
     seg = jnp.where(in_grid, seg, jnp.asarray(nseg, jnp.int32))
 
     n = u_pix.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
     idx_bits = jax.lax.bitcast_convert_type(iota, jnp.float32)
-    seg_s, u_s, v_s, f_s, ib_s = jax.lax.sort(
-        (seg, u_pix, v_pix, frac, idx_bits), num_keys=1
+    comp = u_lo is not None
+    ops = (seg, u_pix, v_pix, frac, idx_bits) + (
+        (u_lo.astype(jnp.float32), v_lo.astype(jnp.float32))
+        if comp
+        else ()
     )
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    seg_s, u_s, v_s, f_s, ib_s = sorted_ops[:5]
+    ulo_s, vlo_s = (sorted_ops[5], sorted_ops[6]) if comp else (None, None)
     perm = jax.lax.bitcast_convert_type(ib_s, jnp.int32)
     # rank[i] = sorted position of original entry i (perm's inverse)
     _, rank = jax.lax.sort((perm, iota), num_keys=1)
@@ -207,12 +222,15 @@ def make_grid_plan(
     v_s = jnp.concatenate([v_s, pz])
     f_s = jnp.concatenate([f_s, pz])
     ib_s = jnp.concatenate([ib_s, pz])
+    if comp:
+        ulo_s = jnp.concatenate([ulo_s, pz])
+        vlo_s = jnp.concatenate([vlo_s, pz])
     ib2 = jax.lax.bitcast_convert_type(
         jnp.arange(n + npad, dtype=jnp.int32), jnp.float32
     )
     geo = _payload_stack(
         u_s, v_s, f_s, ib_s, ib2, npixel=npixel, support=support,
-        tile=tile, beta=beta,
+        tile=tile, beta=beta, u_lo=ulo_s, v_lo=vlo_s,
     )  # [8 or 24, Npad]
 
     starts, counts = sorted_seg_bounds(seg_s, nseg)

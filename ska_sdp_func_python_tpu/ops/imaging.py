@@ -533,25 +533,92 @@ def make_imaging_plan(
     w_interp: str = "linear",
     chunk: int = 512,
     w_range=None,
+    compensated: bool | None = None,
 ) -> ImagingPlan:
     """Build a reusable plan for :func:`invert_with_plan` /
     :func:`predict_with_plan` (same contract as invert_core/predict_core).
+
+    ``compensated``: force (True) / suppress (False) the split-coordinate
+    mode; ``None`` auto-enables it for host numpy f64 coordinates on
+    f32-only devices (x64 off).
     """
     from .gridding_plan import make_grid_plan
 
     npad = _npad_for(npixel, padding)
     beta = _es_beta(support, npad / npixel)
     scale = npad * cellsize
-    u_pix = (-u * scale + npad // 2).astype(jnp.float32)
-    v_pix = (v * scale + npad // 2).astype(jnp.float32)
+    # f64 coordinates keep their precision through the plan build (the
+    # stored payload taps are evaluated at the f64 positions, then cast
+    # to f32 — see _payload_stack): positional quantisation drops from
+    # ~(npad/2) eps_32 pixels (~1e-5 relative vis error at 1024^2) to
+    # the f32 rounding of the taps themselves (~1e-7). On an f32-only
+    # device (x64 off), HOST numpy f64 coordinates trigger the
+    # COMPENSATED mode instead: the pixel positions are computed in f64
+    # on the host and shipped as split (hi, lo) f32 pairs; the kernels
+    # subtract the residual after the small hi difference — same
+    # positional exactness, pure-f32 device arithmetic.
+    u_lo = v_lo = None
     wstack = do_wstacking and nw > 1
-    if wstack:
-        p0, frac, plane_w = _w_planes(w, nw, w_interp, w_range=w_range)
-        nplanes = nw
+    if compensated is None:
+        compensated = (
+            isinstance(u, np.ndarray)
+            and u.dtype == np.float64
+            and not jax.config.jax_enable_x64
+        )
+    if compensated:
+        up64 = -np.asarray(u, np.float64) * scale + npad // 2
+        vp64 = np.asarray(v, np.float64) * scale + npad // 2
+        u_hi = up64.astype(np.float32)
+        v_hi = vp64.astype(np.float32)
+        u_pix = jnp.asarray(u_hi)
+        v_pix = jnp.asarray(v_hi)
+        u_lo = jnp.asarray((up64 - u_hi).astype(np.float32))
+        v_lo = jnp.asarray((vp64 - v_hi).astype(np.float32))
+        if wstack:
+            # host-side f64 w-plane split (frac is f32-exact to 6e-8)
+            w64 = np.asarray(w, np.float64)
+            if w_range is not None:
+                wmin, wmax = float(w_range[0]), float(w_range[1])
+            else:
+                wmin, wmax = float(w64.min()), float(w64.max())
+            wstep = max((wmax - wmin) / max(nw - 1, 1), 1e-30)
+            t = (w64 - wmin) / wstep
+            plane_w = jnp.asarray(
+                (wmin + wstep * np.arange(nw)).astype(np.float32)
+            )
+            if w_interp == "nearest":
+                p0 = jnp.asarray(
+                    np.clip(np.round(t).astype(np.int32), 0, nw - 1)
+                )
+                frac = None
+            else:
+                p0n = np.clip(np.floor(t).astype(np.int32), 0, nw - 2)
+                p0 = jnp.asarray(p0n)
+                frac = jnp.asarray(
+                    np.clip(t - p0n, 0.0, 1.0).astype(np.float32)
+                )
+            nplanes = nw
+        else:
+            p0, frac = None, None
+            plane_w = jnp.zeros((1,), dtype=jnp.float32)
+            nplanes = 1
     else:
-        p0, frac = None, None
-        plane_w = jnp.zeros((1,), dtype=jnp.float32)
-        nplanes = 1
+        cdt = (
+            jnp.float64
+            if getattr(u, "dtype", None) == jnp.float64
+            else jnp.float32
+        )
+        u_pix = (-u * scale + npad // 2).astype(cdt)
+        v_pix = (v * scale + npad // 2).astype(cdt)
+        if wstack:
+            p0, frac, plane_w = _w_planes(
+                w, nw, w_interp, w_range=w_range
+            )
+            nplanes = nw
+        else:
+            p0, frac = None, None
+            plane_w = jnp.zeros((1,), dtype=jnp.float32)
+            nplanes = 1
     gp = make_grid_plan(
         u_pix,
         v_pix,
@@ -563,6 +630,8 @@ def make_imaging_plan(
         tile=_tile_for(npad),
         chunk=chunk,
         beta=beta,
+        u_lo=u_lo,
+        v_lo=v_lo,
     )
     if wstack:
         fov = npad * cellsize

@@ -24,8 +24,13 @@ pytestmark = pytest.mark.skipif(
 
 
 def _case(rng, npixel, nplanes, n, wstack=True):
-    u = jnp.asarray(rng.uniform(-20, npixel + 20, n))
-    v = jnp.asarray(rng.uniform(-20, npixel + 20, n))
+    # f32 coordinates: these tests check plan-vs-unit-path LOGIC parity,
+    # so both sides must see identical (f32) positions — f64 coordinates
+    # now keep their precision through the plan build (compensated /
+    # f64-native modes, test_gridding_accuracy.py) and would legitimately
+    # differ from the f32 unit path at the ~1e-5 quantisation level
+    u = jnp.asarray(rng.uniform(-20, npixel + 20, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-20, npixel + 20, n).astype(np.float32))
     vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
     if nplanes > 1:
         p0 = jnp.asarray(
@@ -337,8 +342,8 @@ def test_plan_grid_clustered_empty_segments(rng):
     still zero-initialise every output block (slot-kernel regression)."""
     npixel, nplanes, n = 256, 4, 600
     # all entries inside one tile, one plane pair
-    u = jnp.asarray(rng.uniform(70.0, 90.0, n))
-    v = jnp.asarray(rng.uniform(70.0, 90.0, n))
+    u = jnp.asarray(rng.uniform(70.0, 90.0, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(70.0, 90.0, n).astype(np.float32))
     vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
     p0 = jnp.asarray(np.full(n, 1, np.int32))
     frac = jnp.asarray(rng.uniform(0, 1, n))
@@ -358,8 +363,8 @@ def test_plan_grid_clustered_empty_segments(rng):
 def test_plan_grid_all_out_of_grid(rng):
     """Every entry out of grid: result must be exactly zero."""
     npixel, n = 128, 200
-    u = jnp.asarray(rng.uniform(npixel + 10, npixel + 50, n))
-    v = jnp.asarray(rng.uniform(-60, -10, n))
+    u = jnp.asarray(rng.uniform(npixel + 10, npixel + 50, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-60, -10, n).astype(np.float32))
     vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
     plan = make_grid_plan(u, v, npixel=npixel, support=8, tile=32)
     fast = grid_with_plan(plan, vals, interpret=True)
