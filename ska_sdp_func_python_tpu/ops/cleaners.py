@@ -514,6 +514,97 @@ def _hogbom_complex_pallas_kernel(
     jax.lax.while_loop(cond, body, (jnp.int32(0), False))
 
 
+def _hogbom_complex_pallas_list_kernel(
+    dq_ref,
+    du_ref,
+    canvas_ref,
+    win_ref,
+    clist_ref,
+    rq_ref,
+    ru_ref,
+    *,
+    nx: int,
+    py_lo: int,
+    py_hi: int,
+    px_lo: int,
+    px_hi: int,
+    gain: float,
+    thresh: float,
+    fracthresh: float,
+    niter: int,
+):
+    """Large-image complex variant (the real list kernel's trick at
+    1024^2): components are emitted as a compact [niter, 128]
+    (y, x, mq, mu, used) row list and BOTH residuals alias their dirty
+    inputs, so VMEM holds rq + ru + canvas + loop temporaries only.
+    The peak search compares |Q+iU|^2 (no sqrt materialisation)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    canvas = canvas_ref[...]
+    pmax = jnp.max(canvas)
+    psf_c = canvas[0, 0]
+    mod2 = rq_ref[...] ** 2 + ru_ref[...] ** 2
+    absthresh = jnp.maximum(
+        jnp.float32(thresh),
+        jnp.float32(fracthresh) * jnp.sqrt(jnp.max(mod2)),
+    )
+    ny_, nx_ = rq_ref.shape
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ny_, nx_), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ny_, nx_), 1)
+    lin = rr * nx + cc
+    win = win_ref[...] if win_ref is not None else None
+    clist_ref[...] = jnp.zeros_like(clist_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def cond(carry):
+        i, done = carry
+        return (i < niter) & jnp.logical_not(done)
+
+    def body(carry):
+        i, _ = carry
+        rq = rq_ref[...]
+        ru = ru_ref[...]
+        if win is not None:
+            search = (rq * win) ** 2 + (ru * win) ** 2
+        else:
+            search = rq * rq + ru * ru
+        m = jnp.max(search)
+        best = jnp.min(
+            jnp.where(search == m, lin, jnp.int32(ny_ * nx))
+        )
+        myi = best // nx
+        mxi = best - myi * nx
+        is_best = lin == best
+        vq = jnp.sum(jnp.where(is_best, rq, 0.0))
+        vu = jnp.sum(jnp.where(is_best, ru, 0.0))
+        mq = vq * gain / pmax
+        mu = vu * gain / pmax
+        rolled = pltpu.roll(pltpu.roll(canvas, myi, 0), mxi, 1)
+        dy = rr - myi
+        dx = cc - mxi
+        valid = (
+            (dy >= py_lo) & (dy < py_hi) & (dx >= px_lo) & (dx < px_hi)
+        )
+        patch = jnp.where(valid, rolled, 0.0)
+        rq_ref[...] = rq - patch * mq
+        ru_ref[...] = ru - patch * mu
+        row = (
+            jnp.where(col == 0, myi.astype(jnp.float32), 0.0)
+            + jnp.where(col == 1, mxi.astype(jnp.float32), 0.0)
+            + jnp.where(col == 2, mq, 0.0)
+            + jnp.where(col == 3, mu, 0.0)
+            + jnp.where(col == 4, 1.0, 0.0)
+        )
+        clist_ref[pl.dslice(i, 1), :] = row
+        vq_new = vq - mq * psf_c
+        vu_new = vu - mu * psf_c
+        done2 = vq_new**2 + vu_new**2 < absthresh * absthresh
+        return i + 1, done2
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), False))
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -547,8 +638,11 @@ def _hogbom_complex_pallas(
     args = [dq, du, canvas]
     if has_window:
         args.append(jnp.broadcast_to(window, dq.shape).astype(jnp.float32))
+    use_list = ny * nx > _PALLAS_CLEAN_MAX_PIXELS
     kernel = partial(
-        _hogbom_complex_pallas_kernel,
+        _hogbom_complex_pallas_list_kernel
+        if use_list
+        else _hogbom_complex_pallas_kernel,
         nx=nx,
         py_lo=-cy,
         py_hi=py - cy,
@@ -559,20 +653,52 @@ def _hogbom_complex_pallas(
         fracthresh=float(fracthresh),
         niter=int(niter),
     )
+    shp = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
+    if not use_list:
+        if not has_window:
+            kernel = partial(kernel, win_ref=None)
+
+            def kern(dq_ref, du_ref, canvas_ref, cq, cu, rq, ru):
+                kernel(dq_ref, du_ref, canvas_ref, cq_ref=cq, cu_ref=cu,
+                       rq_ref=rq, ru_ref=ru)
+        else:
+            kern = kernel
+        return pl.pallas_call(
+            kern,
+            out_shape=(shp, shp, shp, shp),
+            interpret=interpret,
+        )(*args)
     if not has_window:
         kernel = partial(kernel, win_ref=None)
 
-        def kern(dq_ref, du_ref, canvas_ref, cq, cu, rq, ru):
-            kernel(dq_ref, du_ref, canvas_ref, cq_ref=cq, cu_ref=cu,
+        def kern(dq_ref, du_ref, canvas_ref, clist, rq, ru):
+            kernel(dq_ref, du_ref, canvas_ref, clist_ref=clist,
                    rq_ref=rq, ru_ref=ru)
     else:
         kern = kernel
-    shp = jax.ShapeDtypeStruct((ny, nx), jnp.float32)
-    return pl.pallas_call(
+    nlist = max(int(niter), 8)
+    clist, rq, ru = pl.pallas_call(
         kern,
-        out_shape=(shp, shp, shp, shp),
+        out_shape=(
+            jax.ShapeDtypeStruct((nlist, 128), jnp.float32),
+            shp,
+            shp,
+        ),
+        # both residuals start as (and replace) their dirty inputs —
+        # VMEM never holds dirty and residual pairs simultaneously
+        input_output_aliases={0: 1, 1: 2},
         interpret=interpret,
     )(*args)
+    yi = clist[:, 0].astype(jnp.int32)
+    xi = clist[:, 1].astype(jnp.int32)
+    used = clist[:, 4] > 0.0
+    cq = jnp.zeros((ny, nx), jnp.float32).at[yi, xi].add(
+        jnp.where(used, clist[:, 2], 0.0)
+    )
+    cu = jnp.zeros((ny, nx), jnp.float32).at[yi, xi].add(
+        jnp.where(used, clist[:, 3], 0.0)
+    )
+    return cq, cu, rq, ru
 
 
 @partial(
@@ -596,15 +722,17 @@ def hogbom_complex(
     """Complex Hogbom CLEAN of Q+iU (cleaners.py:136-232).
 
     Returns (comps_q, comps_u, res_q, res_u)."""
-    # the Pallas fast path holds 6 image arrays + temporaries in VMEM,
-    # so it takes the smaller image budget
+    # <=512^2: the 6-image VMEM-resident kernel; above it (to 1024^2)
+    # the list-output kernel aliases both residuals onto the dirty
+    # inputs and emits (y, x, mq, mu) rows — same trick as the real
+    # Hogbom list variant
     interpret = jax.default_backend() != "tpu"
     auto = use_pallas is None and _pallas_clean_ok(
-        dirty_q, psf_q, interpret=False
-    ) and dirty_q.shape[0] * dirty_q.shape[1] <= _PALLAS_CLEAN_MAX_PIXELS
+        dirty_q, psf_q, interpret=False, niter=niter
+    )
     forced = use_pallas and _pallas_clean_ok(
-        dirty_q, psf_q, interpret=interpret
-    ) and dirty_q.shape[0] * dirty_q.shape[1] <= _PALLAS_CLEAN_MAX_PIXELS
+        dirty_q, psf_q, interpret=interpret, niter=niter
+    )
     if auto or forced:
         cq, cu, rq, ru = _hogbom_complex_pallas(
             dirty_q,

@@ -174,6 +174,15 @@ def sharded_ical(
             "pipeline"
         )
     ndev = mesh.shape[axis]
+    has_matrix = any(
+        controls[c]["shape"] == "matrix" for c in calibration_context
+    )
+    if has_matrix and (shard == "channel" or model.nchan > 1):
+        raise ValueError(
+            "full-Jones (matrix) terms fuse on single-plan npol-4 "
+            "configs only; channel-sharded / cube runs must use the "
+            "composed pipeline"
+        )
     if shard == "channel" and "B" in calibration_context:
         raise ValueError(
             "bandpass ('B') solves per GLOBAL frequency channel; with "

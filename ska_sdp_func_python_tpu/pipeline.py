@@ -244,6 +244,9 @@ class _FusedTermCfg(typing.NamedTuple):
     # per-channel gaintable (bandpass "B"): normal equations keep the
     # frequency axis and the inverse-apply factors are per (t, b, f)
     per_chan: bool = False
+    # full-Jones (controls shape "matrix"): 2x2 matrix StefCal solve and
+    # a Mueller (kron) inverse apply mixing the four pol columns
+    crosspol: bool = False
 
 
 class _FusedCfg(typing.NamedTuple):
@@ -302,7 +305,12 @@ def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
     new_gains = list(gains)
     gwts = list(state["gain_wt"])
     gress = list(state["gain_res"])
-    inv_tot = None  # [ntime, nbl, npol] total inverse-apply factor
+    # matrix mode (any full-Jones term in the chain): the running
+    # correction is a [ntime, nbl, Fc, 4, 4] Mueller matrix; diagonal
+    # terms contribute diagonal Muellers. Elementwise [ntime, nbl, Fc,
+    # npol] factors otherwise.
+    matrix_mode = any(t.crosspol for t in cfg.terms)
+    inv_tot = None
 
     for it, term in enumerate(cfg.terms):
         if not do_cal[it]:
@@ -353,7 +361,7 @@ def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
             niter=cfg.solver_niter,
             tol=cfg.solver_tol,
             phase_only=term.phase_only,
-            crosspol=False,
+            crosspol=term.crosspol,
             npol=npol,
         )
         hd = has_data[:, None, None, None, None]
@@ -381,30 +389,75 @@ def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
         # [ntime, nants, Fc, nrec, nrec] with Fc = 1 (T/G) or nchan (B)
         gg = gain_new[cal["row_idx"]]
         hr = cal["has_row"][:, None, None]
-        inv_pols = []
-        for r1, r2 in recs:
-            g1 = jnp.take(gg[:, :, :, r1, r1], a1, axis=1)
-            g2 = jnp.take(gg[:, :, :, r2, r2], a2, axis=1)
-            sm = g1 * jnp.conj(g2)  # [ntime, nbl, Fc]
-            m2 = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
-            ok = m2 > 0.0
-            inv_p = jnp.where(
-                ok,
-                jnp.conj(sm) / jnp.where(ok, m2, 1.0).astype(sm.dtype),
-                sm * 0.0,
+        if term.crosspol:
+            # full-Jones: V'(2x2) = J1^-1 V J2^-H, i.e. the 4-pol column
+            # picks up the Mueller M[(i,l),(j,k)] = J1inv[i,j]
+            # conj(J2inv[l,k]) (reference matrix apply,
+            # calibration/operations.py smueller semantics)
+            from .ops.gain_ops import _inv2x2
+
+            gi, okd = _inv2x2(gg, min_det=1e-30)
+            g1i = jnp.take(gi, a1, axis=1)  # [t, nbl, Fc, 2, 2]
+            g2i = jnp.take(gi, a2, axis=1)
+            mm = jnp.einsum(
+                "tbfij,tbflk->tbfiljk", g1i, jnp.conj(g2i)
             )
-            # rows outside every solution interval stay uncorrected
-            inv_pols.append(
-                jnp.where(
-                    hr,
-                    inv_p,
-                    jnp.ones(inv_p.shape, jnp.float32).astype(inv_p.dtype),
+            t_, b_, f_ = mm.shape[:3]
+            mm = mm.reshape(t_, b_, f_, 4, 4)
+            eye4 = jnp.eye(4, dtype=jnp.float32).astype(mm.dtype)
+            ok1 = jnp.take(okd, a1, axis=1)
+            ok2 = jnp.take(okd, a2, axis=1)
+            okb = (ok1 & ok2)[..., None, None] & hr[..., None, None]
+            mm = jnp.where(okb, mm, eye4)
+            corrected = jnp.einsum(
+                "tbfpq,tbgq->tbgp",
+                mm,
+                corrected,
+            ) if f_ == 1 else jnp.einsum(
+                "tbfpq,tbfq->tbfp", mm, corrected
+            )
+            inv = mm
+        else:
+            inv_pols = []
+            for r1, r2 in recs:
+                g1 = jnp.take(gg[:, :, :, r1, r1], a1, axis=1)
+                g2 = jnp.take(gg[:, :, :, r2, r2], a2, axis=1)
+                sm = g1 * jnp.conj(g2)  # [ntime, nbl, Fc]
+                m2 = jnp.real(sm) ** 2 + jnp.imag(sm) ** 2
+                ok = m2 > 0.0
+                inv_p = jnp.where(
+                    ok,
+                    jnp.conj(sm)
+                    / jnp.where(ok, m2, 1.0).astype(sm.dtype),
+                    sm * 0.0,
                 )
+                # rows outside every solution interval stay uncorrected
+                inv_pols.append(
+                    jnp.where(
+                        hr,
+                        inv_p,
+                        jnp.ones(inv_p.shape, jnp.float32).astype(
+                            inv_p.dtype
+                        ),
+                    )
+                )
+            inv = jnp.stack(inv_pols, axis=-1)  # [ntime, nbl, Fc, npol]
+            # apply over the vis channel axis (Fc broadcasts when 1)
+            corrected = corrected * inv
+            if matrix_mode:
+                # promote the diagonal factors to a diagonal Mueller so
+                # the chain composes by matmul
+                inv = jnp.einsum(
+                    "tbfp,pq->tbfpq",
+                    inv,
+                    jnp.eye(npol, dtype=jnp.float32),
+                )
+        if matrix_mode:
+            inv_tot = inv if inv_tot is None else jnp.einsum(
+                "tbfpq,tbfqr->tbfpr", inv, inv_tot
             )
-        inv = jnp.stack(inv_pols, axis=-1)  # [ntime, nbl, Fc, npol]
-        # apply over the vis channel axis (Fc broadcasts when 1)
-        corrected = corrected * inv
-        inv_tot = inv if inv_tot is None else inv_tot * inv
+        else:
+            inv_tot = inv if inv_tot is None else inv_tot * inv
     return new_gains, gwts, gress, inv_tot
 
 
@@ -485,11 +538,41 @@ def _fused_selfcal_cycle(
         )
 
     # ---- residual invert per (chan, pol), all in the sorted domain ----
+    matrix_mode = any(t.crosspol for t in cfg.terms)
     ny = nx = plans[0].npixel
     pixels = jnp.zeros((nchan, npol, ny, nx), jnp.float32)
     sumwt = jnp.zeros((nchan, npol), jnp.float32)
+    if matrix_mode and any_cal:
+        # full-Jones: the Mueller correction mixes pol columns, so the
+        # corrected-minus-model residual is formed in NATURAL order
+        # (where inv_tot lives) and ONE multi-payload sort per channel
+        # brings all pols into plan order — same sort budget as the
+        # diagonal lane's factor sort
+        nf = state["ms_nat"].shape[2]
+        if inv_tot.shape[2] == nf:
+            corr_nat = jnp.einsum(
+                "tbfpq,tbfq->tbfp", inv_tot, state["ms_nat"]
+            )
+        else:
+            corr_nat = jnp.einsum(
+                "tbfpq,tbgq->tbgp", inv_tot, state["ms_nat"]
+            )
+        resid_nat = corr_nat - mvis
     for c in range(nchan):
-        if any_cal:
+        if any_cal and matrix_mode:
+            fsel = slice(None) if cfg.mfs else slice(c, c + 1)
+            ops = []
+            for p in range(npol):
+                r_p = resid_nat[:, :, fsel, p].reshape(-1)
+                ops.extend([jnp.real(r_p), jnp.imag(r_p)])
+            sorted_ops = jax.lax.sort(
+                (plans[c].gp.rank, *ops), num_keys=1
+            )[1:]
+            resid_sp = [
+                jax.lax.complex(sorted_ops[2 * p], sorted_ops[2 * p + 1])
+                for p in range(npol)
+            ]
+        elif any_cal:
             # broadcast the factors over this plan's channel span, flatten
             # in (t, b, f) order, and bring every pol's factor into plan
             # order with ONE multi-payload sort
@@ -513,8 +596,13 @@ def _fused_selfcal_cycle(
                 for p in range(npol)
             ]
         for p in range(npol):
-            corr = obs_s[c][p] * inv_s[p] if any_cal else obs_s[c][p]
-            resid_s = corr - model_s[c][p]
+            if any_cal and matrix_mode:
+                resid_s = resid_sp[p]
+            else:
+                corr = (
+                    obs_s[c][p] * inv_s[p] if any_cal else obs_s[c][p]
+                )
+                resid_s = corr - model_s[c][p]
             if psum_axis is None:
                 dirty, swt = invert_with_plan(
                     plans[c], resid_s, wgt_s[c][p], values_sorted=True
@@ -880,6 +968,7 @@ class _FusedSelfCal(_SortedWorkspace):
                     phase_only=controls[name]["phase_only"],
                     first_selfcal=controls[name]["first_selfcal"],
                     per_chan=gt0.gain.shape[2] > 1,
+                    crosspol=controls[name].get("shape") == "matrix",
                 )
             )
         self.a1 = jnp.asarray(vis.antenna1, jnp.int32)
@@ -1207,6 +1296,13 @@ def ical(
         )
         and all(
             controls[c]["shape"] in ("scalar", "vector")
+            # full-Jones terms fuse on npol-4 single-plan configs (the
+            # Mueller residual leg is per-plan; cube lanes compose)
+            or (
+                controls[c]["shape"] == "matrix"
+                and vis.npol == 4
+                and model.nchan == 1
+            )
             for c in calibration_context
         )
         and _window_fusable(kwargs)

@@ -170,7 +170,17 @@ def _slab_step(
         state, cfg, gains, do_cal, mvis, None
     )
     corrected = state["ms_nat"]
-    if inv_tot is not None:
+    if inv_tot is not None and inv_tot.ndim == 5:
+        # full-Jones: Mueller correction mixes the pol columns
+        if inv_tot.shape[2] == nchan:
+            corrected = jnp.einsum(
+                "tbfpq,tbfq->tbfp", inv_tot, corrected
+            )
+        else:
+            corrected = jnp.einsum(
+                "tbfpq,tbgq->tbgp", inv_tot, corrected
+            )
+    elif inv_tot is not None:
         corrected = corrected * inv_tot
     resid = (corrected - mvis) * fw.astype(sdt)
 
@@ -455,6 +465,12 @@ def streamed_ical(
                     }
                 )
                 if k == 0:
+                    crosspol = controls[name].get("shape") == "matrix"
+                    if crosspol and npol != 4:
+                        raise ValueError(
+                            f"streamed_ical: full-Jones term {name!r} "
+                            f"needs npol=4 data (store has {npol})"
+                        )
                     term_cfgs.append(
                         _FusedTermCfg(
                             name=name,
@@ -466,6 +482,7 @@ def streamed_ical(
                                 or 0
                             ),
                             per_chan=gt0.gain.shape[2] > 1,
+                            crosspol=crosspol,
                         )
                     )
             gt0s.append(gts)

@@ -244,3 +244,70 @@ class TestStreamedWideScope:
         )
         with pytest.raises(ValueError, match="nchan"):
             streamed_ical(path, bad, PC, chunk_times=2, nmajor=1)
+
+
+class TestStreamedFullJones:
+    def test_streamed_matrix_matches_memory(self, tmp_path, rng):
+        """Full-Jones (matrix) term streams: _slab_step's Mueller
+        corrected-visibility branch vs the in-memory fused cycle."""
+        from ska_sdp_func_python_tpu.ops import (
+            create_calibration_controls,
+        )
+
+        vis = make_visibility(
+            nants=8, ntimes=4, nchan=1, rmax=300.0, phasecentre=PC,
+            polarisation_frame="linear",
+        )
+        model = create_image_from_visibility(
+            vis, npixel=64, oversampling=4.0, nchan=1,
+            polarisation_frame="linear",
+        )
+        ra, dec = model.pixel_to_radec(37, 28)
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]],
+            np.asarray([[[2.0, 0.3, 0.15, 0.0]]]),
+            vis.frequency,
+            polarisation_frame="stokesIQUV",
+        )
+        vis = dft_skycomponent_visibility(vis, comps)
+        gt = create_gaintable_from_visibility(vis, jones_type="T")
+        gt = _simulate_gaintable(
+            gt, rng, phase_error=0.2, amplitude_error=0.05
+        )
+        g = np.array(gt.gain)
+        leak = 0.06 * (
+            rng.normal(size=g[..., 0, 1].shape)
+            + 1j * rng.normal(size=g[..., 0, 1].shape)
+        )
+        g[..., 0, 1] = leak
+        g[..., 1, 0] = np.conj(leak) * 0.5
+        gt = gt.replace(gain=jnp.asarray(g))
+        corrupted = apply_gaintable(vis, gt)
+        controls = create_calibration_controls()
+        controls["T"] = dict(controls["T"])
+        controls["T"]["shape"] = "matrix"
+        controls["T"]["phase_only"] = False
+        path = str(tmp_path / "fj.svis")
+        write_visibility(corrupted, path, chunk_times=2)
+        # niter=0: no CLEAN, so both loops solve against the SAME
+        # (components-only) model — the streamed PSF pass grids every
+        # pol while the in-memory one keeps the reference's pol-0-only
+        # convention, which would otherwise diverge the clean legs.
+        # "mean" matches the in-memory cycle's reference amplitude
+        # normalisation.
+        kw = dict(nmajor=2, algorithm="hogbom", niter=0, gain=0.2,
+                  fractional_threshold=0.01)
+        res = streamed_ical(
+            path, model, PC, chunk_times=2, calibration_context="T",
+            controls=controls, components=comps,
+            normalise_gains="mean", **kw,
+        )
+        mem = ical(
+            corrupted, model, components=comps, calibration_context="T",
+            controls=controls, context="ng", use_plan=True, fused=True,
+            **kw,
+        )
+        r_stream = float(jnp.max(jnp.abs(res.residual.pixels)))
+        r_mem = float(jnp.max(jnp.abs(mem[1].pixels)))
+        assert abs(r_stream - r_mem) < 1e-3, (r_stream, r_mem)
+        assert res.gaintable.gain.shape[-2:] == (2, 2)
