@@ -156,6 +156,41 @@ class TestSkyComponents:
         matches = find_skycomponent_matches(found, comps, tol=1e-4)
         assert len(matches) == 3
 
+    def test_deblend_separates_blended_sources(self, rng):
+        """Two gaussians whose threshold islands merge: plain labelling
+        finds ONE island, deblending (multi-threshold watershed,
+        photutils deblend_sources semantics) recovers both peaks."""
+        from scipy import ndimage
+
+        model = create_image(128, 0.001, PC)
+        det = np.zeros((128, 128), np.float32)
+        yy, xx = np.mgrid[0:128, 0:128]
+        for (cy, cx, amp) in [(64, 59, 2.0), (64, 69, 1.4)]:
+            det += amp * np.exp(
+                -(((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * 3.0**2))
+            )
+        im = model.with_pixels(
+            jnp.asarray(det[None, None].astype(np.float32))
+        )
+        merged = find_skycomponents(
+            im, fwhm=0.0, threshold=0.3, npixels=5, deblend=False
+        )
+        assert merged.ncomp == 1, merged.ncomp
+        split = find_skycomponents(
+            im, fwhm=0.0, threshold=0.3, npixels=5, deblend=True
+        )
+        assert split.ncomp == 2, split.ncomp
+        # both peak positions recovered to within a pixel
+        px = [
+            model.radec_to_pixel(float(r), float(d))
+            for r, d in np.asarray(split.direction)
+        ]
+        xs = sorted(float(p_[0]) for p_ in px)
+        assert abs(xs[0] - 59) < 2.5 and abs(xs[1] - 69) < 2.5, xs
+        # island flux splits roughly by component brightness
+        f = sorted(float(v) for v in np.asarray(split.flux)[:, 0, 0])
+        assert f[1] > f[0] > 0
+
     def test_insert_lanczos(self, rng):
         model = create_image(64, 0.001, PC)
         ra, dec = model.pixel_to_radec(32.3, 30.7)
