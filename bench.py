@@ -198,6 +198,20 @@ def main():
     )
 
     _bench_flagship_cycle()
+    # re-emit the last streamed out-of-core result (bench_streamed.py);
+    # the 1B-scale run itself is hours of tunnel-bound IO and cannot run
+    # inside the driver's bench window — marked cached with its
+    # measurement timestamp
+    try:
+        import os
+
+        if os.path.exists("STREAMED_RESULT.json"):
+            with open("STREAMED_RESULT.json") as fh:
+                row = json.load(fh)
+            row["cached"] = True
+            print(json.dumps(row), flush=True)
+    except Exception as exc:  # pragma: no cover
+        print(f"# streamed re-emit skipped: {exc}", file=sys.stderr)
     print(
         f"# steady-state major-cycle invert {nvis/1e6:.1f} Mvis, "
         f"{npixel}^2, nw={nw}, support={support}: best {best*1e3:.1f} ms "

@@ -158,25 +158,25 @@ def main():
     wall = time.time() - t0
     per_cycle = wall / args.nmajor
     mvis_s = nvis / per_cycle / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": "streamed_ical_mvis_per_s",
-                "value": round(mvis_s, 2),
-                "unit": f"Mvis/s per major cycle ({nvis/1e6:.0f}M vis, "
-                f"{args.npixel}^2, incl. IO+plans+solve+clean)",
-                "vs_baseline": None,
-                "wall_s": round(wall, 1),
-                "cycles": args.nmajor,
-                "restored_peak_jy": round(peak, 4),
-                "peak_residual": round(res, 5),
-                "extrapolated_1B_per_cycle_s": round(
-                    1e9 / (mvis_s * 1e6), 1
-                ),
-            }
-        ),
-        flush=True,
-    )
+    row = {
+        "metric": "streamed_ical_mvis_per_s",
+        "value": round(mvis_s, 2),
+        "unit": f"Mvis/s per major cycle ({nvis/1e6:.0f}M vis, "
+        f"{args.npixel}^2, incl. IO+plans+solve+clean)",
+        "vs_baseline": None,
+        "wall_s": round(wall, 1),
+        "cycles": args.nmajor,
+        "nvis": int(nvis),
+        "per_cycle_s": round(per_cycle, 1),
+        "restored_peak_jy": round(peak, 4),
+        "peak_residual": round(res, 5),
+        "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    print(json.dumps(row), flush=True)
+    # persist for bench.py to re-emit (marked cached): the streamed run
+    # is far too long for the driver's bench window at the 1B scale
+    with open("STREAMED_RESULT.json", "w") as fh:
+        json.dump(row, fh)
     if not args.keep:
         os.remove(args.path)
 
