@@ -169,7 +169,7 @@ def sharded_ical(
     if not _window_fusable(clean_kwargs):
         raise ValueError(
             "sharded_ical runs the fused in-graph CLEAN, which supports "
-            "windows only for hogbom/msclean — windowed "
+            "windows for hogbom/msclean/msmfs — windowed "
             f"{clean_kwargs.get('algorithm')!r} must use the composed "
             "pipeline"
         )

@@ -893,7 +893,10 @@ def _fused_clean(
             cc, _ = msmfsclean(
                 dpix[:, p],
                 ppix[:, 0],
-                None,
+                # clean windows are frequency-independent; one [ny, nx]
+                # mask serves every moment plane (reference
+                # deconvolution.py mmclean window semantics)
+                window[0, p] if window is not None else None,
                 None,
                 gain=cfg.clean_gain,
                 thresh=cfg.clean_thresh,
@@ -1113,13 +1116,17 @@ class _FusedSelfCal(_SortedWorkspace):
 
 def _window_fusable(kwargs) -> bool:
     """Clean windows ("quarter"/"no_edge"/explicit mask) run in-graph
-    for the hogbom/msclean lanes; windowed MSMFS stays composed."""
+    for every fused lane: hogbom/msclean mask the peak search directly,
+    MSMFS masks the moment-domain search through msmfsclean's
+    scale-convolved window stack (round-3; previously composed)."""
     if (
         kwargs.get("window_shape") is None
         and kwargs.get("mask") is None
     ):
         return True
-    return kwargs.get("algorithm", "msclean") in ("hogbom", "msclean")
+    return kwargs.get("algorithm", "msclean") in (
+        "hogbom", "msclean", "msmfsclean", "mfsmsclean", "mmclean"
+    )
 
 
 def _predict_model(

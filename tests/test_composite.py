@@ -323,6 +323,38 @@ class TestPipelines:
         peak = float(jnp.max(restored.pixels))
         assert abs(peak - 2.0) < 0.2, peak
 
+    def test_continuum_fused_windowed_mmclean_matches_composed(self, rng):
+        """Windowed MSMFS now runs in the fused lane (round 3; was
+        composed-only): the quarter window masks the moment-domain peak
+        search through msmfsclean's scale-convolved window stack."""
+        nchan = 6
+        vis = make_visibility(
+            nants=12, ntimes=3, nchan=nchan, frequency0=1.0e8,
+            channel_bandwidth=4e6, rmax=300.0, phasecentre=PC,
+        )
+        npixel = 64
+        model = create_image_from_visibility(
+            vis, npixel=npixel, oversampling=4.0, nchan=nchan
+        )
+        ra, dec = model.pixel_to_radec(npixel // 2 + 5, npixel // 2 - 3)
+        f0 = np.asarray(vis.frequency)
+        flux = (2.0 * (f0 / f0[nchan // 2]) ** -0.7)[None, :, None]
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]], flux, vis.frequency
+        )
+        vis = dft_skycomponent_visibility(vis, comps)
+        kw = dict(
+            nmajor=2, context="ng", algorithm="mmclean", nmoment=2,
+            niter=80, fractional_threshold=0.01, window_shape="quarter",
+        )
+        d0, r0, s0 = continuum_imaging(vis, model, fused=False, **kw)
+        d1, r1, s1 = continuum_imaging(
+            vis, model, use_plan=True, fused=True, **kw
+        )
+        r0p = float(jnp.max(jnp.abs(r0.pixels)))
+        r1p = float(jnp.max(jnp.abs(r1.pixels)))
+        assert abs(r0p - r1p) < 1e-3 * max(r0p, 1e-6), (r0p, r1p)
+
     def test_continuum_fused_cube_mmclean_matches_composed(self, rng):
         """Channel-batched fused cube cycle (vmapped plans) with in-graph
         MSMFS matches the composed loop on a spectral-index source."""
