@@ -27,6 +27,7 @@ SUPPORT = 8
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tile", type=int, default=0)
+    ap.add_argument("--npad", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--prec", default="config")
     ap.add_argument("--stages", default="kern,kasm,full")
@@ -45,6 +46,8 @@ def main():
 
     if args.tile:
         imaging_mod._tile_for = lambda npad: args.tile
+    if args.npad:
+        imaging_mod._npad_for = lambda npixel, padding: args.npad
 
     rng = np.random.default_rng(7)
     scale = NPIX * CELL

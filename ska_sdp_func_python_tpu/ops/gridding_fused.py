@@ -641,9 +641,10 @@ def _grid_execute(
 
 def _assemble_group(tile: int) -> int:
     """Tiles assembled per program along u: output blocks need a lane
-    dim >= 128 (Mosaic), and >=2 keeps the left-halo source in-group
+    dim >= 128 (Mosaic) — ceil division, NOT floor (tile 56 needs g=3,
+    not 2x56=112 lanes) — and >=2 keeps the left-halo source in-group
     for all but the first element."""
-    return max(2, 128 // tile)
+    return max(2, -(-128 // tile))
 
 
 def _assemble_execute(

@@ -374,3 +374,34 @@ def test_plan_grid_all_out_of_grid(rng):
         interpret=True,
     )
     assert float(jnp.max(jnp.abs(back))) == 0.0
+
+
+def test_plan_grid_tile56_grouped_assemble(rng):
+    """tile=56 (buf 64: MXU-exact lane panels) with the g=3 grouped
+    assemble (128-lane ceil fix): must match the tile-64 plan path on
+    the same coordinates."""
+    npixel, nplanes, n = 336, 4, 3000
+    u, v, vals, p0, frac = _case(rng, npixel, nplanes, n)
+    plan64 = make_grid_plan(
+        u, v, p0, frac, npixel=npixel, support=8, nplanes=nplanes,
+        tile=56,
+    )
+    assert npixel // 56 % 3 == 0  # grouped-assemble lane path active
+    fast = grid_with_plan(plan64, vals, interpret=True)
+    ref = fused_grid_wstack(
+        u, v, vals, p0, frac,
+        npixel=npixel, support=8, nplanes=nplanes, tile=48,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=1e-5
+    )
+    # degrid round trip on the same plan
+    back = degrid_with_plan(plan64, ref, interpret=True)
+    ref_d = fused_degrid_wstack(
+        u, v, ref, p0, frac, support=8, nplanes=nplanes, tile=48,
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(back), np.asarray(ref_d), atol=1e-5
+    )
