@@ -174,9 +174,46 @@ def bench_clean():
         )
         return r
 
+    # support-bounded PSF (the deconvolve_cube psf_support contract):
+    # the [ns, ns, 256, 256] cross-scale stack fits VMEM, so the whole
+    # minor-cycle loop runs as one Pallas program (round-3)
+    pb = 256
+    psf_b = jnp.asarray(
+        psf[n // 2 - pb // 2 : n // 2 + pb // 2,
+            n // 2 - pb // 2 : n // 2 + pb // 2]
+    )
+
+    def run_msclean_bounded(niter):
+        c, r = msclean(
+            dirty_j, psf_b, None, None, gain=0.1, thresh=0.0,
+            niter=niter, scales=(0, 3, 10), fracthresh=0.0,
+        )
+        return r
+
+    # complex (Q+iU) Hogbom at 1024^2: the aliased-residual list kernel
+    nc = 1024
+    dq = rng.normal(size=(nc, nc)).astype(np.float32)
+    dq[rng.integers(0, nc, 50), rng.integers(0, nc, 50)] += 50.0
+    du = np.roll(dq, 7, axis=0) * np.float32(0.6)
+    dq_j, du_j = jnp.asarray(dq), jnp.asarray(du)
+
+    def run_complex_1024(niter):
+        from ska_sdp_func_python_tpu.ops.cleaners import hogbom_complex
+
+        cq, cu, rq, ru = hogbom_complex(
+            dq_j, du_j, psf_b, psf_b, None, gain=0.1, thresh=0.0,
+            niter=niter, fracthresh=0.0,
+        )
+        return rq
+
+    spreads["msclean_bounded"] = spreads["msclean"]
+    # the complex list kernel's [niter, 128] row list caps at 2048
+    spreads["complex"] = (200, 2000)
     for name, fn in (
         ("hogbom_minor_cycles_per_s", run_hogbom),
         ("msclean_minor_cycles_per_s", run_msclean),
+        ("msclean_bounded_minor_cycles_per_s", run_msclean_bounded),
+        ("complex_hogbom_1024_minor_cycles_per_s", run_complex_1024),
     ):
         niter_lo, niter_hi = spreads[name.split("_")[0]]
         ts = {}
