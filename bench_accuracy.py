@@ -49,13 +49,10 @@ def main():
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
-    from ska_sdp_func_python_tpu.config import frac_dot_turns
-    from ska_sdp_func_python_tpu.ops.imaging import make_imaging_plan
     from ska_sdp_func_python_tpu.ops.imaging import (
-        invert_with_plan,
+        make_imaging_plan,
         predict_with_plan,
     )
-    from ska_sdp_func_python_tpu.ops.gridding import grid_correction
 
     nvis = int(args.nvis)
     npixel = args.npixel
