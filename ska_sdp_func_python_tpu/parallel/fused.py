@@ -314,11 +314,14 @@ def sharded_ical(
         npol = cfg.npol
 
         def psf_cp(pl, wgt, p):
-            # unit vis in the parallel hands (fill_vis_for_psf)
+            # unit amplitude in the FIRST polarisation only — the same
+            # reference ng.py:235-238 convention the single-device
+            # invert_visibility(dopsf=True) uses, so sharded and
+            # single-device cycles clean with identical PSFs (npol>1:
+            # zero-PSF pol lanes are skipped by the clean, matching
+            # deconvolve_cube)
             unit = (
-                wgt * 0.0 + 1.0
-                if (npol == 1 or p in (0, npol - 1))
-                else wgt * 0.0
+                wgt * 0.0 + 1.0 if p == 0 else wgt * 0.0
             )
             grids = grid_with_plan(
                 pl.gp,
