@@ -33,6 +33,7 @@ def main():
     coord = sys.argv[3]
     store = sys.argv[4]
     out = sys.argv[5]
+    scenario = sys.argv[6] if len(sys.argv) > 6 else "basic"
 
     from ska_sdp_func_python_tpu.parallel import multihost
 
@@ -46,25 +47,37 @@ def main():
     from simul import make_visibility
 
     pc = (0.0, np.deg2rad(-35.0))
-    vis = make_visibility(
-        nants=10, ntimes=8, nchan=1, rmax=300.0, phasecentre=pc
-    )
-    model = create_image_from_visibility(
-        vis, npixel=128, oversampling=4.0, nchan=1
-    )
+    if scenario == "tg_cube":
+        # widened scope: 3-channel spectral cube + "TG" chain
+        vis = make_visibility(
+            nants=8, ntimes=8, nchan=3, rmax=300.0, phasecentre=pc
+        )
+        model = create_image_from_visibility(
+            vis, npixel=64, oversampling=4.0, nchan=3
+        )
+        context = "TG"
+    else:
+        vis = make_visibility(
+            nants=10, ntimes=8, nchan=1, rmax=300.0, phasecentre=pc
+        )
+        model = create_image_from_visibility(
+            vis, npixel=128, oversampling=4.0, nchan=1
+        )
+        context = "T"
     current, residual, restored, gt = streamed_ical(
         store, model, pc, chunk_times=2,
-        calibration_context="T", context="ng",
+        calibration_context=context, context="ng",
         nmajor=2, algorithm="hogbom", niter=150, gain=0.2,
         fractional_threshold=0.01, distribute=True,
     )
     if pid == 0:
+        g0 = gt[context[0]] if isinstance(gt, dict) else gt
         np.savez(
             out,
             model=np.asarray(current.pixels),
             residual=np.asarray(residual.pixels),
-            gain=np.asarray(gt.gain),
-            gtime=np.asarray(gt.time),
+            gain=np.asarray(g0.gain),
+            gtime=np.asarray(g0.time),
         )
     print(f"worker {pid} done", flush=True)
 

@@ -217,3 +217,104 @@ def test_two_process_streamed_ical(tmp_path):
         got["gain"], np.asarray(ref_gt.gain), atol=1e-7
     )
     np.testing.assert_allclose(got["gtime"], np.asarray(ref_gt.time))
+
+
+def test_two_process_streamed_tg_cube(tmp_path):
+    """Widened-scope 2-process streamed run: 3-channel spectral cube +
+    "TG" chain — per-channel plans, two Jones terms per slab, psum'd
+    per-channel grids — must match the single-process run."""
+    from simul import make_visibility
+    from test_solvers import _simulate_gaintable
+
+    from ska_sdp_func_python_tpu.io import write_visibility
+    from ska_sdp_func_python_tpu.models import (
+        SkyComponents,
+        create_gaintable_from_visibility,
+    )
+    from ska_sdp_func_python_tpu.ops import (
+        apply_gaintable,
+        create_image_from_visibility,
+        dft_skycomponent_visibility,
+    )
+    from ska_sdp_func_python_tpu.streaming import streamed_ical
+
+    rng = np.random.default_rng(20260820)
+    pc = (0.0, np.deg2rad(-35.0))
+    vis = make_visibility(
+        nants=8, ntimes=8, nchan=3, rmax=300.0, phasecentre=pc
+    )
+    model = create_image_from_visibility(
+        vis, npixel=64, oversampling=4.0, nchan=3
+    )
+    ra, dec = model.pixel_to_radec(64 // 2 + 5, 64 // 2 - 4)
+    comps = SkyComponents.from_lists(
+        [[float(ra), float(dec)]], [[[1.5]] * 3], vis.frequency
+    )
+    vis = dft_skycomponent_visibility(vis, comps)
+    gt_t = create_gaintable_from_visibility(vis, jones_type="T")
+    gt_t = _simulate_gaintable(gt_t, rng, phase_error=0.25)
+    gt_g = create_gaintable_from_visibility(
+        vis, jones_type="G", timeslice=60.0
+    )
+    gt_g = _simulate_gaintable(
+        gt_g, rng, phase_error=0.0, amplitude_error=0.08
+    )
+    corrupted = apply_gaintable(apply_gaintable(vis, gt_g), gt_t)
+    store = str(tmp_path / "mh_tg.svis")
+    write_visibility(corrupted, store, chunk_times=2)
+
+    ref_c, ref_r, _, ref_gts = streamed_ical(
+        store, model, pc, chunk_times=2,
+        calibration_context="TG", context="ng",
+        nmajor=2, algorithm="hogbom", niter=150, gain=0.2,
+        fractional_threshold=0.01,
+    )
+
+    port = _free_port()
+    out = str(tmp_path / "mh_tg.npz")
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(HERE, "_streamed_mh_worker.py"),
+                str(pid),
+                "2",
+                f"127.0.0.1:{port}",
+                store,
+                out,
+                "tg_cube",
+            ],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+        )
+        for pid in (0, 1)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=840)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(stdout.decode(errors="replace"))
+    for p, tail in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{tail[-4000:]}"
+    got = np.load(out)
+    # two Jones terms x two cycles accumulate slightly more
+    # reduction-order noise than the single-term test (measured 1.3e-7)
+    np.testing.assert_allclose(
+        got["residual"], np.asarray(ref_r.pixels), atol=5e-7
+    )
+    np.testing.assert_allclose(
+        got["model"], np.asarray(ref_c.pixels), atol=5e-7
+    )
+    np.testing.assert_allclose(
+        got["gain"], np.asarray(ref_gts["T"].gain), atol=5e-7
+    )
