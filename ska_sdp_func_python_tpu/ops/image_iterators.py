@@ -165,3 +165,33 @@ def image_gather_channels(image_list: List[Image]) -> Image:
             [im.channel_bandwidth for im in image_list]
         ),
     )
+
+
+def image_raster_update(
+    im: Image,
+    fn,
+    facets: int = 1,
+    overlap: int = 0,
+    taper: str = "flat",
+) -> Image:
+    """Functional writeback form of :func:`image_raster_iter`.
+
+    The reference's raster iterator yields mutable xarray views that
+    callers modify IN PLACE (iterators.py:66-190: "If the returned
+    images are changed, the changes are reflected in the original
+    image"); with immutable jax arrays the same workflow is one call:
+    ``fn`` maps each facet Image to its replacement, and the results
+    are taper-gathered back onto the full grid.
+
+    >>> out = image_raster_update(im, lambda f: f.replace(
+    ...     pixels=f.pixels * 2.0), facets=4, overlap=8, taper="tukey")
+    """
+    updated = [
+        fn(facet)
+        for facet in image_raster_iter(
+            im, facets=facets, overlap=overlap, taper=taper
+        )
+    ]
+    return image_gather_facets(
+        updated, im, facets=facets, overlap=overlap, taper=taper
+    )

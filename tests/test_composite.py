@@ -253,6 +253,29 @@ class TestIterators:
                 err_msg=f"overlap={overlap} taper={taper}",
             )
 
+    def test_raster_update_writeback(self, rng):
+        """image_raster_update: the functional form of the reference's
+        mutable-view writeback (iterators.py:66-190) — a per-facet map
+        reassembles exactly like editing the views in place."""
+        from ska_sdp_func_python_tpu.ops import image_raster_update
+
+        model = create_image(64, 0.001, PC)
+        model = model.replace(
+            pixels=jnp.asarray(rng.normal(size=model.pixels.shape))
+        )
+        for overlap, taper in [(0, "flat"), (8, "tukey")]:
+            out = image_raster_update(
+                model,
+                lambda f: f.replace(pixels=f.pixels * 2.0),
+                facets=2, overlap=overlap, taper=taper,
+            )
+            np.testing.assert_allclose(
+                np.asarray(out.pixels),
+                2.0 * np.asarray(model.pixels),
+                atol=1e-10,
+                err_msg=f"overlap={overlap} taper={taper}",
+            )
+
     def test_channel_scatter_gather(self, rng):
         freq = 1e8 + 1e6 * np.arange(6)
         model = create_image(32, 0.001, PC, frequency=freq)
