@@ -79,7 +79,7 @@ def main():
         import ska_sdp_func_python_tpu.ops.gridding_fused as gf
 
         if args.group:
-            gf._assemble_group = lambda tile, g=args.group: g
+            gf._assemble_group = lambda tile, nta, g=args.group: g
         from ska_sdp_func_python_tpu.ops.imaging import (
             invert_with_plan,
             make_imaging_plan,

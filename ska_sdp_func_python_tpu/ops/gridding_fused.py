@@ -579,7 +579,7 @@ def _grid_execute(
     )(slot_seg, slot_col, slot_first, starts, counts, payload, vals)
 
     if use_tap_payload(support, tile) and (
-        ntile_axis % _assemble_group(tile) == 0
+        ntile_axis % _assemble_group(tile, ntile_axis) == 0
     ):
         return _assemble_execute(
             out,
@@ -639,12 +639,19 @@ def _grid_execute(
     return jax.vmap(assemble)(acc)
 
 
-def _assemble_group(tile: int) -> int:
-    """Tiles assembled per program along u: output blocks need a lane
-    dim >= 128 (Mosaic) — ceil division, NOT floor (tile 56 needs g=3,
-    not 2x56=112 lanes) — and >=2 keeps the left-halo source in-group
-    for all but the first element."""
-    return max(2, -(-128 // tile))
+def _assemble_group(tile: int, ntile_axis: int) -> int:
+    """Tiles assembled per program along u. Mosaic requires the output
+    block's lane dim to be DIVISIBLE by 128 (not merely >= 128) or
+    equal to the full array dim, so the group is the minimal g with
+    tile*g % 128 == 0 that divides the tile row — else a full row per
+    program (lane dim == array dim, always legal; the u-halo wrap adds
+    only zero columns because entries are clipped in-grid)."""
+    import math
+
+    g = max(2, 128 // math.gcd(tile, 128))
+    if g <= ntile_axis and ntile_axis % g == 0:
+        return g
+    return ntile_axis
 
 
 def _assemble_execute(
@@ -680,7 +687,7 @@ def _assemble_execute(
     ts = tile
     buf = ts + support
     nta = npixel // ts
-    g = _assemble_group(ts)
+    g = _assemble_group(ts, nta)
     ntag = nta // g
     ntiles = nta * nta
     ntiles_g = ntiles // g
