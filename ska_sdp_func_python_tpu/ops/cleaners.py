@@ -1008,6 +1008,13 @@ _MSCLEAN_PALLAS_MAX_PSF = 256 * 256
 
 
 def _msclean_pallas_ok(dirty, psf, nscales, window, sensitivity, interpret):
+    """Shape gate for the VMEM-resident msclean kernel. NOT auto-selected
+    (``use_pallas=True`` only): measured on chip at 512^2 / 3 scales /
+    256-support PSF the Pallas loop runs 19.0k minor cycles/s vs the XLA
+    while_loop's 26.5k — the per-iteration ``pl.when`` scale branches
+    each pay full-stack pltpu.roll traffic, so the in-VMEM residency
+    does not win for multi-scale stacks the way it does for Hogbom
+    (313k/s) and complex Hogbom (87k/s at 1024^2)."""
     if not (interpret or jax.default_backend() == "tpu"):
         return False
     if window is not None or sensitivity is not None:
@@ -1106,9 +1113,9 @@ def msclean(
     coupling_diag = jnp.diagonal(coupling)
 
     if use_pallas is None:
-        use_pallas = _msclean_pallas_ok(
-            dirty, psf, len(scales), window, sensitivity, interpret=False
-        )
+        # measured slower than the XLA loop on chip (see
+        # _msclean_pallas_ok) — opt-in only
+        use_pallas = False
     if use_pallas:
         comps, res = _msclean_pallas(
             res_stack,
