@@ -29,7 +29,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--nvis", type=float, default=200e3)
     ap.add_argument("--npixel", type=int, default=512)
-    ap.add_argument("--nw", type=int, default=8)
+    ap.add_argument("--nw", type=int, default=32)
     ap.add_argument("--x64", action="store_true")
     ap.add_argument(
         "--f64-coords", action="store_true",

@@ -16,7 +16,7 @@ K = 4
 
 def timed(fn, *args):
     r = fn(*args)
-    np.asarray(jax.tree_util.tree_leaves(r)[0])[..., :1]
+    np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
     ts = []
     for _ in range(4):
         t0 = time.time()
