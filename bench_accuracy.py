@@ -2,11 +2,10 @@
 (VERDICT round-2 item 6).
 
 For each (support, padding[, precision]) the plan-path degridder predicts
-the visibilities of a handful of off-grid point sources and compares them
-to the exact phasor sum (ops.dft.dft_kernel, split-compensated phase —
-good to ~1e-7 in f32, the measurement floor on chip). The same plan's
-invert is checked by the adjoint route: dirty-image peak of a unit
-point source against the DFT dirty image on a 16x16 patch.
+the visibilities of a handful of point sources at exact pixel centres and
+compares them to a host-f64 DFT oracle (max relative vis error). The
+invert direction is pinned separately in
+tests/test_gridding_accuracy.py (PSF peak position/amplitude).
 
 Run (real TPU): python bench_accuracy.py
      [--nvis 200000] [--npixel 512] [--nw 8] [--quick]
