@@ -141,22 +141,28 @@ def main():
         gain=0.2,
         fractional_threshold=0.01,
     )
-    # warmup: compile every slab-step signature once (remote compiles
-    # are 30-120 s each and would otherwise be billed to cycle 0)
-    t0 = time.time()
-    streamed_ical(args.path, model, np.asarray(pc), nmajor=1, **kw)
-    print(
-        f"# warmup (compiles + 1 cycle): {time.time()-t0:.0f}s",
-        file=sys.stderr, flush=True,
-    )
+    # ONE run, per-cycle wall clocks via on_cycle: cycle 0 carries the
+    # remote compiles (reported separately), cycles >= 1 are steady
+    # state. The old warmup-run-then-timed-run scheme streamed the data
+    # 2 + (1 + nmajor) times; at 1B vis the axon tunnel client leaks
+    # every h2d staging buffer (~24 GB per full stream), so each saved
+    # pass is a quarter of host RAM.
+    cyc_times = []
+
+    def on_cycle(i, secs):
+        cyc_times.append(secs)
+        print(f"# cycle {i}: {secs:.0f}s", file=sys.stderr, flush=True)
+
     t0 = time.time()
     current, residual, restored, gt = streamed_ical(
-        args.path, model, np.asarray(pc), nmajor=args.nmajor, **kw
+        args.path, model, np.asarray(pc), nmajor=args.nmajor,
+        on_cycle=on_cycle, **kw,
     )
     peak = float(jnp.max(restored.pixels))
     res = float(jnp.max(jnp.abs(residual.pixels)))
     wall = time.time() - t0
-    per_cycle = wall / args.nmajor
+    steady = cyc_times[1:] or cyc_times
+    per_cycle = sum(steady) / len(steady)
     mvis_s = nvis / per_cycle / 1e6
     row = {
         "metric": "streamed_ical_mvis_per_s",
@@ -168,6 +174,7 @@ def main():
         "cycles": args.nmajor,
         "nvis": int(nvis),
         "per_cycle_s": round(per_cycle, 1),
+        "cycle_s": [round(t, 1) for t in cyc_times],
         "restored_peak_jy": round(peak, 4),
         "peak_residual": round(res, 5),
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

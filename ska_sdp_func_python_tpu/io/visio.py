@@ -172,21 +172,36 @@ class VisStore:
             int(dims[2]),
             int(dims[3]),
         )
-        self.frequency = np.zeros(self.nchan, dtype=np.float64)
-        self.time = np.zeros(self.ntime, dtype=np.float64)
-        self.antenna1 = np.zeros(self.nbl, dtype=np.int32)
-        self.antenna2 = np.zeros(self.nbl, dtype=np.int32)
-        self.uvw = np.zeros((self.ntime, self.nbl, 3), dtype=np.float64)
-        rc = self._lib.svis_read_meta(
-            self._handle,
-            _ptr(self.frequency, ctypes.c_double),
-            _ptr(self.time, ctypes.c_double),
-            _ptr(self.antenna1, ctypes.c_int32),
-            _ptr(self.antenna2, ctypes.c_int32),
-            _ptr(self.uvw, ctypes.c_double),
+        # meta is read directly from the file layout (visio.cpp: magic[8]
+        # + 4x i64 dims, then freq/time/a1/a2/uvw) — the uvw block is
+        # MEMORY-MAPPED, not loaded: at 1B visibilities it is 24 GB of
+        # f64, and an eager read pins a quarter of host RAM for the
+        # whole run (slab slices touch only their own pages, and page
+        # cache is reclaimable)
+        off = 8 + 4 * 8
+        self.frequency = np.fromfile(
+            path, dtype=np.float64, count=self.nchan, offset=off
         )
-        if rc != 0:
-            raise OSError("meta read failed")
+        off += 8 * self.nchan
+        self.time = np.fromfile(
+            path, dtype=np.float64, count=self.ntime, offset=off
+        )
+        off += 8 * self.ntime
+        self.antenna1 = np.fromfile(
+            path, dtype=np.int32, count=self.nbl, offset=off
+        )
+        off += 4 * self.nbl
+        self.antenna2 = np.fromfile(
+            path, dtype=np.int32, count=self.nbl, offset=off
+        )
+        off += 4 * self.nbl
+        self.uvw = np.memmap(
+            path,
+            dtype=np.float64,
+            mode="r",
+            offset=off,
+            shape=(self.ntime, self.nbl, 3),
+        )
 
     def _alloc(self, nt):
         shape = (nt, self.nbl, self.nchan, self.npol)

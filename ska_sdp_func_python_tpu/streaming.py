@@ -290,6 +290,7 @@ def streamed_ical(
     cache_slabs: bool | None = None,
     slab_cache_bytes: float = 8e9,
     distribute: bool = True,
+    on_cycle=None,
     **clean_kwargs,
 ):
     """Streamed ICAL over a native visibility store.
@@ -387,12 +388,19 @@ def streamed_ical(
         my_slabs = [k for k in range(len(steps)) if k % nproc == pid]
 
         # global w range and plane count (every slab's grids must stack
-        # onto identical planes to accumulate)
+        # onto identical planes to accumulate); chunked over the
+        # memory-mapped uvw so no 1B-row temporary materialises
         freq_max = float(np.max(store.frequency))
         from .models.visibility import C_M_S
 
-        wl = store.uvw[..., 2] * freq_max / C_M_S
-        w_range = (float(np.min(wl)), float(np.max(wl)))
+        wmin = np.inf
+        wmax = -np.inf
+        for t0 in range(0, ntime, 2048):
+            wc = np.asarray(store.uvw[t0 : t0 + 2048, :, 2])
+            wmin = min(wmin, float(wc.min()))
+            wmax = max(wmax, float(wc.max()))
+        scale_w = freq_max / C_M_S
+        w_range = (wmin * scale_w, wmax * scale_w)
 
         # per-slab per-term gain tables + interval maps (host side,
         # tiny). Slab Visibility templates are built LAZILY inside the
@@ -593,7 +601,10 @@ def streamed_ical(
         residual = None
         ck = dict(clean_kwargs)
         ck.setdefault("algorithm", "hogbom")
+        import time as _time
+
         for cycle in range(nmajor):
+            _t_cycle = _time.time()
             do_cal = tuple(
                 cycle >= max(first_selfcal, t.first_selfcal)
                 for t in term_cfgs
@@ -621,6 +632,11 @@ def streamed_ical(
             residual = model.replace(pixels=grids_to_cube(acc, swt))
             comp_img, _ = deconvolve_cube(residual, psf, **ck)
             model_px = model_px + comp_img.pixels.astype(jnp.float32)
+            if on_cycle is not None:
+                # force a device->host fetch: block_until_ready does not
+                # reliably block over the remote tunnel
+                np.asarray(model_px[0, 0, :1, :1])
+                on_cycle(cycle, _time.time() - _t_cycle)
             if log.isEnabledFor(logging.INFO):
                 log.info(
                     "streamed_ical: cycle %d peak residual %.6f",
