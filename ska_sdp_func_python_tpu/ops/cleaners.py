@@ -981,14 +981,24 @@ def _msclean_pallas_kernel(
         )
         # one-hot select the peak scale's cross-stack and blob on the
         # SUPPORT-SIZED arrays (no gathers, no branches), then pad+roll
-        # once
-        sel = si1[0] == ms  # [ns]
+        # once. The mask iotas are built at the full operand rank —
+        # Mosaic cannot shape-cast a 1-D mask up (infer-vector-layout:
+        # unsupported shape cast on vector<3xi1> -> 3x1x1x1)
+        sel4 = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, canv_ref.shape, 0
+            ) == ms
+        )
         csel_small = jnp.sum(
-            jnp.where(sel[:, None, None, None], canv_ref[...], 0.0),
-            axis=0,
+            jnp.where(sel4, canv_ref[...], 0.0), axis=0
         )  # [ns, py, px]
+        sel3 = (
+            jax.lax.broadcasted_iota(
+                jnp.int32, pblob_ref.shape, 0
+            ) == ms
+        )
         blob_small = jnp.sum(
-            jnp.where(sel[:, None, None], pblob_ref[...], 0.0), axis=0
+            jnp.where(sel3, pblob_ref[...], 0.0), axis=0
         )  # [py, px]
         csel = jnp.pad(
             csel_small, ((0, 0), (0, ny - py), (0, nx - px))
