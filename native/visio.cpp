@@ -175,6 +175,27 @@ void svis_dims(void* hv, int64_t* dims) {
   dims[3] = handle->h.npol;
 }
 
+// Absolute byte offsets of the meta sections (frequency, time, antenna1,
+// antenna2, uvw) — the single source of truth for readers that map or
+// slice the meta blocks directly (the Python rim memmaps the uvw block
+// instead of calling svis_read_meta, which at 1B vis would eagerly load
+// 24 GB of f64). Any layout change here changes these values, so the
+// Python side can never drift from the writer.
+void svis_meta_offsets(void* hv, int64_t* off) {
+  auto* handle = static_cast<Handle*>(hv);
+  const Header& h = handle->h;
+  int64_t o = 8 + 32;  // magic + 4x i64 dims
+  off[0] = o;                     // f64 frequency[nchan]
+  o += 8 * h.nchan;
+  off[1] = o;                     // f64 time[ntime]
+  o += 8 * h.ntime;
+  off[2] = o;                     // i32 antenna1[nbl]
+  o += 4 * h.nbl;
+  off[3] = o;                     // i32 antenna2[nbl]
+  o += 4 * h.nbl;
+  off[4] = o;                     // f64 uvw[ntime*nbl*3]
+}
+
 int svis_read_meta(void* hv, double* frequency, double* time, int32_t* a1,
                    int32_t* a2, double* uvw) {
   auto* handle = static_cast<Handle*>(hv);

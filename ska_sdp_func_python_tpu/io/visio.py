@@ -45,6 +45,8 @@ def _load_lib():
     lib.svis_open.argtypes = [ctypes.c_char_p]
     lib.svis_dims.restype = None
     lib.svis_dims.argtypes = [p, ctypes.POINTER(i64)]
+    lib.svis_meta_offsets.restype = None
+    lib.svis_meta_offsets.argtypes = [p, ctypes.POINTER(i64)]
     lib.svis_write_meta.restype = ctypes.c_int
     lib.svis_write_meta.argtypes = [p, f64p, f64p, i32p, i32p, f64p]
     lib.svis_read_meta.restype = ctypes.c_int
@@ -172,34 +174,31 @@ class VisStore:
             int(dims[2]),
             int(dims[3]),
         )
-        # meta is read directly from the file layout (visio.cpp: magic[8]
-        # + 4x i64 dims, then freq/time/a1/a2/uvw) — the uvw block is
-        # MEMORY-MAPPED, not loaded: at 1B visibilities it is 24 GB of
-        # f64, and an eager read pins a quarter of host RAM for the
-        # whole run (slab slices touch only their own pages, and page
-        # cache is reclaimable)
-        off = 8 + 4 * 8
+        # meta section offsets come from the LIBRARY (svis_meta_offsets,
+        # visio.cpp) so this reader can never drift from the writer's
+        # layout. The uvw block is MEMORY-MAPPED, not loaded: at 1B
+        # visibilities it is 24 GB of f64, and an eager read pins a
+        # quarter of host RAM for the whole run (slab slices touch only
+        # their own pages, and page cache is reclaimable).
+        offs = (ctypes.c_int64 * 5)()
+        self._lib.svis_meta_offsets(self._handle, offs)
         self.frequency = np.fromfile(
-            path, dtype=np.float64, count=self.nchan, offset=off
+            path, dtype=np.float64, count=self.nchan, offset=offs[0]
         )
-        off += 8 * self.nchan
         self.time = np.fromfile(
-            path, dtype=np.float64, count=self.ntime, offset=off
+            path, dtype=np.float64, count=self.ntime, offset=offs[1]
         )
-        off += 8 * self.ntime
         self.antenna1 = np.fromfile(
-            path, dtype=np.int32, count=self.nbl, offset=off
+            path, dtype=np.int32, count=self.nbl, offset=offs[2]
         )
-        off += 4 * self.nbl
         self.antenna2 = np.fromfile(
-            path, dtype=np.int32, count=self.nbl, offset=off
+            path, dtype=np.int32, count=self.nbl, offset=offs[3]
         )
-        off += 4 * self.nbl
         self.uvw = np.memmap(
             path,
             dtype=np.float64,
             mode="r",
-            offset=off,
+            offset=int(offs[4]),
             shape=(self.ntime, self.nbl, 3),
         )
 

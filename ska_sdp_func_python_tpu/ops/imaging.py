@@ -143,9 +143,12 @@ def _npad_for(npixel: int, padding) -> int:
     invert (1280/t64 -> 1344/t56)."""
     up = lambda n: -(-int(n) // 128) * 128  # noqa: E731
     base = max(up(npixel * padding), up(npixel + 1))
-    need = max(int(np.ceil(npixel * padding)), npixel + 1)
     best56 = None
-    n = -(-need // 56) * 56
+    # Only consider 56-family grids that are >= the 128-rounded base:
+    # effective oversampling must never DECREASE vs the validated t64
+    # geometry (round-3 regression: npixel=128 got 168 < 256, breaking
+    # plan-path parity at small image sizes).
+    n = -(-base // 56) * 56
     while n <= base * 1.06:
         m = n
         for p in (2, 3, 5, 7):

@@ -271,15 +271,16 @@ def find_skycomponents(
     fwhm: float = 1.0,
     threshold: float = 1.0,
     npixels: int = 5,
-    deblend: bool = True,
+    deblend: bool = False,
     nlevels: int = 32,
     contrast: float = 0.001,
 ) -> SkyComponents:
     """Segmentation-based source finding (sky_component/operations.py:
     256-363). Host-side scipy.ndimage labelling replaces photutils;
-    ``deblend=True`` additionally splits blended islands by
+    ``deblend=True`` (opt-in) additionally splits blended islands by
     multi-threshold watershed (photutils ``deblend_sources`` semantics,
-    which the reference's plain ``detect_sources`` lacks)."""
+    which the reference's plain ``detect_sources`` lacks). The default
+    ``False`` preserves reference parity: one component per island."""
     from scipy import ndimage
 
     pixels = np.asarray(im.pixels)
@@ -397,6 +398,11 @@ def restore_skycomponent(
     flux = sc.flux
     if flux.shape[1] != im.nchan and flux.shape[1] == 1:
         flux = jnp.broadcast_to(flux, (flux.shape[0], im.nchan, flux.shape[2]))
+    elif flux.shape[1] != im.nchan and im.nchan == 1:
+        # multi-channel components restored onto an MFS image: the MFS
+        # dirty image is the channel-mean, so restore the channel-mean
+        # flux (matches continuum predict/invert normalisation)
+        flux = jnp.mean(flux, axis=1, keepdims=True)
 
     def add_one(pixels, args):
         cx, cy, fl = args

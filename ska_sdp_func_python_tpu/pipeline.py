@@ -453,9 +453,25 @@ def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
                     jnp.eye(npol, dtype=jnp.float32),
                 )
         if matrix_mode:
-            inv_tot = inv if inv_tot is None else jnp.einsum(
-                "tbfpq,tbfqr->tbfpr", inv, inv_tot
-            )
+            if inv_tot is None:
+                inv_tot = inv
+            else:
+                # Fc dims may differ across terms (matrix terms solve
+                # Fc=1, bandpass "B" Fc=nchan): broadcast the frequency
+                # axis before composing the Mueller chain.
+                fc = max(inv.shape[2], inv_tot.shape[2])
+                if inv.shape[2] != fc:
+                    inv = jnp.broadcast_to(
+                        inv, inv.shape[:2] + (fc,) + inv.shape[3:]
+                    )
+                if inv_tot.shape[2] != fc:
+                    inv_tot = jnp.broadcast_to(
+                        inv_tot,
+                        inv_tot.shape[:2] + (fc,) + inv_tot.shape[3:],
+                    )
+                inv_tot = jnp.einsum(
+                    "tbfpq,tbfqr->tbfpr", inv, inv_tot
+                )
         else:
             inv_tot = inv if inv_tot is None else inv_tot * inv
     return new_gains, gwts, gress, inv_tot
