@@ -823,7 +823,19 @@ def make_visibility_plan(
     nchan_img = model.nchan
     nwp = _nw_for(vis, model, do_wstacking, nw)
     mfs = nchan_img == 1 and vis.nchan > 1
-    uvw_l = vis.uvw_lambda
+    coords = kwargs.get("coords", "device")
+    if coords == "host64":
+        # host-f64 coordinate path (epsilon regimes): positions are
+        # computed in numpy f64, which triggers the compensated
+        # split-(hi, lo) plan mode on f32 devices and f64-native plans
+        # under x64 — zero kernel runtime cost (see make_imaging_plan)
+        uvw_l = np.einsum(
+            "tbs,f->tbfs",
+            np.asarray(vis.uvw, np.float64),
+            np.asarray(vis.frequency, np.float64) / C_M_S,
+        )
+    else:
+        uvw_l = vis.uvw_lambda
     plans = []
     for ichan in range(nchan_img):
         fsel = slice(None) if mfs else slice(ichan, ichan + 1)
@@ -874,7 +886,7 @@ _PLAN_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 
 def _auto_plan(
     vis: Visibility, model: Image, support: int, nwp: int,
-    do_wstacking: bool, padding,
+    do_wstacking: bool, padding, coords: str = "device",
 ) -> "VisibilityImagingPlan | None":
     from ..config import plan_cache_size
 
@@ -884,7 +896,7 @@ def _auto_plan(
     key = (
         id(vis.uvw), id(vis.frequency), tuple(vis.uvw.shape),
         model.npixel, float(model.cellsize), model.nchan, vis.nchan,
-        int(support), int(nwp), bool(do_wstacking), padding,
+        int(support), int(nwp), bool(do_wstacking), padding, coords,
     )
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
@@ -901,6 +913,7 @@ def _auto_plan(
         context="ng" if do_wstacking else "2d",
         support=support, nw=nwp, do_wstacking=do_wstacking,
         padding=2 if padding is None else padding,
+        coords=coords,
     )
     _PLAN_CACHE[key] = (vis.uvw, vis.frequency, plan)
     while len(_PLAN_CACHE) > size:
@@ -949,6 +962,10 @@ def invert_visibility(
     serves both reference backends), "awprojection" (CF-driven path).
     Pass ``plan`` from :func:`make_visibility_plan` to reuse precomputed
     gridding geometry (PSF+dirty, all pols, repeated major cycles).
+    Pass ``epsilon=`` (reference ng.py:59 contract) to have support /
+    padding / nw / coordinate mode / kernel precision selected from the
+    measured accuracy envelope (:mod:`.accuracy`); raises when the
+    requested tolerance is infeasible in the current configuration.
     """
     if context == "awprojection":
         from .griddata_ops import invert_awprojection
@@ -959,6 +976,27 @@ def invert_visibility(
     do_wstacking = context not in ("2d",) and kwargs.get(
         "do_wstacking", True
     )
+    if kwargs.get("epsilon") is not None:
+        from .accuracy import gridding_params_for_epsilon, nw_for_epsilon
+
+        acc = gridding_params_for_epsilon(
+            kwargs.pop("epsilon"), do_wstacking=do_wstacking
+        )
+        support = acc.support
+        kwargs["padding"] = acc.padding
+        if do_wstacking:
+            nw = nw_for_epsilon(
+                _nw_for(vis, model, do_wstacking, nw), acc.epsilon
+            )
+        if acc.gridder is not None:
+            plan, kwargs["auto_plan"] = None, False
+            kwargs["gridder"] = acc.gridder
+        else:
+            kwargs["coords"] = (
+                "host64" if acc.coords == "host64" else "device"
+            )
+        if acc.precision is not None:
+            kwargs["precision"] = acc.precision
     svis = shift_vis_to_image(vis, model, tangent=True, inverse=False)
 
     ms = svis.flagged_vis
@@ -987,7 +1025,8 @@ def invert_visibility(
         "auto_plan", jax.default_backend() != "cpu"
     ):
         plan = _auto_plan(
-            vis, model, support, nwp, do_wstacking, kwargs.get("padding")
+            vis, model, support, nwp, do_wstacking,
+            kwargs.get("padding"), kwargs.get("coords", "device"),
         )
     pixels = jnp.zeros_like(model.pixels)
     sumwt = jnp.zeros((nchan_img, npol_img), dtype=wgt.dtype)
@@ -1006,7 +1045,10 @@ def invert_visibility(
             vals = ms[:, :, fsel, pol].reshape(-1)
             wv = wgt[:, :, fsel, pol].reshape(-1)
             if plan is not None:
-                dirty, swt = invert_with_plan(plan.plans[ichan], vals, wv)
+                dirty, swt = invert_with_plan(
+                    plan.plans[ichan], vals, wv,
+                    precision=kwargs.get("precision", "config"),
+                )
             else:
                 dirty, swt = invert_core(
                     uu,
@@ -1019,6 +1061,8 @@ def invert_visibility(
                     support=support,
                     nw=nwp,
                     do_wstacking=do_wstacking,
+                    padding=kwargs.get("padding") or 2,
+                    gridder=kwargs.get("gridder"),
                 )
             pixels = pixels.at[ichan, pol].set(
                 dirty.astype(pixels.dtype)
@@ -1044,6 +1088,9 @@ def predict_visibility(
 
     Contexts: "2d", "ng"/"wg", "awprojection". Pass ``plan`` from
     :func:`make_visibility_plan` to reuse precomputed gridding geometry.
+    Pass ``epsilon=`` (reference ng.py:59 contract) to have support /
+    padding / nw / coordinate mode / kernel precision selected from the
+    measured accuracy envelope (:mod:`.accuracy`).
     """
     if context == "awprojection":
         from .griddata_ops import predict_awprojection
@@ -1052,6 +1099,27 @@ def predict_visibility(
     do_wstacking = context not in ("2d",) and kwargs.get(
         "do_wstacking", True
     )
+    if kwargs.get("epsilon") is not None:
+        from .accuracy import gridding_params_for_epsilon, nw_for_epsilon
+
+        acc = gridding_params_for_epsilon(
+            kwargs.pop("epsilon"), do_wstacking=do_wstacking
+        )
+        support = acc.support
+        kwargs["padding"] = acc.padding
+        if do_wstacking:
+            nw = nw_for_epsilon(
+                _nw_for(vis, model, do_wstacking, nw), acc.epsilon
+            )
+        if acc.gridder is not None:
+            plan, kwargs["auto_plan"] = None, False
+            kwargs["gridder"] = acc.gridder
+        else:
+            kwargs["coords"] = (
+                "host64" if acc.coords == "host64" else "device"
+            )
+        if acc.precision is not None:
+            kwargs["precision"] = acc.precision
     uvw_l = vis.uvw_lambda
     nchan_img, npol_img = model.nchan, model.npol
     nwp = _nw_for(vis, model, do_wstacking, nw)
@@ -1060,7 +1128,8 @@ def predict_visibility(
         "auto_plan", jax.default_backend() != "cpu"
     ):
         plan = _auto_plan(
-            vis, model, support, nwp, do_wstacking, kwargs.get("padding")
+            vis, model, support, nwp, do_wstacking,
+            kwargs.get("padding"), kwargs.get("coords", "device"),
         )
 
     from ..config import czeros
@@ -1077,7 +1146,8 @@ def predict_visibility(
         for pol in range(npol_img):
             if plan is not None:
                 vals = predict_with_plan(
-                    plan.plans[ichan], model.pixels[ichan, pol]
+                    plan.plans[ichan], model.pixels[ichan, pol],
+                    precision=kwargs.get("precision", "config"),
                 )
             else:
                 vals = predict_core(
@@ -1089,6 +1159,8 @@ def predict_visibility(
                     support=support,
                     nw=nwp,
                     do_wstacking=do_wstacking,
+                    padding=kwargs.get("padding") or 2,
+                    gridder=kwargs.get("gridder"),
                 )
             newvis = newvis.at[:, :, fsel, pol].add(
                 vals.reshape(tb_shape).astype(cdtype)

@@ -1,0 +1,134 @@
+"""Epsilon-driven gridder parameter selection (VERDICT round-3 item 3).
+
+The reference's gridder takes ``epsilon`` and picks its own parameters
+(imaging/ng.py:59 ``epsilon=1e-12``, ng.py:254 double-precision switch);
+here :mod:`ska_sdp_func_python_tpu.ops.accuracy` maps a requested
+tolerance onto the measured accuracy envelope and
+``invert_visibility`` / ``predict_visibility`` accept ``epsilon=``.
+End-to-end checks drive the public API against an exact DFT oracle.
+"""
+
+import jax
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ska_sdp_func_python_tpu.models import SkyComponents
+from ska_sdp_func_python_tpu.ops import (
+    create_image_from_visibility,
+    invert_visibility,
+    predict_visibility,
+)
+from ska_sdp_func_python_tpu.ops.accuracy import (
+    gridding_params_for_epsilon,
+    nw_for_epsilon,
+)
+from ska_sdp_func_python_tpu.ops.dft import dft_skycomponent_visibility
+
+from simul import make_visibility
+
+PC = (0.0, np.deg2rad(-35.0))
+NPIX = 128
+
+
+class TestResolver:
+    def test_ladder_monotone(self):
+        """Tighter epsilon never selects a cheaper configuration and
+        the regime floor always fits half the budget."""
+        prev = None
+        for eps in (1e-3, 1e-4, 1e-5, 3e-6, 1e-6, 3e-7, 1e-7, 6e-8):
+            acc = gridding_params_for_epsilon(eps)
+            assert acc.floor_eps <= eps / 2, (eps, acc)
+            if prev is not None:
+                assert acc.support >= prev.support
+                assert nw_for_epsilon(8, eps) >= nw_for_epsilon(
+                    8, prev.epsilon
+                )
+            prev = acc
+
+    def test_nw_scaling(self):
+        """nw scales as 1/sqrt(eps) from the heuristic estimate and
+        never shrinks below it."""
+        assert nw_for_epsilon(8, 1e-1) == 8
+        n1 = nw_for_epsilon(8, 1e-6)
+        n2 = nw_for_epsilon(8, 4e-6)
+        assert abs(n1 - 2 * n2) <= 2, (n1, n2)
+        assert nw_for_epsilon(16, 1e-6) > nw_for_epsilon(8, 1e-6)
+
+    def test_regime_selection(self):
+        assert gridding_params_for_epsilon(1e-4).regime == "fast-f32"
+        assert (
+            gridding_params_for_epsilon(1e-5).regime == "compensated-f32"
+        )
+        acc = gridding_params_for_epsilon(1e-7)
+        assert acc.gridder == "tiled" and acc.requires_x64
+        assert gridding_params_for_epsilon(5e-8).support >= 12
+
+    def test_2d_full_budget_to_floor(self):
+        acc = gridding_params_for_epsilon(2e-6, do_wstacking=False)
+        assert acc.regime in ("compensated-f32", "precise-f32")
+
+    def test_infeasible_raises(self):
+        with pytest.raises(ValueError, match="below the validated"):
+            gridding_params_for_epsilon(1e-12)
+        with pytest.raises(ValueError, match="positive"):
+            gridding_params_for_epsilon(0.0)
+
+    def test_f32_floor_raises_without_x64(self):
+        """Below ~2e-6 without x64 the resolver must refuse (the fused
+        f32 path cannot deliver it) and point at x64."""
+        try:
+            jax.config.update("jax_enable_x64", False)
+            with pytest.raises(ValueError, match="f32 device floor"):
+                gridding_params_for_epsilon(1e-7)
+            # the f32 ladder itself still resolves
+            assert gridding_params_for_epsilon(5e-6).regime in (
+                "compensated-f32", "precise-f32",
+            )
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+
+class TestEndToEnd:
+    def _setup(self):
+        vis = make_visibility(
+            nants=10, ntimes=3, nchan=1, rmax=300.0, phasecentre=PC
+        )
+        model = create_image_from_visibility(
+            vis, npixel=NPIX, oversampling=4.0, nchan=1
+        )
+        ra, dec = model.pixel_to_radec(NPIX // 2 + 12, NPIX // 2 + 9)
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]],
+            np.ones((1, 1, 1)),
+            model.frequency,
+        )
+        vis_dft = dft_skycomponent_visibility(vis, comps)
+        pixels = jnp.zeros_like(model.pixels)
+        pixels = pixels.at[0, 0, NPIX // 2 + 9, NPIX // 2 + 12].set(1.0)
+        return vis, vis_dft, model.with_pixels(pixels)
+
+    @pytest.mark.parametrize("eps", [5e-5, 1e-6, 5e-8])
+    def test_predict_meets_epsilon(self, eps):
+        """predict_visibility(epsilon=eps) vs the exact DFT delivers
+        the requested tolerance (CPU x64 oracle; the chip-side check of
+        the f32 regimes is bench_accuracy.py)."""
+        vis, vis_dft, model_img = self._setup()
+        got = predict_visibility(
+            vis, model_img, context="ng", epsilon=eps
+        )
+        err = np.max(
+            np.abs(np.asarray(got.vis) - np.asarray(vis_dft.vis))
+        )
+        assert err < eps, (eps, err)
+
+    def test_invert_epsilon_runs_and_recovers(self):
+        """invert_visibility(epsilon=) recovers the point source."""
+        vis, vis_dft, model_img = self._setup()
+        dirty, _ = invert_visibility(
+            vis_dft, model_img, context="ng", epsilon=1e-6
+        )
+        img = np.asarray(dirty.pixels)[0, 0]
+        iy, ix = np.unravel_index(np.argmax(img), img.shape)
+        assert (ix, iy) == (NPIX // 2 + 12, NPIX // 2 + 9)
+        assert abs(img[iy, ix] - 1.0) < 1e-3, img[iy, ix]
