@@ -181,6 +181,36 @@ def main():
     run_k_unsorted(plan, vr, vi, wgt)  # compile
     best_u = best_of(run_k_unsorted, plan, vr, vi, wgt)
 
+    # bench protocol (VERDICT r3 item 8): re-measure the dispatch floor
+    # AFTER the timed reps — the tunnel has degradation episodes, and a
+    # >2x drift inside the run means the numbers mixed tunnel weather
+    # with kernel time. Both floors and the pinned geometry ride the
+    # JSON line so rounds are comparable.
+    overhead_end = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(noop(jnp.float32(0.0))))
+        overhead_end = min(overhead_end, time.perf_counter() - t0)
+    drifted = overhead_end > 2 * overhead or overhead > 2 * overhead_end
+    if drifted:
+        # one retry under the fresher floor before reporting
+        overhead = overhead_end
+        best = best_of(run_k_sorted, plan, vs_r, vs_i, wgt)
+        mvis_per_s = nvis / best / 1e6
+
+    # MFU/roofline accounting (VERDICT r3 item 5)
+    from ska_sdp_func_python_tpu.utils.roofline import (
+        invert_model, roofline,
+    )
+
+    npad = plan.gp.npixel
+    tile = plan.gp.tile
+    rf = roofline(
+        invert_model(nvis, npixel, npad, support=support, nw=nw,
+                     tile=tile),
+        best,
+    )
+
     # the headline line must always print (and print FIRST — the flagship
     # cycle below is a long best-effort subprocess that may hit the
     # driver's time budget)
@@ -192,6 +222,12 @@ def main():
                 "value": round(mvis_per_s, 3),
                 "unit": "Mvis/s",
                 "vs_baseline": round(mvis_per_s / baseline_cpu_mvis_s, 3),
+                "npad": int(npad),
+                "tile": int(tile),
+                "dispatch_floor_ms": round(overhead * 1e3, 1),
+                "dispatch_floor_end_ms": round(overhead_end * 1e3, 1),
+                "floor_drifted": bool(drifted),
+                **rf,
             }
         ),
         flush=True,

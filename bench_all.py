@@ -58,6 +58,10 @@ def bench_solver():
     best = min(times)
     # tol=0 forces all niter iterations on all nsol intervals
     its_per_s = niter * nsol / best
+    from ska_sdp_func_python_tpu.utils.roofline import (
+        solver_model, roofline,
+    )
+
     print(
         json.dumps(
             {
@@ -65,6 +69,7 @@ def bench_solver():
                 "value": round(its_per_s, 1),
                 "unit": "iter/s (64ant batched x16)",
                 "vs_baseline": None,
+                **roofline(solver_model(niter, nsol, nants, nchan), best),
             }
         )
     )
@@ -108,9 +113,21 @@ def bench_invert_predict():
         )
         return jnp.real(vals)
 
-    for name, fn, args in (
-        ("invert_mvis_per_s", run_inv, (u, v, w, vr, vi, wgt)),
-        ("predict_mvis_per_s", run_pred, (u, v, w, img)),
+    from ska_sdp_func_python_tpu.ops.imaging import _npad_for, _tile_for
+    from ska_sdp_func_python_tpu.utils.roofline import (
+        invert_model, predict_model, roofline,
+    )
+
+    npad = _npad_for(npixel, 2)
+    for name, fn, args, model in (
+        (
+            "invert_mvis_per_s", run_inv, (u, v, w, vr, vi, wgt),
+            invert_model(nvis, npixel, npad, nw=nw, tile=_tile_for(npad)),
+        ),
+        (
+            "predict_mvis_per_s", run_pred, (u, v, w, img),
+            predict_model(nvis, npixel, npad, nw=nw),
+        ),
     ):
         sync(fn(*args))
         times = []
@@ -130,6 +147,9 @@ def bench_invert_predict():
                     "unit": "Mvis/s (1024^2, nw=8, core path cold, "
                     "incl. per-call sort)",
                     "vs_baseline": round(nvis / best / 1e6 / 10.0, 3),
+                    "npad": int(npad),
+                    "tile": int(_tile_for(npad)),
+                    **roofline(model, best),
                 }
             )
         )
@@ -226,16 +246,27 @@ def bench_clean():
                 best = min(best, time.perf_counter() - t0)
             ts[niter] = best
         slope = (ts[niter_hi] - ts[niter_lo]) / (niter_hi - niter_lo)
-        print(
-            json.dumps(
-                {
-                    "metric": name,
-                    "value": round(1.0 / slope, 1),
-                    "unit": "minor cycles/s (512^2, steady state)",
-                    "vs_baseline": None,
-                }
+        row = {
+            "metric": name,
+            "value": round(1.0 / slope, 1),
+            "unit": "minor cycles/s (512^2, steady state)",
+            "vs_baseline": None,
+        }
+        if name.startswith("hogbom"):
+            from ska_sdp_func_python_tpu.utils.roofline import (
+                hogbom_model, roofline,
             )
-        )
+
+            # per-iteration roofline from the slope; the VMEM-resident
+            # loop's HBM traffic is only the one-off load, so the
+            # per-iteration hbm fields would be meaningless — report
+            # the FLOP side only
+            row.update({
+                k: v
+                for k, v in roofline(hogbom_model(1, patch=n), slope).items()
+                if k.startswith("mxu") or k == "useful_gflop"
+            })
+        print(json.dumps(row))
 
 
 def bench_msmfs():

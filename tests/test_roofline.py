@@ -1,0 +1,56 @@
+"""Roofline accounting sanity (VERDICT r3 item 5): the analytic
+FLOP/byte models and utilisation math used by bench.py / bench_all.py."""
+
+from ska_sdp_func_python_tpu.utils.roofline import (
+    V5E_HBM_BYTES_PER_S,
+    V5E_PEAK_BF16_FLOPS,
+    hogbom_model,
+    invert_model,
+    predict_model,
+    roofline,
+    solver_model,
+)
+
+
+def test_invert_model_scales_linearly_in_nvis():
+    a = invert_model(int(1e6), 1024, 1344)
+    b = invert_model(int(2e6), 1024, 1344)
+    assert b["useful_flops"] == 2 * a["useful_flops"]
+    # the grid/FFT traffic does NOT scale with nvis
+    assert b["bytes"] < 2 * a["bytes"]
+
+
+def test_invert_headline_fractions():
+    """At the round-3 measured point (10M vis, 1024^2/1344, 30 ms) the
+    kernel uses ~6-7% of HBM bandwidth and <1% of MXU peak: the invert
+    is bound by the VPU/dispatch floor, not by either roofline — the
+    denominator statement VERDICT item 5 asked for."""
+    r = roofline(invert_model(int(10e6), 1024, 1344, nw=8), 0.030)
+    assert 0.03 < r["hbm_frac"] < 0.15, r
+    assert r["mxu_frac"] < 0.01, r
+    assert r["useful_gflop"] == 10.24
+
+
+def test_predict_adds_backsort_traffic():
+    i = invert_model(int(1e6), 1024, 1344)
+    p = predict_model(int(1e6), 1024, 1344)
+    assert p["bytes"] > i["bytes"]
+    assert p["useful_flops"] == i["useful_flops"]
+
+
+def test_hogbom_model_vmem_resident():
+    m1 = hogbom_model(1000, patch=512)
+    m2 = hogbom_model(2000, patch=512)
+    assert m2["useful_flops"] == 2 * m1["useful_flops"]
+    assert m2["bytes"] == m1["bytes"]  # one-off load only
+
+
+def test_solver_model_and_peaks():
+    m = solver_model(200, 16, 64)
+    assert m["useful_flops"] > 0
+    r = roofline(m, 0.01)
+    assert set(r) == {
+        "useful_gflop", "moved_gb", "mxu_frac", "mxu_frac_useful",
+        "hbm_frac",
+    }
+    assert V5E_PEAK_BF16_FLOPS > 1e14 and V5E_HBM_BYTES_PER_S > 5e11
