@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--supports", default="4,6,8,10,12")
     ap.add_argument("--paddings", default="1.25,1.5,2.0")
     ap.add_argument("--precisions", default="config")
+    ap.add_argument(
+        "--grid-family", default="auto", choices=("auto", "base"),
+        help="padded-grid family: 'auto' = 56-family preferred, "
+        "'base' = 128-rounded/tile-64 (A/B the shipped geometry)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -52,6 +57,9 @@ def main():
         make_imaging_plan,
         predict_with_plan,
     )
+    from ska_sdp_func_python_tpu import config as _cfg
+
+    _cfg.set_grid_family(args.grid_family)
 
     nvis = int(args.nvis)
     npixel = args.npixel

@@ -152,6 +152,19 @@ def main():
     def on_cycle(i, secs):
         cyc_times.append(secs)
         print(f"# cycle {i}: {secs:.0f}s", file=sys.stderr, flush=True)
+        # persist per-cycle progress so a late-run OOM/crash still leaves
+        # the steady-state cycle timings on disk (the 1B run is hours)
+        steady = cyc_times[1:] or cyc_times
+        with open("STREAMED_PARTIAL.json", "w") as fh:
+            json.dump(
+                {
+                    "nvis": int(nvis),
+                    "npixel": args.npixel,
+                    "cycle_s": [round(t, 1) for t in cyc_times],
+                    "per_cycle_s": round(sum(steady) / len(steady), 1),
+                },
+                fh,
+            )
 
     t0 = time.time()
     current, residual, restored, gt = streamed_ical(

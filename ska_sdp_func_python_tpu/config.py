@@ -26,6 +26,8 @@ __all__ = [
     "frac_dot_turns",
     "gridder_precision",
     "set_gridder_precision",
+    "grid_family",
+    "set_grid_family",
     "plan_cache_size",
     "set_plan_cache_size",
 ]
@@ -80,6 +82,27 @@ def set_gridder_precision(precision: str | None) -> None:
     (None | "bf16x3" | "default" | "highest")."""
     global _GRIDDER_PRECISION
     _GRIDDER_PRECISION = precision
+
+
+# Padded-grid family selection for the fused gridder. "auto" (default)
+# prefers a 7-smooth multiple-of-56 grid within 6% ABOVE the 128-rounded
+# base (tile 56 => buf 64 slot panels = exactly four 128-wide MXU lane
+# tiles); "base" pins the 128-rounded/tile-64 geometry. Exposed so
+# benches can A/B the two geometries and users can pin one for
+# round-over-round comparability. Read at TRACE time (jit caches bake
+# the geometry into the compiled program).
+_GRID_FAMILY: str = "auto"
+
+
+def grid_family() -> str:
+    return _GRID_FAMILY
+
+
+def set_grid_family(family: str) -> None:
+    if family not in ("auto", "base"):
+        raise ValueError(f"grid_family must be 'auto' or 'base', got {family!r}")
+    global _GRID_FAMILY
+    _GRID_FAMILY = family
 
 
 def default_real() -> jnp.dtype:

@@ -143,6 +143,10 @@ def _npad_for(npixel: int, padding) -> int:
     invert (1280/t64 -> 1344/t56)."""
     up = lambda n: -(-int(n) // 128) * 128  # noqa: E731
     base = max(up(npixel * padding), up(npixel + 1))
+    from .. import config as _config
+
+    if _config.grid_family() == "base":
+        return base
     best56 = None
     # Only consider 56-family grids that are >= the 128-rounded base:
     # effective oversampling must never DECREASE vs the validated t64

@@ -132,3 +132,30 @@ class TestEndToEnd:
         iy, ix = np.unravel_index(np.argmax(img), img.shape)
         assert (ix, iy) == (NPIX // 2 + 12, NPIX // 2 + 9)
         assert abs(img[iy, ix] - 1.0) < 1e-3, img[iy, ix]
+
+
+class TestGridFamilyKnob:
+    """config.set_grid_family pins the padded-grid geometry family."""
+
+    def test_geometry_table(self):
+        from ska_sdp_func_python_tpu import config
+        from ska_sdp_func_python_tpu.ops.imaging import _npad_for, _tile_for
+
+        try:
+            config.set_grid_family("base")
+            assert _npad_for(1024, 1.25) == 1280
+            assert _tile_for(_npad_for(1024, 1.25)) == 64
+            config.set_grid_family("auto")
+            assert _npad_for(1024, 1.25) == 1344
+            assert _tile_for(_npad_for(1024, 1.25)) == 56
+            # 56-family never shrinks below the 128-rounded base
+            for npix in (128, 256, 512, 1024):
+                assert _npad_for(npix, 1.25) >= -(-int(npix * 1.25) // 128) * 128
+        finally:
+            config.set_grid_family("auto")
+
+    def test_rejects_unknown(self):
+        from ska_sdp_func_python_tpu import config
+
+        with pytest.raises(ValueError):
+            config.set_grid_family("bogus")
