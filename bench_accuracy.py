@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--paddings", default="1.25,1.5,2.0")
     ap.add_argument("--precisions", default="config")
     ap.add_argument(
+        "--umax-frac", type=float, default=0.33,
+        help="uv extent as a fraction of the image band (0.33 = inner "
+        "third; 0.49 ~ full usable band)",
+    )
+    ap.add_argument(
         "--grid-family", default="auto", choices=("auto", "base"),
         help="padded-grid family: 'auto' = 56-family preferred, "
         "'base' = 128-rounded/tile-64 (A/B the shipped geometry)",
@@ -66,7 +71,7 @@ def main():
     cellsize = 5e-5 * 1024 / npixel
     rng = np.random.default_rng(11)
     scale = npixel * cellsize
-    umax = 0.33 * npixel / scale / 2
+    umax = args.umax_frac * npixel / scale / 2
     cdt = np.float64 if args.f64_coords else np.float32
     u64 = rng.uniform(-umax, umax, nvis)
     v64 = rng.uniform(-umax, umax, nvis)

@@ -82,7 +82,9 @@ class SkyComponents:
         if shape_params is None:
             shape_params = np.zeros((directions.shape[0], 3))
         return cls(
-            direction=jnp.asarray(directions),
+            # host numpy f64 (astrometry contract — see
+            # utils.coordinates.radec_to_lmn)
+            direction=np.asarray(directions, np.float64),
             flux=jnp.asarray(fluxes),
             frequency=jnp.atleast_1d(jnp.asarray(frequency)),
             shape_params=jnp.asarray(shape_params),

@@ -148,8 +148,8 @@ def create_visibility(
         frequency=jnp.asarray(frequency),
         antenna1=a1,
         antenna2=a2,
-        phasecentre=jnp.asarray(
-            [float(phasecentre[0]), float(phasecentre[1])]
+        phasecentre=np.asarray(
+            [float(phasecentre[0]), float(phasecentre[1])], np.float64
         ),
         polarisation_frame=polarisation_frame,
         channel_bandwidth=(

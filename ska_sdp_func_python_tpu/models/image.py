@@ -95,8 +95,10 @@ class Image:
 
     def pixel_to_lm(self, ix, iy):
         ny, nx = self.pixels.shape[-2:]
-        l = -(jnp.asarray(ix) - nx // 2) * self.cellsize
-        m = (jnp.asarray(iy) - ny // 2) * self.cellsize
+        # host f64: pixel positions are astrometry, not device tensors
+        # (a device-f32 l costs 2*pi*|uvw|*eps of phase downstream)
+        l = -(np.asarray(ix, np.float64) - nx // 2) * self.cellsize
+        m = (np.asarray(iy, np.float64) - ny // 2) * self.cellsize
         return l, m
 
     def radec_to_pixel(self, ra, dec):
@@ -152,7 +154,9 @@ def create_image(
         pixels=jnp.zeros((nchan, npol, npixel, npixel), dtype=dtype),
         frequency=frequency,
         channel_bandwidth=channel_bandwidth,
-        phasecentre=jnp.asarray(phasecentre),
+        # host numpy f64: astrometric metadata must never be quantised
+        # to device f32 (see utils.coordinates.radec_to_lmn)
+        phasecentre=np.asarray(phasecentre, np.float64),
         clean_beam=None,
         cellsize=float(cellsize),
         polarisation_frame=frame,

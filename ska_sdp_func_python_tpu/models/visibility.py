@@ -213,7 +213,9 @@ def create_visibility_from_arrays(
         channel_bandwidth=channel_bandwidth,
         antenna1=antenna1,
         antenna2=antenna2,
-        phasecentre=jnp.asarray(phasecentre),
+        # host numpy f64: astrometric metadata must never be quantised
+        # to device f32 (see utils.coordinates.radec_to_lmn)
+        phasecentre=np.asarray(phasecentre, np.float64),
         polarisation_frame=frame,
         nants=int(nants),
         station_diameter=float(station_diameter),

@@ -42,7 +42,9 @@ def calculate_visibility_phasor(direction, vis: Visibility):
     """Phasor for a sky direction: exp(-2pi i uvw_lambda . lmn)
     (visibility/base.py:27-45). Returns [ntime, nbl, nchan] complex
     (the reference broadcasts over pol; we leave pol to the caller)."""
-    direction = jnp.asarray(direction)
+    if not isinstance(direction, jax.core.Tracer):
+        # host f64 astrometry (see utils.coordinates.radec_to_lmn)
+        direction = np.asarray(direction, np.float64)
     l, m, n1 = radec_to_lmn(
         direction[..., 0],
         direction[..., 1],

@@ -168,13 +168,41 @@ def xyz_to_baselines(ants_xyz, ha_range, dec):
     )
 
 
+def _all_concrete(*xs) -> bool:
+    """True when no argument is a jax tracer (host-f64 astrometry is
+    possible; under jit the traced jnp path is kept)."""
+    import jax.core
+
+    return not any(isinstance(x, jax.core.Tracer) for x in xs)
+
+
 def radec_to_lmn(ra, dec, ra0, dec0):
     """(ra, dec) -> direction cosines (l, m, n-1) about phase centre.
 
     Closed form of the astropy skyoffset transform used by the reference
     (coordinate_support.py:436-460): l increases eastwards, m northwards, and
     the returned third component is n-1 (zero at the phase centre).
+
+    Astrometry contract: with concrete (non-traced) inputs the transform
+    runs in HOST numpy float64 regardless of the device precision — an
+    absolute direction error of eps32 (~1e-8 rad = 2 mas) costs
+    ``2*pi*|uvw|*eps`` of visibility phase (~1e-3 at 2465-wavelength
+    baselines, measured on chip), so f32 trig is never acceptable here.
     """
+    if _all_concrete(ra, dec, ra0, dec0):
+        ra, dec, ra0, dec0 = (
+            np.asarray(ra, np.float64), np.asarray(dec, np.float64),
+            np.asarray(ra0, np.float64), np.asarray(dec0, np.float64),
+        )
+        dra = ra - ra0
+        l = np.cos(dec) * np.sin(dra)
+        m = np.sin(dec) * np.cos(dec0) - np.cos(dec) * np.sin(
+            dec0
+        ) * np.cos(dra)
+        n = np.sin(dec) * np.sin(dec0) + np.cos(dec) * np.cos(
+            dec0
+        ) * np.cos(dra)
+        return l, m, n - 1.0
     dra = ra - ra0
     l = jnp.cos(dec) * jnp.sin(dra)
     m = jnp.sin(dec) * jnp.cos(dec0) - jnp.cos(dec) * jnp.sin(dec0) * jnp.cos(
@@ -187,7 +215,18 @@ def radec_to_lmn(ra, dec, ra0, dec0):
 
 
 def lmn_to_radec(l, m, ra0, dec0):
-    """Inverse of :func:`radec_to_lmn` (coordinate_support.py:463-490)."""
+    """Inverse of :func:`radec_to_lmn` (coordinate_support.py:463-490).
+
+    Host numpy float64 with concrete inputs (see :func:`radec_to_lmn`)."""
+    if _all_concrete(l, m, ra0, dec0):
+        l, m, ra0, dec0 = (
+            np.asarray(l, np.float64), np.asarray(m, np.float64),
+            np.asarray(ra0, np.float64), np.asarray(dec0, np.float64),
+        )
+        n = np.sqrt(1.0 - l**2 - m**2)
+        dec = np.arcsin(m * np.cos(dec0) + n * np.sin(dec0))
+        ra = ra0 + np.arctan2(l, n * np.cos(dec0) - m * np.sin(dec0))
+        return ra, dec
     n = jnp.sqrt(1.0 - l**2 - m**2)
     dec = jnp.arcsin(m * jnp.cos(dec0) + n * jnp.sin(dec0))
     ra = ra0 + jnp.arctan2(l, n * jnp.cos(dec0) - m * jnp.sin(dec0))
@@ -196,8 +235,14 @@ def lmn_to_radec(l, m, ra0, dec0):
 
 def skycoord_to_lmn(pos, phasecentre):
     """(ra, dec) pair -> (l, m, n-1); accepts [..,2] arrays or 2-tuples."""
-    pos = jnp.asarray(pos)
-    pc = jnp.asarray(phasecentre)
+    if _all_concrete(pos, phasecentre):
+        # stay on host: jnp.asarray would quantise to device f32 before
+        # the f64 transform (see radec_to_lmn's astrometry contract)
+        pos = np.asarray(pos, np.float64)
+        pc = np.asarray(phasecentre, np.float64)
+    else:
+        pos = jnp.asarray(pos)
+        pc = jnp.asarray(phasecentre)
     return radec_to_lmn(pos[..., 0], pos[..., 1], pc[..., 0], pc[..., 1])
 
 

@@ -24,6 +24,7 @@ from ska_sdp_func_python_tpu.ops.accuracy import (
     nw_for_epsilon,
 )
 from ska_sdp_func_python_tpu.ops.dft import dft_skycomponent_visibility
+from ska_sdp_func_python_tpu.utils.coordinates import skycoord_to_lmn
 
 from simul import make_visibility
 
@@ -159,3 +160,65 @@ class TestGridFamilyKnob:
 
         with pytest.raises(ValueError):
             config.set_grid_family("bogus")
+
+
+class TestAstrometryContract:
+    """Directions/phase centres are host-f64 metadata: an absolute
+    direction error of eps32 (~1e-8 rad) costs 2*pi*|uvw|*eps of
+    visibility phase (~1e-3 at 2465-wavelength baselines, measured on
+    chip), so astrometric math must never run through device f32.
+    Reproduces the round-4 bug with x64 disabled (the TPU regime)."""
+
+    def test_f64_storage_and_roundtrip(self):
+        try:
+            jax.config.update("jax_enable_x64", False)
+            vis = make_visibility(nants=10, ntimes=2, nchan=1, rmax=300.0)
+            assert isinstance(vis.phasecentre, np.ndarray)
+            assert vis.phasecentre.dtype == np.float64
+            model = create_image_from_visibility(
+                vis, npixel=256, oversampling=4.0, nchan=1
+            )
+            assert isinstance(model.phasecentre, np.ndarray)
+            cell = float(model.cellsize)
+            ra, dec = model.pixel_to_radec(128 + 12, 128 + 9)
+            l, m, _ = skycoord_to_lmn(
+                np.asarray([float(ra), float(dec)]),
+                np.asarray(vis.phasecentre, np.float64),
+            )
+            # pixel -> radec -> lmn roundtrip exact to f64 (was 1.1e-8
+            # through device f32 = 1.8e-4 phase at 2465 wavelengths)
+            assert abs(float(l) - (-12 * cell)) < 1e-13
+            assert abs(float(m) - 9 * cell) < 1e-13
+        finally:
+            jax.config.update("jax_enable_x64", True)
+
+    def test_dft_long_baseline_phase(self):
+        """DFT vis phase error vs a host-f64 oracle stays ~1e-6 with an
+        f32 device (was 8.5e-4 when lmn went through device trig)."""
+        try:
+            jax.config.update("jax_enable_x64", False)
+            vis = make_visibility(nants=24, ntimes=4, nchan=1, rmax=2000.0)
+            model = create_image_from_visibility(
+                vis, npixel=256, oversampling=4.0, nchan=1
+            )
+            ra, dec = model.pixel_to_radec(128 + 12, 128 + 9)
+            comps = SkyComponents.from_lists(
+                [[float(ra), float(dec)]], np.ones((1, 1, 1)),
+                model.frequency,
+            )
+            got = dft_skycomponent_visibility(vis, comps)
+            uvw_l = np.asarray(vis.uvw, np.float64) * (
+                float(np.asarray(vis.frequency)[0]) / 299792458.0
+            )
+            l, m, n1 = [float(x) for x in skycoord_to_lmn(
+                np.asarray([float(ra), float(dec)]),
+                np.asarray(vis.phasecentre, np.float64),
+            )]
+            ph = -2 * np.pi * (
+                uvw_l[..., 0] * l + uvw_l[..., 1] * m + uvw_l[..., 2] * n1
+            )
+            truth = np.exp(1j * ph)[..., None, None]
+            err = float(np.max(np.abs(np.asarray(got.vis) - truth)))
+            assert err < 3e-6, err
+        finally:
+            jax.config.update("jax_enable_x64", True)
