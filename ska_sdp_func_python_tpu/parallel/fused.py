@@ -149,6 +149,7 @@ def sharded_ical(
     solver_niter: int = 200,
     tol: float = 1e-6,
     shard: str = "baseline",
+    hlo_out: list | None = None,
     **clean_kwargs,
 ):
     """Distributed fused ICAL: one SPMD dispatch per major cycle.
@@ -426,6 +427,16 @@ def sharded_ical(
     res_px = None
     for cycle in range(nmajor):
         do_cal = tuple(cycle >= t.first_selfcal for t in cfg.terms)
+        if hlo_out is not None and cycle == 0:
+            # scaling introspection: the optimized HLO of the per-cycle
+            # SPMD program (bench_scaling_model.py parses its
+            # collectives to audit per-cycle communication volume)
+            hlo_out.append(
+                cycle_jit.lower(
+                    stacked, model_px, gains, do_cal=do_cal,
+                    with_model=cycle > 0,
+                ).compile().as_text()
+            )
         model_px, gains, gwts, gress, res_px, _, peak = cycle_jit(
             stacked, model_px, gains, do_cal=do_cal,
             with_model=cycle > 0,

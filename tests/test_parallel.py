@@ -373,3 +373,38 @@ class TestShardedFullJones:
         r0p = float(jnp.max(jnp.abs(r0.pixels)))
         r1p = float(jnp.max(jnp.abs(r1.pixels)))
         assert abs(r0p - r1p) < 1e-3, (r0p, r1p)
+
+
+class TestCollectiveAudit:
+    """The sharded cycle's per-cycle communication contract (README
+    scaling model): exactly one NE psum, one weight psum, one uv-grid
+    psum — O(nants^2 + nw*npad^2), independent of visibility count."""
+
+    def test_hlo_collectives(self, rng, mesh):
+        import sys
+
+        sys.path.insert(0, ".")
+        from bench_scaling_model import parse_collectives
+        from ska_sdp_func_python_tpu.parallel import sharded_ical
+
+        vis, model = _obs(rng)
+        hlo = []
+        sharded_ical(
+            vis, model, mesh, nmajor=1, calibration_context="T",
+            context="ng", algorithm="hogbom", niter=20, gain=0.2,
+            fractional_threshold=0.01, hlo_out=hlo,
+        )
+        colls = parse_collectives(hlo[0])
+        ops = [c[0] for c in colls]
+        # 3 psums (x64 may split the scalar sumwt into its own): no
+        # all-to-alls, no gathers, nothing data-sized
+        assert ops.count("all-reduce") == len(ops) <= 4, colls
+        # the grid psum is the big one: c64[nw, npad, npad]
+        from ska_sdp_func_python_tpu.ops.imaging import _npad_for, _nw_for
+
+        npad = _npad_for(model.npixel, 1.25)
+        nwp = _nw_for(vis, model, True, None)
+        grid_bytes = nwp * npad * npad * 8
+        assert any(b == grid_bytes for _, _, b in colls), (
+            colls, grid_bytes
+        )
