@@ -14,6 +14,7 @@ batched over channels, jit/vmap/shard_map friendly — no per-component loop.
 from __future__ import annotations
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from ..config import frac_dot_turns
@@ -65,8 +66,26 @@ def extract_direction_and_flux(sc: SkyComponents, vis: Visibility):
         vis.phasecentre[0],
         vis.phasecentre[1],
     )
-    lmn = jnp.stack([l, m, n1], axis=-1)  # [ncomp, 3]
     cdtype = jnp.result_type(vis.vis.dtype, jnp.complex64)
+    if isinstance(l, np.ndarray) and l.dtype == np.float64 and (
+        cdtype == jnp.complex64
+    ):
+        # host-f64 astrometry feeding an f32 device: carry the direction
+        # cosines as a compensated (hi, lo) f32 pair [ncomp, 3, 2] so the
+        # phase keeps ~f64 direction accuracy at any baseline length
+        # (a bare f32 lmn costs 2*pi*|uvw|*|lmn|*eps32 of phase: ~9e-5
+        # rad at 2e5-wavelength SKA baselines)
+        lmn64 = np.stack([l, m, n1], axis=-1)
+        hi = lmn64.astype(np.float32)
+        lo = (lmn64 - hi.astype(np.float64)).astype(np.float32)
+        lmn = jnp.stack(
+            [jnp.asarray(hi), jnp.asarray(lo)], axis=-1
+        )  # [ncomp, 3, 2]
+    else:
+        base = jnp.stack(
+            [jnp.asarray(l), jnp.asarray(m), jnp.asarray(n1)], axis=-1
+        )
+        lmn = jnp.stack([base, jnp.zeros_like(base)], axis=-1)
     return lmn, vflux.astype(cdtype)
 
 
@@ -77,14 +96,30 @@ def dft_kernel(direction_cosines, vfluxes, uvw_lambda):
     The phase is reduced mod one turn with split-product compensation
     (config.frac_dot_turns): phases span thousands of turns and a plain
     f32 dot loses |phase|*eps (~1e-4 visibility error on TPU).
+    ``direction_cosines`` may be [c, 3] or a compensated (hi, lo) pair
+    [c, 3, 2] from :func:`extract_direction_and_flux` — the lo part
+    (|lo| ~ eps32 * |lmn|) contributes a plain-product phase correction
+    that keeps f64 direction accuracy at long baselines.
     """
     rdtype = (
         jnp.float64 if vfluxes.dtype == jnp.complex128 else jnp.float32
     )
+    lo = None
+    if direction_cosines.ndim == 3:
+        lo = direction_cosines[..., 1]
+        direction_cosines = direction_cosines[..., 0]
     turns = frac_dot_turns(
         uvw_lambda.astype(rdtype)[..., None, :],
         direction_cosines.astype(rdtype)[None, None, None, :, :],
     )  # [t, b, f, c]
+    if lo is not None:
+        # |uvw . lo| <= |uvw| * eps32 * |lmn| << 1 turn: a plain product
+        # is exact enough, no mod-1 reduction needed
+        turns = turns + jnp.einsum(
+            "tbfs,cs->tbfc",
+            uvw_lambda.astype(rdtype),
+            lo.astype(rdtype),
+        )
     phase = (-2.0 * jnp.pi) * turns
     phasor = jax.lax.complex(jnp.cos(phase), jnp.sin(phase)).astype(
         vfluxes.dtype

@@ -337,6 +337,9 @@ def insert_skycomponent(
     (sky_component/operations.py:583-668)."""
     support = int(support / bandwidth)
     ix, iy = _component_pixels(sc, im)
+    # host-f64 astrometry returns numpy positions; the fori_loop body
+    # below indexes with a tracer, so move them on device here
+    ix, iy = jnp.asarray(ix), jnp.asarray(iy)
     flux = sc.flux  # [ncomp, nchan, npol]
     if flux.shape[1] != im.nchan:
         if flux.shape[1] == 1:

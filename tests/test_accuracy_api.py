@@ -222,3 +222,36 @@ class TestAstrometryContract:
             assert err < 3e-6, err
         finally:
             jax.config.update("jax_enable_x64", True)
+
+
+    def test_dft_ska_scale_baselines(self):
+        """Split-(hi,lo) lmn keeps DFT phase accurate at 2.5e5-wavelength
+        baselines on an f32 device (bare f32 lmn would cost ~1e-4)."""
+        try:
+            jax.config.update("jax_enable_x64", False)
+            vis = make_visibility(nants=16, ntimes=2, nchan=1, rmax=30000.0)
+            vis = vis.replace(frequency=np.asarray([1.4e9]))
+            model = create_image_from_visibility(
+                vis, npixel=256, oversampling=3.0, nchan=1
+            )
+            ra, dec = model.pixel_to_radec(128 + 40, 128 + 25)
+            comps = SkyComponents.from_lists(
+                [[float(ra), float(dec)]], np.ones((1, 1, 1)),
+                model.frequency,
+            )
+            got = dft_skycomponent_visibility(vis, comps)
+            uvw_l = np.asarray(vis.uvw, np.float64) * (
+                1.4e9 / 299792458.0
+            )
+            l, m, n1 = [float(x) for x in skycoord_to_lmn(
+                np.asarray([float(ra), float(dec)]),
+                np.asarray(vis.phasecentre, np.float64),
+            )]
+            ph = -2 * np.pi * (
+                uvw_l[..., 0] * l + uvw_l[..., 1] * m + uvw_l[..., 2] * n1
+            )
+            truth = np.exp(1j * ph)[..., None, None]
+            err = float(np.max(np.abs(np.asarray(got.vis) - truth)))
+            assert err < 1e-5, err
+        finally:
+            jax.config.update("jax_enable_x64", True)
