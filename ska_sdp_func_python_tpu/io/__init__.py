@@ -1,6 +1,8 @@
 """Native IO: C++ chunked visibility store + gain-solution persistence."""
 
 from .gainio import (
+    export_h5parm,
+    import_h5parm,
     load_gaintable,
     load_gaintables,
     save_gaintable,
@@ -19,6 +21,8 @@ __all__ = [
     "write_visibility",
     "write_visibility_arrays",
     "save_gaintable",
+    "export_h5parm",
+    "import_h5parm",
     "load_gaintable",
     "save_gaintables",
     "load_gaintables",
