@@ -152,6 +152,23 @@ def main():
     def on_cycle(i, secs):
         cyc_times.append(secs)
         print(f"# cycle {i}: {secs:.0f}s", file=sys.stderr, flush=True)
+        # the axon client leaks h2d staging buffers (~30 GB of freed-but
+        # -retained arena per 37 GB stream pass at the 1B scale); ask
+        # glibc to return what it can between passes
+        try:
+            import ctypes
+
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except Exception:
+            pass
+        try:
+            import resource
+
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+            print(f"# rss high-water {rss:.1f} GB", file=sys.stderr,
+                  flush=True)
+        except Exception:
+            pass
         # persist per-cycle progress so a late-run OOM/crash still leaves
         # the steady-state cycle timings on disk (the 1B run is hours)
         steady = cyc_times[1:] or cyc_times
