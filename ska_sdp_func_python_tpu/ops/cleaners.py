@@ -1152,8 +1152,10 @@ def _msclean_corner_kernel(
             ),
             jax.lax.rem(jnp.int32(nx) - sx, jnp.int32(nx)), 1,
         )
-    shift_ref[0, 0] = sy
-    shift_ref[0, 1] = sx
+    # Mosaic cannot store scalars to VMEM — write a full [1, 128] row
+    shift_ref[...] = (
+        jnp.where(col == 0, sy, 0) + jnp.where(col == 1, sx, 0)
+    )
 
 
 @partial(
