@@ -139,11 +139,22 @@ def main():
         f"residual peak {float(np.asarray(peak)):.2e}",
         file=sys.stderr,
     )
-    print(
-        '{"metric": "ical_major_cycles_per_s", '
-        f'"value": {rate:.2f}, "unit": "cycles/s", '
-        f'"nvis": {nvis}, "npixel": {args.npixel}}}'
+    import json
+
+    from ska_sdp_func_python_tpu.ops.imaging import _npad_for
+    from ska_sdp_func_python_tpu.utils.roofline import (
+        fused_cycle_model, roofline,
     )
+
+    model_r = fused_cycle_model(
+        nvis, args.npixel, _npad_for(args.npixel, 1.25),
+        cfg.nants, args.ntimes, nw=args.nw or 8,
+    )
+    print(json.dumps({
+        "metric": "ical_major_cycles_per_s", "value": round(rate, 2),
+        "unit": "cycles/s", "nvis": nvis, "npixel": args.npixel,
+        **roofline(model_r, best),
+    }))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ __all__ = [
     "predict_model",
     "hogbom_model",
     "solver_model",
+    "fused_cycle_model",
     "roofline",
 ]
 
@@ -152,5 +153,48 @@ def roofline(model: dict, time_s: float) -> dict:
         ),
         "hbm_frac": round(
             model["bytes"] / time_s / V5E_HBM_BYTES_PER_S, 4
+        ),
+    }
+
+
+def fused_cycle_model(
+    nvis: int,
+    npixel: int,
+    npad: int,
+    nants: int,
+    nsol: int,
+    support: int = 8,
+    nw: int = 8,
+    clean_niter: int = 300,
+    solver_niter: int = 30,
+) -> dict:
+    """FLOPs/bytes for one fused self-cal major cycle (pipeline.
+    _fused_selfcal_cycle): degrid (predict) + product-form normal
+    equations + StefCal + gain apply + two fixed-permutation value
+    sorts + invert + in-graph CLEAN. The sorts are the measured
+    bandwidth hogs beyond the gridders (~5 f32 rows r/w each way)."""
+    inv = invert_model(nvis, npixel, npad, support=support, nw=nw)
+    pre = predict_model(nvis, npixel, npad, support=support, nw=nw)
+    sol = solver_model(solver_niter, nsol, nants)
+    cln = hogbom_model(clean_niter, patch=npixel)
+    # normal equations: per vis one complex product + scatter into
+    # [nsol, nants, nants]; apply: one gather + complex multiply per vis
+    ne_flops = nvis * 2 * _complex_mac_flops()
+    # two permutation sorts: XLA lax.sort carries ~5 payload rows, each
+    # a comparison sort with ~log2(N) r/w passes but measured at a flat
+    # ~33-37 ms floor; count 2 logical r/w passes of the payload
+    sort_bytes = 2 * (nvis * 5 * 4 * 4)
+    return {
+        "useful_flops": (
+            inv["useful_flops"] + pre["useful_flops"]
+            + sol["useful_flops"] + cln["useful_flops"] + ne_flops
+        ),
+        "executed_flops": (
+            inv["executed_flops"] + pre["executed_flops"]
+            + sol["executed_flops"] + cln["executed_flops"] + ne_flops
+        ),
+        "bytes": (
+            inv["bytes"] + pre["bytes"] + sol["bytes"] + cln["bytes"]
+            + sort_bytes + nvis * 8 * 4  # NE build + apply streams
         ),
     }

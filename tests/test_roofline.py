@@ -54,3 +54,18 @@ def test_solver_model_and_peaks():
         "hbm_frac",
     }
     assert V5E_PEAK_BF16_FLOPS > 1e14 and V5E_HBM_BYTES_PER_S > 5e11
+
+
+def test_fused_cycle_model():
+    from ska_sdp_func_python_tpu.utils.roofline import (
+        fused_cycle_model, invert_model, predict_model, roofline,
+    )
+
+    m = fused_cycle_model(10_000_000, 1024, 1344, 274, 76)
+    inv = invert_model(10_000_000, 1024, 1344)
+    pre = predict_model(10_000_000, 1024, 1344)
+    assert m["useful_flops"] > inv["useful_flops"] + pre["useful_flops"]
+    assert m["bytes"] > inv["bytes"] + pre["bytes"]
+    r = roofline(m, 0.19)
+    assert 0.0 < r["mxu_frac"] < 1.0
+    assert 0.0 < r["hbm_frac"] < 1.0
