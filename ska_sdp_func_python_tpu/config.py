@@ -28,6 +28,8 @@ __all__ = [
     "set_gridder_precision",
     "grid_family",
     "set_grid_family",
+    "invert_tail",
+    "set_invert_tail",
     "plan_cache_size",
     "set_plan_cache_size",
 ]
@@ -96,6 +98,24 @@ _GRID_FAMILY: str = "auto"
 
 def grid_family() -> str:
     return _GRID_FAMILY
+
+
+# Invert image-tail transform: "fft" = batched XLA ifft2 at npad^2;
+# "matmul" = pruned centred-DFT matmuls npad->npixel on the MXU (skips
+# the padded-region compute and any non-2^k FFT radix penalty; bf16x3
+# precision under the package matmul policy). Read at TRACE time.
+_INVERT_TAIL: str = "fft"
+
+
+def invert_tail() -> str:
+    return _INVERT_TAIL
+
+
+def set_invert_tail(tail: str) -> None:
+    if tail not in ("fft", "matmul"):
+        raise ValueError(f"invert_tail must be 'fft' or 'matmul', got {tail!r}")
+    global _INVERT_TAIL
+    _INVERT_TAIL = tail
 
 
 def set_grid_family(family: str) -> None:

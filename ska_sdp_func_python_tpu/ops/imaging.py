@@ -722,13 +722,73 @@ def invert_with_plan(
     return dirty, sumwt
 
 
-def uv_grids_to_dirty(plan: ImagingPlan, grids):
-    """Image-side tail of an invert: batched per-plane IFFT, w-beam
-    multiply + plane sum on the central npixel^2, grid correction.
+def _dft_tail_matrix(npad: int, npixel: int):
+    """Centred pruned-IDFT matrix pair (cos, sin) [npixel, npad]:
+    ``ctr = (Wr + i Wi) @ g @ (Wr + i Wi)^T`` equals
+    ``extract_mid(ifft(g), npixel)`` exactly (both axes separable).
+
+    The phase is reduced exactly in INTEGER arithmetic before the trig:
+    (p - n/2)(k - N/2) mod N fits int32 and a direct f32 ``cos`` of the
+    unreduced angle (up to ~2e6 rad) would be meaningless.
+    """
+    k = jnp.arange(npad, dtype=jnp.int32) - npad // 2
+    p = jnp.arange(npixel, dtype=jnp.int32) - npixel // 2
+    pk = p[:, None] * k[None, :]
+    red = jnp.mod(pk, npad)  # exact in int32
+    ang = (2.0 * jnp.pi / npad) * red.astype(jnp.float32)
+    inv_n = jnp.float32(1.0 / npad)
+    return jnp.cos(ang) * inv_n, jnp.sin(ang) * inv_n
+
+
+def _matmul_tail_ctr(grids, npad: int, npixel: int):
+    """``extract_mid(ifft(grids), npixel)`` as two pruned-DFT matmuls
+    per plane (real arithmetic; 8 real matmuls) — the transform runs on
+    the MXU instead of the VPU FFT and never materialises the padded
+    image. Returns (re, im) of the central region [nw, np, np]."""
+    wr, wi = _dft_tail_matrix(npad, npixel)
+    gr = jnp.real(grids)
+    gi = jnp.imag(grids)
+    # axis -2: A = W @ g  (batched over planes)
+    ar = jnp.einsum("pk,...kx->...px", wr, gr) - jnp.einsum(
+        "pk,...kx->...px", wi, gi
+    )
+    ai = jnp.einsum("pk,...kx->...px", wr, gi) + jnp.einsum(
+        "pk,...kx->...px", wi, gr
+    )
+    # axis -1: ctr = A @ W^T
+    cr = jnp.einsum("...pk,qk->...pq", ar, wr) - jnp.einsum(
+        "...pk,qk->...pq", ai, wi
+    )
+    ci = jnp.einsum("...pk,qk->...pq", ar, wi) + jnp.einsum(
+        "...pk,qk->...pq", ai, wr
+    )
+    return cr, ci
+
+
+def uv_grids_to_dirty(plan: ImagingPlan, grids, tail: str | None = None):
+    """Image-side tail of an invert: per-plane inverse transform to the
+    central npixel^2, w-beam multiply + plane sum, grid correction.
     Split out so sharded inverts can psum the uv grids across a mesh
-    before this replicated tail (parallel/fused.py)."""
+    before this replicated tail (parallel/fused.py).
+
+    ``tail``: "fft" (batched XLA ifft2 at npad^2) or "matmul" (pruned
+    DFT matmuls npad->npixel on the MXU — skips the padded-region
+    compute and any non-power-of-two FFT radix penalty). ``None`` reads
+    ``config.invert_tail()``.
+    """
     npad = plan.npad
+    if tail is None:
+        from .. import config as _config
+
+        tail = _config.invert_tail()
     wstack = plan.do_wstacking and plan.nw > 1
+    if tail == "matmul":
+        cr, ci = _matmul_tail_ctr(grids, npad, plan.npixel)
+        if wstack:
+            dirty = jnp.sum(cr * plan.wb_r - ci * plan.wb_i, axis=0)
+        else:
+            dirty = cr  # leading plane axis kept, like the fft path
+        return dirty * jnp.float32(npad * npad) / plan.corr_c
     if wstack:
         # the padded outer region is discarded by extract_mid anyway
         ctr = extract_mid(ifft(grids), plan.npixel)  # [nw, np, np]

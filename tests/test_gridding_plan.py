@@ -405,3 +405,49 @@ def test_plan_grid_tile56_grouped_assemble(rng):
     np.testing.assert_allclose(
         np.asarray(back), np.asarray(ref_d), atol=1e-5
     )
+
+
+def test_matmul_tail_matches_fft_tail():
+    """Pruned-DFT matmul tail == batched-ifft tail (round-4 MXU tail)."""
+    import numpy as np
+
+    from ska_sdp_func_python_tpu.ops.imaging import (
+        make_imaging_plan,
+        uv_grids_to_dirty,
+    )
+
+    rng = np.random.default_rng(0)
+    npixel, nvis, nw = 128, 20000, 5
+    cell = 8e-4
+    umax = 0.4 / (2 * cell)
+    u = rng.uniform(-umax, umax, nvis).astype(np.float32)
+    v = rng.uniform(-umax, umax, nvis).astype(np.float32)
+    w = rng.uniform(-50, 50, nvis).astype(np.float32)
+    plan = make_imaging_plan(
+        jnp.asarray(u), jnp.asarray(v), jnp.asarray(w),
+        npixel=npixel, cellsize=cell, support=8, nw=nw,
+        do_wstacking=True, padding=1.25,
+    )
+    npad = plan.npad
+    g = (
+        rng.normal(size=(nw, npad, npad))
+        + 1j * rng.normal(size=(nw, npad, npad))
+    ).astype(np.complex64)
+    d_fft = np.asarray(uv_grids_to_dirty(plan, jnp.asarray(g), tail="fft"))
+    d_mm = np.asarray(
+        uv_grids_to_dirty(plan, jnp.asarray(g), tail="matmul")
+    )
+    scale = float(np.max(np.abs(d_fft)))
+    assert np.max(np.abs(d_mm - d_fft)) < 2e-5 * scale
+
+
+def test_invert_tail_config_knob():
+    from ska_sdp_func_python_tpu import config
+
+    try:
+        config.set_invert_tail("matmul")
+        assert config.invert_tail() == "matmul"
+        with pytest.raises(ValueError):
+            config.set_invert_tail("bogus")
+    finally:
+        config.set_invert_tail("fft")
