@@ -800,15 +800,66 @@ def uv_grids_to_dirty(plan: ImagingPlan, grids, tail: str | None = None):
     return dirty * jnp.float32(npad * npad) / plan.corr_c
 
 
-def image_to_uv_grids(plan: ImagingPlan, image):
+def _matmul_head_grids(zr, zi, npad: int, npixel: int):
+    """``fft(pad_mid(z, npad))`` as two input-pruned DFT matmuls: the
+    image is zero outside the central npixel^2, so the forward transform
+    is F z F^T with F = npad * (Wr - i Wi)^T of the tail matrices.
+    Returns (re, im) of the [.., npad, npad] grids."""
+    wr, wi = _dft_tail_matrix(npad, npixel)
+    n = jnp.float32(npad)
+    # axis -2: A = F @ z, F[k, p] = npad*(wr[p,k] - i*wi[p,k])
+    ar = (
+        jnp.einsum("pk,...px->...kx", wr, zr)
+        + jnp.einsum("pk,...px->...kx", wi, zi)
+    ) * n
+    ai = (
+        jnp.einsum("pk,...px->...kx", wr, zi)
+        - jnp.einsum("pk,...px->...kx", wi, zr)
+    ) * n
+    # axis -1: G = A @ F^T
+    gr_ = (
+        jnp.einsum("...kx,xq->...kq", ar, wr)
+        + jnp.einsum("...kx,xq->...kq", ai, wi)
+    ) * n
+    gi_ = (
+        jnp.einsum("...kx,xq->...kq", ai, wr)
+        - jnp.einsum("...kx,xq->...kq", ar, wi)
+    ) * n
+    return gr_, gi_
+
+
+def image_to_uv_grids(plan: ImagingPlan, image, head: str | None = None):
     """Image-side head of a predict: grid correction, (conjugate) w-beam
     multiply, pad + FFT to the w-stacked uv grids. Split out so sharded
-    predicts can broadcast the grids to every shard (parallel/fused.py)."""
+    predicts can broadcast the grids to every shard (parallel/fused.py).
+
+    ``head``: "fft" or "matmul" (input-pruned forward DFT on the MXU —
+    the mirror of :func:`uv_grids_to_dirty`'s tail). ``None`` reads
+    ``config.invert_tail()`` (one knob drives both directions).
+    """
     npad = plan.npad
+    if head is None:
+        from .. import config as _config
+
+        head = _config.invert_tail()
+    wstack = plan.do_wstacking and plan.nw > 1
+    if head == "matmul" and jnp.issubdtype(
+        jnp.asarray(image).dtype, jnp.complexfloating
+    ):
+        head = "fft"  # real-split head assumes a real image
+    if head == "matmul":
+        corr = image / plan.corr_c
+        if wstack:
+            zr = corr[None] * plan.wb_r
+            zi = corr[None] * (-plan.wb_i)
+        else:
+            zr = corr[None]
+            zi = jnp.zeros_like(zr)
+        gr_, gi_ = _matmul_head_grids(zr, zi, npad, plan.npixel)
+        return jax.lax.complex(gr_, gi_)
     z = (image / plan.corr_c).astype(
         jnp.result_type(image.dtype, jnp.complex64)
     )
-    wstack = plan.do_wstacking and plan.nw > 1
     if wstack:
         zc = z[None] * jax.lax.complex(plan.wb_r, -plan.wb_i).astype(z.dtype)
         return fft(pad_mid(zc, npad))  # batched over planes

@@ -451,3 +451,33 @@ def test_invert_tail_config_knob():
             config.set_invert_tail("bogus")
     finally:
         config.set_invert_tail("fft")
+
+
+def test_matmul_head_matches_fft_head():
+    """Input-pruned forward-DFT matmul head == pad+fft head."""
+    import numpy as np
+
+    from ska_sdp_func_python_tpu.ops.imaging import (
+        image_to_uv_grids,
+        make_imaging_plan,
+    )
+
+    rng = np.random.default_rng(1)
+    npixel, nw = 128, 5
+    cell = 8e-4
+    umax = 0.4 / (2 * cell)
+    n = 20000
+    plan = make_imaging_plan(
+        jnp.asarray(rng.uniform(-umax, umax, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-umax, umax, n).astype(np.float32)),
+        jnp.asarray(rng.uniform(-50, 50, n).astype(np.float32)),
+        npixel=npixel, cellsize=cell, support=8, nw=nw,
+        do_wstacking=True, padding=1.25,
+    )
+    img = rng.normal(size=(npixel, npixel)).astype(np.float32)
+    g_fft = np.asarray(image_to_uv_grids(plan, jnp.asarray(img), head="fft"))
+    g_mm = np.asarray(
+        image_to_uv_grids(plan, jnp.asarray(img), head="matmul")
+    )
+    scale = float(np.max(np.abs(g_fft)))
+    assert np.max(np.abs(g_mm - g_fft)) < 3e-5 * scale
