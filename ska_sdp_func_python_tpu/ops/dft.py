@@ -67,26 +67,31 @@ def extract_direction_and_flux(sc: SkyComponents, vis: Visibility):
         vis.phasecentre[1],
     )
     cdtype = jnp.result_type(vis.vis.dtype, jnp.complex64)
+    return _split_lmn(l, m, n1, cdtype), vflux.astype(cdtype)
+
+
+def _split_lmn(l, m, n1, cdtype):
+    """Direction cosines as a compensated (hi, lo) f32 pair [c, 3, 2].
+
+    With host-f64 astrometry feeding an f32 device the hi part goes
+    through the mod-1 compensated dot and the lo part (|lo| ~
+    eps32*|lmn|) adds a plain-product phase correction — a bare f32
+    lmn costs 2*pi*|uvw|*|lmn|*eps32 of phase (~9e-5 rad at
+    2e5-wavelength SKA baselines). Traced or f64-compute inputs get a
+    zero lo."""
     if isinstance(l, np.ndarray) and l.dtype == np.float64 and (
         cdtype == jnp.complex64
     ):
-        # host-f64 astrometry feeding an f32 device: carry the direction
-        # cosines as a compensated (hi, lo) f32 pair [ncomp, 3, 2] so the
-        # phase keeps ~f64 direction accuracy at any baseline length
-        # (a bare f32 lmn costs 2*pi*|uvw|*|lmn|*eps32 of phase: ~9e-5
-        # rad at 2e5-wavelength SKA baselines)
         lmn64 = np.stack([l, m, n1], axis=-1)
         hi = lmn64.astype(np.float32)
         lo = (lmn64 - hi.astype(np.float64)).astype(np.float32)
-        lmn = jnp.stack(
+        return jnp.stack(
             [jnp.asarray(hi), jnp.asarray(lo)], axis=-1
         )  # [ncomp, 3, 2]
-    else:
-        base = jnp.stack(
-            [jnp.asarray(l), jnp.asarray(m), jnp.asarray(n1)], axis=-1
-        )
-        lmn = jnp.stack([base, jnp.zeros_like(base)], axis=-1)
-    return lmn, vflux.astype(cdtype)
+    base = jnp.stack(
+        [jnp.asarray(l), jnp.asarray(m), jnp.asarray(n1)], axis=-1
+    )
+    return jnp.stack([base, jnp.zeros_like(base)], axis=-1)
 
 
 def dft_kernel(direction_cosines, vfluxes, uvw_lambda):
@@ -150,14 +155,20 @@ def idft_visibility_skycomponent(vis: Visibility, sc: SkyComponents):
         vis.phasecentre[0],
         vis.phasecentre[1],
     )
-    lmn = jnp.stack([l, m, n1], axis=-1)  # [ncomp, 3]
     rdtype = (
         jnp.float64 if vis.vis.dtype == jnp.complex128 else jnp.float32
     )
-    phase = (-2.0 * jnp.pi) * frac_dot_turns(
+    pair = _split_lmn(l, m, n1, vis.vis.dtype)
+    lmn, lmn_lo = pair[..., 0], pair[..., 1]
+    turns = frac_dot_turns(
         vis.uvw_lambda.astype(rdtype)[..., None, :],
         lmn.astype(rdtype)[None, None, None, :, :],
+    ) + jnp.einsum(
+        "tbfs,cs->tbfc",
+        vis.uvw_lambda.astype(rdtype),
+        lmn_lo.astype(rdtype),
     )
+    phase = (-2.0 * jnp.pi) * turns
     conj_phasor = jax.lax.complex(jnp.cos(phase), -jnp.sin(phase)).astype(
         vis.vis.dtype
     )
