@@ -42,6 +42,7 @@ calibration; here the whole major cycle streams.
 from __future__ import annotations
 
 import logging
+import time as _time
 from functools import partial
 from typing import Optional
 
@@ -553,11 +554,17 @@ def streamed_ical(
                     yield (k, *_slab_cache[k])
                 return
             store.prefetch(*steps[my_slabs[0]])
+            _t_pass = _time.time()
             for j, k in enumerate(my_slabs):
                 nt = steps[k][1]
                 re, im, wt, fl = store.wait(nt)
                 if j + 1 < len(my_slabs):
                     store.prefetch(*steps[my_slabs[j + 1]])
+                if j % 16 == 0 and log.isEnabledFor(logging.INFO):
+                    log.info(
+                        "streamed_ical: slab %d/%d (%.0fs into pass)",
+                        j + 1, len(my_slabs), _time.time() - _t_pass,
+                    )
                 fw = wt * (1 - fl)
                 item = (
                     jnp.asarray(_pad_slab(re, nt_pad)),
@@ -601,7 +608,6 @@ def streamed_ical(
         residual = None
         ck = dict(clean_kwargs)
         ck.setdefault("algorithm", "hogbom")
-        import time as _time
 
         for cycle in range(nmajor):
             _t_cycle = _time.time()
