@@ -40,6 +40,10 @@ def main():
     ap.add_argument("--paddings", default="1.25,1.5,2.0")
     ap.add_argument("--precisions", default="config")
     ap.add_argument(
+        "--transform", default="fft", choices=("fft", "matmul"),
+        help="image-transform path for the probe (floors use fft)",
+    )
+    ap.add_argument(
         "--umax-frac", type=float, default=0.33,
         help="uv extent as a fraction of the image band (0.33 = inner "
         "third; 0.49 ~ full usable band)",
@@ -137,6 +141,10 @@ def main():
                 pv = predict_with_plan(
                     plan, model_px,
                     precision=None if prec == "config" else prec,
+                    # floors pin the fft transform (what the epsilon
+                    # regimes use; the default matmul-HIGH path adds
+                    # ~2.5e-5)
+                    tail=args.transform,
                 )
                 pr = np.asarray(jnp.real(pv))
                 pi = np.asarray(jnp.imag(pv))

@@ -51,9 +51,11 @@ def main():
 
     K = args.reps
     for n in [int(s) for s in args.sizes.split(",")]:
-        re = np.random.default_rng(0).normal(
+        import jax as _jax
+
+        re = _jax.device_put(np.random.default_rng(0).normal(
             size=(args.nw, n, n)
-        ).astype(np.float32)
+        ).astype(np.float32))
 
         @jax.jit
         def chained(re, im):
@@ -68,7 +70,7 @@ def main():
                 acc = acc + jnp.real(g[0, 0, 0])
             return acc
 
-        im = np.zeros_like(re)
+        im = _jax.device_put(np.zeros(re.shape, np.float32))
         r = chained(re, im)
         np.asarray(r)  # compile + settle
         t0 = time.time()
@@ -124,8 +126,10 @@ def tail_probe(argv=None):
         do_wstacking=True, padding=1.25,
     )
     npad = plan.npad
-    gr = rng.normal(size=(args.nw, npad, npad)).astype(np.float32)
-    gi = rng.normal(size=(args.nw, npad, npad)).astype(np.float32)
+    gr = jax.device_put(
+        rng.normal(size=(args.nw, npad, npad)).astype(np.float32)
+    )
+    gi = jax.device_put(np.zeros((args.nw, npad, npad), np.float32))
 
     f0 = jax.jit(lambda x: x + 1.0)
     np.asarray(f0(np.zeros((8,), np.float32)))

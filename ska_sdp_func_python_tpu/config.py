@@ -100,20 +100,28 @@ def grid_family() -> str:
     return _GRID_FAMILY
 
 
-# Invert image-tail transform: "fft" = batched XLA ifft2 at npad^2;
-# "matmul" = pruned centred-DFT matmuls npad->npixel on the MXU (skips
-# the padded-region compute and any non-2^k FFT radix penalty; bf16x3
-# precision under the package matmul policy). Read at TRACE time.
-_INVERT_TAIL: str = "fft"
+# Invert/predict image-transform path: "fft" = batched XLA (i)fft2 at
+# npad^2; "matmul" = pruned centred-DFT matmuls npad<->npixel on the MXU
+# at Precision.HIGH (bf16x3) — skips the padded-region compute and any
+# non-2^k FFT radix penalty. "auto" = matmul on TPU (measured 384.5 vs
+# 367.0 Mvis/s on the 10M/1024^2 BASELINE invert, one v5e), fft on CPU
+# (pocketfft beats dense matmuls there). Read at TRACE time.
+import os as _os
+
+_INVERT_TAIL: str = _os.environ.get("SKA_SDP_TPU_INVERT_TAIL", "auto")
 
 
 def invert_tail() -> str:
+    if _INVERT_TAIL == "auto":
+        return "matmul" if jax.default_backend() == "tpu" else "fft"
     return _INVERT_TAIL
 
 
 def set_invert_tail(tail: str) -> None:
-    if tail not in ("fft", "matmul"):
-        raise ValueError(f"invert_tail must be 'fft' or 'matmul', got {tail!r}")
+    if tail not in ("auto", "fft", "matmul"):
+        raise ValueError(
+            f"invert_tail must be 'auto', 'fft' or 'matmul', got {tail!r}"
+        )
     global _INVERT_TAIL
     _INVERT_TAIL = tail
 

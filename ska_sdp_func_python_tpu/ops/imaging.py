@@ -689,7 +689,7 @@ def make_imaging_plan(
 
 @partial(
     jax.jit,
-    static_argnames=("values_sorted", "interpret", "precision"),
+    static_argnames=("values_sorted", "interpret", "precision", "tail"),
 )
 def invert_with_plan(
     plan: ImagingPlan,
@@ -699,11 +699,14 @@ def invert_with_plan(
     values_sorted: bool = False,
     interpret: bool | None = None,
     precision: str | None = "config",
+    tail: str | None = None,
 ):
     """Grid + FFT + w-stack using a precomputed plan.
 
     With ``values_sorted=True`` both ``vals`` and ``wgt`` must already be
     in plan order (``sort_values``), skipping the per-call value sort.
+    ``tail``: image-transform path ("fft"/"matmul"; None = config —
+    the epsilon regimes pin "fft", see accuracy.py).
     Returns (dirty [npixel, npixel] real, sumwt scalar).
     """
     from .gridding_plan import grid_with_plan
@@ -713,7 +716,7 @@ def invert_with_plan(
         plan.gp, weighted, values_sorted=values_sorted,
         interpret=interpret, precision=precision,
     )
-    dirty = uv_grids_to_dirty(plan, grids)
+    dirty = uv_grids_to_dirty(plan, grids, tail=tail)
     sumwt = (
         jnp.asarray(vals.shape[0], jnp.float32)
         if wgt is None
@@ -740,6 +743,17 @@ def _dft_tail_matrix(npad: int, npixel: int):
     return jnp.cos(ang) * inv_n, jnp.sin(ang) * inv_n
 
 
+# DFT-matmul precision: HIGH = bf16x3 (3-pass) on the MXU — the same
+# policy the fused gridder kernel uses, measured image-level
+# indistinguishable from f32 while halving the pass count vs the
+# package default HIGHEST (f32 = 6 bf16 passes).
+_DFT_MM_PRECISION = jax.lax.Precision.HIGH
+
+
+def _mm(eq, a, b):
+    return jnp.einsum(eq, a, b, precision=_DFT_MM_PRECISION)
+
+
 def _matmul_tail_ctr(grids, npad: int, npixel: int):
     """``extract_mid(ifft(grids), npixel)`` as two pruned-DFT matmuls
     per plane (real arithmetic; 8 real matmuls) — the transform runs on
@@ -749,19 +763,11 @@ def _matmul_tail_ctr(grids, npad: int, npixel: int):
     gr = jnp.real(grids)
     gi = jnp.imag(grids)
     # axis -2: A = W @ g  (batched over planes)
-    ar = jnp.einsum("pk,...kx->...px", wr, gr) - jnp.einsum(
-        "pk,...kx->...px", wi, gi
-    )
-    ai = jnp.einsum("pk,...kx->...px", wr, gi) + jnp.einsum(
-        "pk,...kx->...px", wi, gr
-    )
+    ar = _mm("pk,...kx->...px", wr, gr) - _mm("pk,...kx->...px", wi, gi)
+    ai = _mm("pk,...kx->...px", wr, gi) + _mm("pk,...kx->...px", wi, gr)
     # axis -1: ctr = A @ W^T
-    cr = jnp.einsum("...pk,qk->...pq", ar, wr) - jnp.einsum(
-        "...pk,qk->...pq", ai, wi
-    )
-    ci = jnp.einsum("...pk,qk->...pq", ar, wi) + jnp.einsum(
-        "...pk,qk->...pq", ai, wr
-    )
+    cr = _mm("...pk,qk->...pq", ar, wr) - _mm("...pk,qk->...pq", ai, wi)
+    ci = _mm("...pk,qk->...pq", ar, wi) + _mm("...pk,qk->...pq", ai, wr)
     return cr, ci
 
 
@@ -809,21 +815,17 @@ def _matmul_head_grids(zr, zi, npad: int, npixel: int):
     n = jnp.float32(npad)
     # axis -2: A = F @ z, F[k, p] = npad*(wr[p,k] - i*wi[p,k])
     ar = (
-        jnp.einsum("pk,...px->...kx", wr, zr)
-        + jnp.einsum("pk,...px->...kx", wi, zi)
+        _mm("pk,...px->...kx", wr, zr) + _mm("pk,...px->...kx", wi, zi)
     ) * n
     ai = (
-        jnp.einsum("pk,...px->...kx", wr, zi)
-        - jnp.einsum("pk,...px->...kx", wi, zr)
+        _mm("pk,...px->...kx", wr, zi) - _mm("pk,...px->...kx", wi, zr)
     ) * n
     # axis -1: G = A @ F^T
     gr_ = (
-        jnp.einsum("...kx,xq->...kq", ar, wr)
-        + jnp.einsum("...kx,xq->...kq", ai, wi)
+        _mm("...kx,xq->...kq", ar, wr) + _mm("...kx,xq->...kq", ai, wi)
     ) * n
     gi_ = (
-        jnp.einsum("...kx,xq->...kq", ai, wr)
-        - jnp.einsum("...kx,xq->...kq", ar, wi)
+        _mm("...kx,xq->...kq", ai, wr) - _mm("...kx,xq->...kq", ar, wi)
     ) * n
     return gr_, gi_
 
@@ -867,7 +869,8 @@ def image_to_uv_grids(plan: ImagingPlan, image, head: str | None = None):
 
 
 @partial(
-    jax.jit, static_argnames=("to_sorted", "interpret", "precision")
+    jax.jit,
+    static_argnames=("to_sorted", "interpret", "precision", "tail"),
 )
 def predict_with_plan(
     plan: ImagingPlan,
@@ -876,6 +879,7 @@ def predict_with_plan(
     to_sorted: bool = False,
     interpret: bool | None = None,
     precision: str | None = "config",
+    tail: str | None = None,
 ):
     """Degrid model-image visibilities using a precomputed plan.
 
@@ -887,7 +891,7 @@ def predict_with_plan(
 
     # the image is zero outside the central npixel^2, so the correction and
     # the (conjugate) w-beam multiplies only happen there, pre-padding
-    grids = image_to_uv_grids(plan, image)
+    grids = image_to_uv_grids(plan, image, head=tail)
     return degrid_with_plan(
         plan.gp, grids, to_sorted=to_sorted, interpret=interpret,
         precision=precision,
@@ -1112,6 +1116,10 @@ def invert_visibility(
             )
         if acc.precision is not None:
             kwargs["precision"] = acc.precision
+        # epsilon paths always pin the fft transform: the default
+        # matmul-HIGH path adds ~2.5e-5 (measured on chip), which eats
+        # the accuracy budget of every regime
+        kwargs["tail"] = "fft"
     svis = shift_vis_to_image(vis, model, tangent=True, inverse=False)
 
     ms = svis.flagged_vis
@@ -1163,6 +1171,7 @@ def invert_visibility(
                 dirty, swt = invert_with_plan(
                     plan.plans[ichan], vals, wv,
                     precision=kwargs.get("precision", "config"),
+                    tail=kwargs.get("tail"),
                 )
             else:
                 dirty, swt = invert_core(
@@ -1235,6 +1244,10 @@ def predict_visibility(
             )
         if acc.precision is not None:
             kwargs["precision"] = acc.precision
+        # epsilon paths always pin the fft transform: the default
+        # matmul-HIGH path adds ~2.5e-5 (measured on chip), which eats
+        # the accuracy budget of every regime
+        kwargs["tail"] = "fft"
     uvw_l = vis.uvw_lambda
     nchan_img, npol_img = model.nchan, model.npol
     nwp = _nw_for(vis, model, do_wstacking, nw)
@@ -1263,6 +1276,7 @@ def predict_visibility(
                 vals = predict_with_plan(
                     plan.plans[ichan], model.pixels[ichan, pol],
                     precision=kwargs.get("precision", "config"),
+                    tail=kwargs.get("tail"),
                 )
             else:
                 vals = predict_core(

@@ -450,7 +450,7 @@ def test_invert_tail_config_knob():
         with pytest.raises(ValueError):
             config.set_invert_tail("bogus")
     finally:
-        config.set_invert_tail("fft")
+        config.set_invert_tail("auto")
 
 
 def test_matmul_head_matches_fft_head():
