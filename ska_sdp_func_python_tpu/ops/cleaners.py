@@ -1232,13 +1232,12 @@ _MSCLEAN_PALLAS_MAX_PSF = 256 * 256
 
 
 def _msclean_pallas_ok(dirty, psf, nscales, window, sensitivity, interpret):
-    """Shape gate for the VMEM-resident msclean kernel. NOT auto-selected
-    (``use_pallas=True`` only): measured on chip at 512^2 / 3 scales /
-    256-support PSF the Pallas loop runs 19.0k minor cycles/s vs the XLA
-    while_loop's 26.5k — the per-iteration ``pl.when`` scale branches
-    each pay full-stack pltpu.roll traffic, so the in-VMEM residency
-    does not win for multi-scale stacks the way it does for Hogbom
-    (313k/s) and complex Hogbom (87k/s at 1024^2)."""
+    """Shape gate for the VMEM-resident msclean kernels. The
+    corner-frame kernel (round 4) IS auto-selected on TPU: measured
+    110.3k minor cycles/s at 512^2 / 4 scales / 256-support PSF vs the
+    XLA while_loop's 56.4k (two-point slope 2000->16000 iters, identical
+    residuals). The round-3 kernel ('v1') stays opt-in for reference —
+    its per-iteration rank-3 pad+roll traffic measured 19.0k."""
     if not (interpret or jax.default_backend() == "tpu"):
         return False
     if window is not None or sensitivity is not None:
@@ -1337,10 +1336,16 @@ def msclean(
     coupling_diag = jnp.diagonal(coupling)
 
     if use_pallas is None:
-        # the round-3 kernel measured slower than the XLA loop on chip
-        # (see _msclean_pallas_ok) — opt-in only until the corner-frame
-        # variant is chip-validated
-        use_pallas = False
+        # corner-frame kernel auto-selects on TPU (110.3k vs XLA 56.4k
+        # minor cycles/s at 512^2 — see _msclean_pallas_ok); CPU keeps
+        # the XLA loop (interpret-mode pallas is slow)
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and int(niter) <= 16384  # [niter, 128] list is VMEM-resident
+            and _msclean_pallas_ok(
+                dirty, psf, len(scales), window, sensitivity, False
+            )
+        )
     if use_pallas:
         fn = (
             _msclean_pallas if use_pallas == "v1" else
