@@ -105,6 +105,15 @@ def main():
     ap.add_argument("--nants", type=int, default=274)
     ap.add_argument("--path", default="/tmp/stream_bench.svis")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--init-model", default=None,
+        help="warm-start from a model saved by --save-model "
+        "(npz with 'pixels'); cycles continue the iteration",
+    )
+    ap.add_argument(
+        "--save-model", default=None,
+        help="save the final CLEANed model pixels to this npz",
+    )
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -183,11 +192,21 @@ def main():
                 fh,
             )
 
+    model_init = None
+    if args.init_model:
+        blob = np.load(args.init_model)
+        model_init = model.replace(
+            pixels=jnp.asarray(blob["pixels"].astype(np.float32))
+        )
+        print(f"# warm start from {args.init_model}", file=sys.stderr)
     t0 = time.time()
     current, residual, restored, gt = streamed_ical(
         args.path, model, np.asarray(pc), nmajor=args.nmajor,
-        on_cycle=on_cycle, **kw,
+        on_cycle=on_cycle, model_init=model_init, **kw,
     )
+    if args.save_model:
+        np.savez(args.save_model, pixels=np.asarray(current.pixels))
+        print(f"# model saved to {args.save_model}", file=sys.stderr)
     peak = float(jnp.max(restored.pixels))
     res = float(jnp.max(jnp.abs(residual.pixels)))
     wall = time.time() - t0

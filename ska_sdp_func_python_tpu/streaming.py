@@ -292,6 +292,7 @@ def streamed_ical(
     slab_cache_bytes: float = 8e9,
     distribute: bool = True,
     on_cycle=None,
+    model_init: Image | None = None,
     **clean_kwargs,
 ):
     """Streamed ICAL over a native visibility store.
@@ -327,6 +328,11 @@ def streamed_ical(
         accumulators are psummed once per cycle — the multi-host form
         of the BASELINE "1B sharded across a pod slice" shape. The
         CLEAN tail is replicated deterministically on every process.
+    :param model_init: warm-start model image (checkpoint/resume: a
+        previous run's returned model continues the major-cycle
+        iteration — used for multi-session runs at scales where one
+        process's RAM cannot hold all passes, e.g. the 1B-vis store
+        whose h2d staging leak bounds a process to ~3 passes)
     :return: (model, residual, restored, gaintable) — ``gaintable``
         concatenates every slab's solution intervals per term (gathered
         from their owning processes in distributed runs); a dict
@@ -604,7 +610,17 @@ def streamed_ical(
         gains = [[gt.gain for gt in gts] for gts in gt0s]
         gwts = [[gt.weight for gt in gts] for gts in gt0s]
         gress = [[gt.residual for gt in gts] for gts in gt0s]
-        model_px = jnp.zeros((nchan_img, npol, ny, nx), jnp.float32)
+        # warm start (checkpoint/resume for multi-session runs at scales
+        # where one process's RAM cannot hold all passes): continue the
+        # major-cycle iteration from a previous run's CLEANed model
+        if model_init is not None:
+            model_px = jnp.asarray(
+                np.asarray(model_init.pixels, np.float32).reshape(
+                    nchan_img, npol, ny, nx
+                )
+            )
+        else:
+            model_px = jnp.zeros((nchan_img, npol, ny, nx), jnp.float32)
         residual = None
         ck = dict(clean_kwargs)
         ck.setdefault("algorithm", "hogbom")

@@ -311,3 +311,31 @@ class TestStreamedFullJones:
         r_mem = float(jnp.max(jnp.abs(mem[1].pixels)))
         assert abs(r_stream - r_mem) < 1e-3, (r_stream, r_mem)
         assert res.gaintable.gain.shape[-2:] == (2, 2)
+
+
+def test_streamed_warm_start_continues(tmp_path, rng):
+    """model_init warm start (checkpoint/resume): 2+2 warm-started
+    cycles converge at least as well as 2 cold cycles and close to a
+    monolithic 4-cycle run."""
+    vis, model, _ = _source_vis(rng)
+    gt_true = create_gaintable_from_visibility(vis, jones_type="T")
+    gt_true = _simulate_gaintable(gt_true, rng, phase_error=0.3)
+    corrupted = apply_gaintable(vis, gt_true)
+    path = str(tmp_path / "warm.svis")
+    write_visibility(corrupted, path, chunk_times=2)
+    kw = dict(
+        chunk_times=2, calibration_context="T", context="ng",
+        algorithm="hogbom", niter=150, gain=0.2,
+        fractional_threshold=0.01,
+    )
+    c2, r2, _, _ = streamed_ical(path, model, PC, nmajor=2, **kw)
+    c4, r4, _, _ = streamed_ical(path, model, PC, nmajor=4, **kw)
+    cw, rw, _, _ = streamed_ical(
+        path, model, PC, nmajor=2, model_init=c2, **kw
+    )
+    p2 = float(jnp.max(jnp.abs(r2.pixels)))
+    p4 = float(jnp.max(jnp.abs(r4.pixels)))
+    pw = float(jnp.max(jnp.abs(rw.pixels)))
+    assert pw <= p2 * 1.01, (pw, p2)
+    # warm-started 2+2 lands in the monolithic 4-cycle ballpark
+    assert pw <= max(2.0 * p4, 0.05), (pw, p4)
