@@ -49,7 +49,7 @@ def _bench_flagship_cycle():
                 "--ntimes", "76", "--npixel", "1024", "--warm", "2",
                 "--reps", "4",
             ],
-            capture_output=True, text=True, timeout=900,
+            capture_output=True, text=True, timeout=1500,
         )
         for line in out.stdout.splitlines():
             if line.startswith("{"):
