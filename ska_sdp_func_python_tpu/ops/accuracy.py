@@ -45,6 +45,11 @@ __all__ = [
 # measured w-interpolation error at nw == the heuristic plane count
 # (4 * wmax * fov^2); see module docstring
 E0_W = 4.0e-5
+# same, for the quadratic 3-plane stencil (gridding_tiled w_order=2):
+# error ~ E0_W3 * (nw_est / nw)^3; calibrated from the round-4
+# measurements (s16/nw64 -> 1.6e-11, s16/nw96 -> 4.7e-12 at 256^2 with
+# nw_est ~ 1: E0_W3 = 1.6e-11 * 64^3 ~ 4e-6)
+E0_W3 = 4.0e-6
 
 
 class GriddingAccuracy(typing.NamedTuple):
@@ -71,6 +76,10 @@ class GriddingAccuracy(typing.NamedTuple):
     requires_x64: bool = False
     # requested epsilon this resolution serves (set by the resolver)
     epsilon: float = 0.0
+    # w-interpolation order: "linear" (2-plane) or "quadratic" (3-plane
+    # Lagrange, tiled path; third-order error — the round-4 addition
+    # that closes the gap to the reference's epsilon=1e-12 contract)
+    w_interp: str = "linear"
 
     @property
     def nw_min(self) -> int:
@@ -99,18 +108,40 @@ _REGIMES = (
         "deep-f64-s16", 16, 2.0, "host64", "highest", "tiled", 5e-9,
         True,
     ),
+    # quadratic-w deep regimes (round 4): measured 256^2/50k-vis
+    # predict-vs-f64-DFT 1.8e-11 (s12/nw64) and 1.9e-12 (s16/nw128) —
+    # the reference ng.py epsilon=1e-12 contract is reachable
+    GriddingAccuracy(
+        "deep-f64-q12", 12, 2.0, "host64", "highest", "tiled", 5e-11,
+        True, w_interp="quadratic",
+    ),
+    GriddingAccuracy(
+        "deep-f64-q16", 16, 2.0, "host64", "highest", "tiled", 2e-12,
+        True, w_interp="quadratic",
+    ),
 )
 _N_F32 = 3  # first three regimes run on f32 devices
 
 
-def nw_for_epsilon(nw_est: int, epsilon: float) -> int:
-    """W-plane count so the linear w-interpolation error fits half the
-    ``epsilon`` budget: ``nw = nw_est * sqrt(E0_W / (epsilon/2))``.
+def nw_for_epsilon(
+    nw_est: int, epsilon: float, w_interp: str = "linear"
+) -> int:
+    """W-plane count so the w-interpolation error fits half the
+    ``epsilon`` budget: ``nw = nw_est * (E0 / (epsilon/2))^(1/order+1)``
+    — square-root law for the linear stencil, cube-root for quadratic.
 
     :param nw_est: the heuristic estimate (``_nw_for``'s
         ``4*wmax*fov^2`` Cornwell-style count) for the actual
         coordinates being gridded.
     """
+    if w_interp == "quadratic":
+        if epsilon >= 2 * E0_W3:
+            return max(int(nw_est), 3)
+        return max(
+            int(math.ceil(nw_est * (E0_W3 / (0.5 * epsilon)) ** (1 / 3))),
+            int(nw_est),
+            3,
+        )
     if epsilon >= 2 * E0_W:
         return max(int(nw_est), 1)
     return max(
@@ -152,8 +183,8 @@ def gridding_params_for_epsilon(
         )
     raise ValueError(
         f"epsilon={epsilon:g} is below the validated envelope "
-        f"(~{_REGIMES[-1].floor_eps:g} non-w floor at support 16 under "
-        "x64). The limiter below that is the linear w-interpolation "
-        "method error — raise nw manually (error falls as ~1/nw^2) or "
-        "use do_wstacking=False for 2d fields."
+        f"(~{_REGIMES[-1].floor_eps:g} at support 16 with quadratic "
+        "w-interpolation under x64 — the reference's 1e-12 regime). "
+        "Below that, raise nw manually (quadratic error falls as "
+        "~1/nw^3) or use do_wstacking=False for 2d fields."
     )

@@ -69,6 +69,7 @@ def _dense_kernel(tile0, pix, length: int, support: int, beta=None):
         "tile",
         "unit",
         "beta",
+        "w_order",
     ),
 )
 def tiled_grid(
@@ -84,6 +85,7 @@ def tiled_grid(
     tile: int = 56,
     unit: int = 1024,
     beta: float | None = None,
+    w_order: int = 1,
 ):
     """Grid (optionally w-stacked) visibilities onto [nplanes, npixel,
     npixel] without scatter.
@@ -129,6 +131,26 @@ def tiled_grid(
         tid = (plane_idx * ntiles + tv * ntile_axis + tu).astype(jnp.int32)
         tid = jnp.where(in_grid, tid, jnp.asarray(ntot, jnp.int32))
         u_all, v_all, vals_all, tid_all = u_pix, v_pix, vals, tid
+    elif w_order == 2:
+        # quadratic (3-plane Lagrange) w-interpolation: plane_idx is the
+        # CENTRE plane (clipped to [1, nplanes-2]) and plane_frac the
+        # signed offset x = t - j in [-0.5, 0.5]; weights
+        # x(x-1)/2, 1-x^2, x(x+1)/2 sum to 1 and interpolate e^{i a w}
+        # to third order in the plane spacing (vs second for linear) —
+        # the deep-f64 regimes' limiter (accuracy.py)
+        x = plane_frac.astype(vals.dtype)
+        base = (tv * ntile_axis + tu).astype(jnp.int32)
+        ntot = ntiles * nplanes
+        trash = jnp.asarray(ntot, jnp.int32)
+        tids = [
+            jnp.where(in_grid, (plane_idx + dj) * ntiles + base, trash)
+            for dj in (-1, 0, 1)
+        ]
+        wts = [0.5 * x * (x - 1.0), 1.0 - x * x, 0.5 * x * (x + 1.0)]
+        u_all = jnp.concatenate([u_pix] * 3)
+        v_all = jnp.concatenate([v_pix] * 3)
+        vals_all = jnp.concatenate([vals * wt for wt in wts])
+        tid_all = jnp.concatenate(tids)
     else:
         # duplicate each vis onto its two neighbouring w-planes
         frac = plane_frac.astype(vals.dtype)
@@ -326,7 +348,9 @@ def _extract_tiles(grid, ts: int, support: int):
 
 @partial(
     jax.jit,
-    static_argnames=("support", "nplanes", "tile", "unit", "beta"),
+    static_argnames=(
+        "support", "nplanes", "tile", "unit", "beta", "w_order",
+    ),
 )
 def tiled_degrid(
     u_pix,
@@ -340,6 +364,7 @@ def tiled_degrid(
     tile: int = 56,
     unit: int = 1024,
     beta: float | None = None,
+    w_order: int = 1,
 ):
     """Degrid visibilities from (optionally w-stacked) grids without random
     per-cell gathers: the adjoint of :func:`tiled_grid`.
@@ -398,6 +423,25 @@ def tiled_degrid(
         u_all, v_all, tid_all = u_pix, v_pix, tid
         wgt_all = jnp.where(in_grid, jnp.ones_like(u_pix), 0.0)
         n_entries = nvis
+    elif w_order == 2:
+        # quadratic 3-plane stencil (see tiled_grid)
+        x = plane_frac.astype(rdtype)
+        base = tv * ntile_axis + tu
+        ntot = ntiles * nplanes
+        trash = jnp.asarray(ntot, jnp.int32)
+        ig = jnp.where(in_grid, 1.0, 0.0)
+        tid_all = jnp.concatenate([
+            jnp.where(in_grid, (plane_idx + dj) * ntiles + base, trash)
+            for dj in (-1, 0, 1)
+        ])
+        u_all = jnp.concatenate([u_pix] * 3)
+        v_all = jnp.concatenate([v_pix] * 3)
+        wgt_all = jnp.concatenate([
+            0.5 * x * (x - 1.0) * ig,
+            (1.0 - x * x) * ig,
+            0.5 * x * (x + 1.0) * ig,
+        ])
+        n_entries = 3 * nvis
     else:
         frac = plane_frac.astype(rdtype)
         base = tv * ntile_axis + tu
@@ -526,4 +570,6 @@ def tiled_degrid(
     vals = jax.lax.complex(vr_o, vi_o)
     if plane_idx is None or plane_frac is None or n_entries == nvis:
         return vals
+    if n_entries == 3 * nvis:  # quadratic 3-plane stencil
+        return vals[:nvis] + vals[nvis : 2 * nvis] + vals[2 * nvis :]
     return vals[:nvis] + vals[nvis:]

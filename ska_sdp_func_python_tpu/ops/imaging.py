@@ -127,6 +127,12 @@ def _w_planes(w, nw: int, w_interp: str = "linear", w_range=None):
     if w_interp == "nearest":
         p0 = jnp.clip(jnp.round(t).astype(jnp.int32), 0, nw - 1)
         return p0, None, plane_w
+    if w_interp == "quadratic":
+        # centre plane + signed offset for the 3-plane Lagrange stencil
+        # (gridding_tiled w_order=2): third-order w-interpolation error
+        # ~(nw_est/nw)^3 vs linear's ^2 — the deep-f64 regimes' limiter
+        j = jnp.clip(jnp.round(t).astype(jnp.int32), 1, max(nw - 2, 1))
+        return j, t - j, plane_w
     p0 = jnp.clip(jnp.floor(t).astype(jnp.int32), 0, nw - 2)
     frac = jnp.clip(t - p0, 0.0, 1.0)
     return p0, frac, plane_w
@@ -226,6 +232,8 @@ def invert_core(
         # fused Pallas path on accelerators (4.8x the XLA tiled pipeline at
         # the 10M-vis BASELINE config); tiled XLA on CPU (tests)
         gridder = "tiled" if jax.default_backend() == "cpu" else "fused"
+    if w_interp == "quadratic":
+        gridder = "tiled"  # the 3-plane stencil lives in the tiled path
     if gridder in ("tiled", "fused"):
         if gridder == "fused":
             from .gridding_fused import fused_grid_wstack as _grid_fn
@@ -235,6 +243,8 @@ def invert_core(
             from .gridding_tiled import tiled_grid as _grid_fn
 
             grid_kw = {"unit": 256}
+            if w_interp == "quadratic":
+                grid_kw["w_order"] = 2
 
         ts = _tile_for(npad)
         if not do_wstacking or nw <= 1:
@@ -384,6 +394,8 @@ def predict_core(
 
     if gridder is None:
         gridder = "tiled" if jax.default_backend() == "cpu" else "fused"
+    if w_interp == "quadratic":
+        gridder = "tiled"  # 3-plane stencil lives in the tiled path
     if gridder in ("tiled", "fused"):
         if gridder == "fused":
             from .gridding_fused import fused_degrid_wstack as _degrid_fn
@@ -393,6 +405,8 @@ def predict_core(
             from .gridding_tiled import tiled_degrid as _degrid_fn
 
             degrid_kw = {"unit": 256}
+            if w_interp == "quadratic":
+                degrid_kw["w_order"] = 2
 
         ts = _tile_for(npad)
         if not do_wstacking or nw <= 1:
@@ -1105,8 +1119,11 @@ def invert_visibility(
         kwargs["padding"] = acc.padding
         if do_wstacking:
             nw = nw_for_epsilon(
-                _nw_for(vis, model, do_wstacking, nw), acc.epsilon
+                _nw_for(vis, model, do_wstacking, nw), acc.epsilon,
+                acc.w_interp,
             )
+        if acc.w_interp != "linear":
+            kwargs["w_interp"] = acc.w_interp
         if acc.gridder is not None:
             plan, kwargs["auto_plan"] = None, False
             kwargs["gridder"] = acc.gridder
@@ -1182,6 +1199,7 @@ def invert_visibility(
                     wv,
                     npixel=npixel,
                     cellsize=model.cellsize,
+                    w_interp=kwargs.get("w_interp", "linear"),
                     support=support,
                     nw=nwp,
                     do_wstacking=do_wstacking,
@@ -1233,8 +1251,11 @@ def predict_visibility(
         kwargs["padding"] = acc.padding
         if do_wstacking:
             nw = nw_for_epsilon(
-                _nw_for(vis, model, do_wstacking, nw), acc.epsilon
+                _nw_for(vis, model, do_wstacking, nw), acc.epsilon,
+                acc.w_interp,
             )
+        if acc.w_interp != "linear":
+            kwargs["w_interp"] = acc.w_interp
         if acc.gridder is not None:
             plan, kwargs["auto_plan"] = None, False
             kwargs["gridder"] = acc.gridder
@@ -1285,6 +1306,7 @@ def predict_visibility(
                     ww,
                     model.pixels[ichan, pol],
                     cellsize=model.cellsize,
+                    w_interp=kwargs.get("w_interp", "linear"),
                     support=support,
                     nw=nwp,
                     do_wstacking=do_wstacking,

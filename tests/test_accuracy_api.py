@@ -69,6 +69,18 @@ class TestResolver:
         acc = gridding_params_for_epsilon(2e-6, do_wstacking=False)
         assert acc.regime in ("compensated-f32", "precise-f32")
 
+    def test_quadratic_regime_resolves(self):
+        from ska_sdp_func_python_tpu.ops.accuracy import (
+            gridding_params_for_epsilon, nw_for_epsilon,
+        )
+
+        acc = gridding_params_for_epsilon(1e-11)
+        assert acc.w_interp == "quadratic"
+        assert acc.regime.startswith("deep-f64-q")
+        # cube-root law: far fewer planes than the square-root law
+        assert nw_for_epsilon(1, 1e-11, "quadratic") < 150
+        assert nw_for_epsilon(1, 1e-11, "linear") > 1000
+
     def test_infeasible_raises(self):
         with pytest.raises(ValueError, match="below the validated"):
             gridding_params_for_epsilon(1e-12)
@@ -109,7 +121,7 @@ class TestEndToEnd:
         pixels = pixels.at[0, 0, NPIX // 2 + 9, NPIX // 2 + 12].set(1.0)
         return vis, vis_dft, model.with_pixels(pixels)
 
-    @pytest.mark.parametrize("eps", [5e-5, 1e-6, 5e-8])
+    @pytest.mark.parametrize("eps", [5e-5, 1e-6, 5e-8, 1e-11])
     def test_predict_meets_epsilon(self, eps):
         """predict_visibility(epsilon=eps) vs the exact DFT delivers
         the requested tolerance (CPU x64 oracle; the chip-side check of
