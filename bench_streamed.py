@@ -226,6 +226,8 @@ def main():
         "cycle_s": [round(t, 1) for t in cyc_times],
         "restored_peak_jy": round(peak, 4),
         "peak_residual": round(res, 5),
+        "warm_started": bool(args.init_model),
+        "effective_cycles": args.nmajor + (2 if args.init_model else 0),
         "measured_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     print(json.dumps(row), flush=True)
