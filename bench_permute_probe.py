@@ -113,6 +113,39 @@ def main():
     if "bw" in which:
         f = chain(lambda k, a, b: (a + b,))
         report("bw  (1 add pass)", timed("bw", f, key, x, y))
+    if "bx" in which or "bp" in which:
+        from ska_sdp_func_python_tpu.ops.permute import (
+            benes_apply, benes_plan,
+        )
+        from ska_sdp_func_python_tpu.ops.permute_pallas import (
+            benes_apply_tpu,
+        )
+
+        t0 = time.perf_counter()
+        plan = benes_plan(np.asarray(key))
+        print(
+            f"benes routing+upload {time.perf_counter()-t0:.1f}s "
+            f"(n={plan.n})",
+            flush=True,
+        )
+        if "bx" in which:
+            f = chain(lambda k, a, b, p=plan: benes_apply(p, a, b))
+            report("bx  (benes XLA, 2 payloads)", timed("bx", f, key, x, y))
+        if "bp" in which:
+            f = chain(
+                lambda k, a, b, p=plan: benes_apply_tpu(p, a, b)
+            )
+            report(
+                "bp  (benes pallas 3-pass, 2 payloads)",
+                timed("bp", f, key, x, y),
+            )
+        if "bpi" in which:
+            f = chain(
+                lambda k, a, b, p=plan: benes_apply_tpu(
+                    p, a, b, inverse=True
+                )
+            )
+            report("bpi (benes pallas inverse)", timed("bpi", f, key, x, y))
 
 
 if __name__ == "__main__":

@@ -30,6 +30,8 @@ __all__ = [
     "set_grid_family",
     "invert_tail",
     "set_invert_tail",
+    "use_benes",
+    "set_use_benes",
     "plan_cache_size",
     "set_plan_cache_size",
 ]
@@ -64,8 +66,10 @@ def set_plan_cache_size(n: int) -> None:
 # difference; both 3.3e-4 vs the exact DFT, dominated by w-interpolation
 # method error) at ~0.65x the kernel time; single-pass bf16 degrades the
 # image ~6x (2e-3) and is NOT the default anywhere.
-# Read at TRACE time: set it before the first gridding call of a given
-# shape signature (jit caches bake the value in).
+# Resolved OUTSIDE the jit caches by the public entry points
+# (invert/predict_with_plan wrappers), so setting it between calls
+# forces a retrace; lower-level jit'd helpers called with the "config"
+# sentinel still bake the value at first trace.
 _GRIDDER_PRECISION: str | None = "auto"
 
 
@@ -91,8 +95,10 @@ def set_gridder_precision(precision: str | None) -> None:
 # base (tile 56 => buf 64 slot panels = exactly four 128-wide MXU lane
 # tiles); "base" pins the 128-rounded/tile-64 geometry. Exposed so
 # benches can A/B the two geometries and users can pin one for
-# round-over-round comparability. Read at TRACE time (jit caches bake
-# the geometry into the compiled program).
+# round-over-round comparability. Resolved OUTSIDE the jit caches by
+# invert_core/predict_core (static ``family`` argument), so setting it
+# between calls forces a retrace; plans bake their geometry at build
+# time as documented.
 _GRID_FAMILY: str = "auto"
 
 
@@ -103,9 +109,14 @@ def grid_family() -> str:
 # Invert/predict image-transform path: "fft" = batched XLA (i)fft2 at
 # npad^2; "matmul" = pruned centred-DFT matmuls npad<->npixel on the MXU
 # at Precision.HIGH (bf16x3) — skips the padded-region compute and any
-# non-2^k FFT radix penalty. "auto" = matmul on TPU (measured 384.5 vs
-# 367.0 Mvis/s on the 10M/1024^2 BASELINE invert, one v5e), fft on CPU
-# (pocketfft beats dense matmuls there). Read at TRACE time.
+# non-2^k FFT radix penalty (measured 384.5 vs 367.0 Mvis/s on the
+# 10M/1024^2 BASELINE invert, one v5e) but ADDS ~2.5e-5 predict error
+# over the ~1.4e-6 fft floor. "auto" therefore resolves to "fft"
+# everywhere: the default public API keeps the accuracy floor, and the
+# ~4.7% throughput of "matmul" is an explicit opt-in
+# (set_invert_tail("matmul") / SKA_SDP_TPU_INVERT_TAIL=matmul).
+# Resolved OUTSIDE the jit caches (ops.imaging wrapper functions), so
+# setting it between calls forces a retrace.
 import os as _os
 
 _INVERT_TAIL: str = _os.environ.get("SKA_SDP_TPU_INVERT_TAIL", "auto")
@@ -113,7 +124,7 @@ _INVERT_TAIL: str = _os.environ.get("SKA_SDP_TPU_INVERT_TAIL", "auto")
 
 def invert_tail() -> str:
     if _INVERT_TAIL == "auto":
-        return "matmul" if jax.default_backend() == "tpu" else "fft"
+        return "fft"
     return _INVERT_TAIL
 
 
@@ -124,6 +135,26 @@ def set_invert_tail(tail: str) -> None:
         )
     global _INVERT_TAIL
     _INVERT_TAIL = tail
+
+
+# Beneš fixed-permutation engine in the fused self-cal cycle: replaces
+# the two per-cycle ~33 ms lax.sort permutation applies (plan order <->
+# solver natural order) with precomputed butterfly networks
+# (ops/permute.py). "auto" = on when the native routing library builds
+# (plan-build cost ~19 s at 10M entries, paid once per workspace);
+# "off" = always lax.sort; "on" = require it (raises if unavailable).
+_USE_BENES: str = _os.environ.get("SKA_SDP_TPU_BENES", "auto")
+
+
+def use_benes() -> str:
+    return _USE_BENES
+
+
+def set_use_benes(mode: str) -> None:
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"use_benes must be auto/on/off, got {mode!r}")
+    global _USE_BENES
+    _USE_BENES = mode
 
 
 def set_grid_family(family: str) -> None:

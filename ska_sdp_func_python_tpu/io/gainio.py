@@ -180,7 +180,12 @@ def export_h5parm(
         ss = fh.create_group(solset)
         gt0 = next(iter(tables.values()))
         nants = gt0.nants
-        names = antenna_names or [f"ANT{i:03d}" for i in range(nants)]
+        # no `or`: numpy-array antenna_names would raise on truthiness
+        names = (
+            [f"ANT{i:03d}" for i in range(nants)]
+            if antenna_names is None
+            else list(antenna_names)
+        )
         pos = (
             np.zeros((nants, 3), np.float64)
             if antenna_positions is None

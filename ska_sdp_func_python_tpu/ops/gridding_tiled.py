@@ -98,6 +98,13 @@ def tiled_grid(
         [npixel, npixel] when nplanes == 1 and plane_idx is None)
     """
     squeeze = nplanes == 1 and plane_idx is None
+    if w_order == 2 and plane_idx is not None and nplanes < 3:
+        # the 3-plane Lagrange stencil clips the centre plane to
+        # [1, nplanes-2]; with nplanes < 3 the dj=+1 entries would fall
+        # past the segment table and silently drop flux
+        raise ValueError(
+            f"w_order=2 needs nplanes >= 3, got {nplanes}"
+        )
     half = support // 2
     ts = tile
     buf = ts + support
@@ -380,6 +387,10 @@ def tiled_degrid(
     if grids.ndim == 2:
         grids = grids[None]
     npixel = grids.shape[-1]
+    if w_order == 2 and plane_idx is not None and nplanes < 3:
+        raise ValueError(
+            f"w_order=2 needs nplanes >= 3, got {nplanes}"
+        )
     half = support // 2
     ts = tile
     buf = ts + support

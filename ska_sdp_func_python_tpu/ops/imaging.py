@@ -139,19 +139,26 @@ def _w_planes(w, nw: int, w_interp: str = "linear", w_range=None):
 
 
 
-def _npad_for(npixel: int, padding) -> int:
+def _npad_for(npixel: int, padding, family: str | None = None) -> int:
     """Padded uv-grid size: ``padding`` (ducc0-style oversampling factor,
     may be fractional) times npixel, rounded up to a 128-multiple — OR,
     when a 7-smooth multiple of 56 lands within 6% of that, the
     56-family grid instead: tile 56 gives buf = 64 slot-kernel panels
     (4*buf = 512 = exactly four 128-wide MXU lane tiles vs 288 = 2.25
     at tile 64), measured 30.0 -> 27.6 ms on the 10M/1024^2 BASELINE
-    invert (1280/t64 -> 1344/t56)."""
+    invert (1280/t64 -> 1344/t56).
+
+    ``family`` overrides ``config.grid_family()`` — the jit entry points
+    resolve the config in their non-jit wrappers and pass it through as a
+    static argument, so ``set_grid_family()`` after a first call forces a
+    retrace instead of silently reusing the stale geometry."""
     up = lambda n: -(-int(n) // 128) * 128  # noqa: E731
     base = max(up(npixel * padding), up(npixel + 1))
-    from .. import config as _config
+    if family is None:
+        from .. import config as _config
 
-    if _config.grid_family() == "base":
+        family = _config.grid_family()
+    if family == "base":
         return base
     best56 = None
     # Only consider 56-family grids that are >= the 128-rounded base:
@@ -192,9 +199,10 @@ def _tile_for(npad: int) -> int:
         "padding",
         "gridder",
         "w_interp",
+        "family",
     ),
 )
-def invert_core(
+def _invert_core_jit(
     u,
     v,
     w,
@@ -209,19 +217,9 @@ def invert_core(
     padding: int = 2,
     gridder: str | None = None,
     w_interp: str = "linear",
+    family: str | None = None,
 ):
-    """Grid + FFT + w-stack one (channel, pol) visibility block.
-
-    The uv grid is internally padded by ``padding`` (like ducc0) so the
-    kernel taper correction is only evaluated on the well-conditioned inner
-    region of the band.
-
-    :param u, v, w: [N] baseline coordinates in wavelengths
-    :param vals: [N] complex visibilities
-    :param wgt: [N] imaging weights (flag-multiplied)
-    :return: (dirty [npixel, npixel] real, sumwt scalar)
-    """
-    npad = _npad_for(npixel, padding)
+    npad = _npad_for(npixel, padding, family)
     beta = _es_beta(support, npad / npixel)
     scale = npad * cellsize
     u_pix = -u * scale + npad // 2
@@ -348,6 +346,50 @@ def invert_core(
     return dirty, sumwt
 
 
+def invert_core(
+    u,
+    v,
+    w,
+    vals,
+    wgt,
+    *,
+    npixel: int,
+    cellsize: float,
+    support: int = 8,
+    nw: int = 1,
+    do_wstacking: bool = True,
+    padding: int = 2,
+    gridder: str | None = None,
+    w_interp: str = "linear",
+    family: str | None = None,
+):
+    """Grid + FFT + w-stack one (channel, pol) visibility block.
+
+    The uv grid is internally padded by ``padding`` (like ducc0) so the
+    kernel taper correction is only evaluated on the well-conditioned inner
+    region of the band.
+
+    Thin non-jit wrapper: resolves ``config.grid_family()`` here and
+    passes it as a static argument so ``set_grid_family()`` between calls
+    forces a retrace rather than silently reusing a stale geometry.
+
+    :param u, v, w: [N] baseline coordinates in wavelengths
+    :param vals: [N] complex visibilities
+    :param wgt: [N] imaging weights (flag-multiplied)
+    :return: (dirty [npixel, npixel] real, sumwt scalar)
+    """
+    if family is None:
+        from .. import config as _config
+
+        family = _config.grid_family()
+    return _invert_core_jit(
+        u, v, w, vals, wgt,
+        npixel=npixel, cellsize=cellsize, support=support, nw=nw,
+        do_wstacking=do_wstacking, padding=padding, gridder=gridder,
+        w_interp=w_interp, family=family,
+    )
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -357,9 +399,10 @@ def invert_core(
         "padding",
         "gridder",
         "w_interp",
+        "family",
     ),
 )
-def predict_core(
+def _predict_core_jit(
     u,
     v,
     w,
@@ -372,14 +415,10 @@ def predict_core(
     padding: int = 2,
     gridder: str | None = None,
     w_interp: str = "linear",
+    family: str | None = None,
 ):
-    """Degrid visibilities from an image plane (adjoint of invert_core).
-
-    :param image: [npixel, npixel] real model image
-    :return: [N] complex visibilities
-    """
     npixel = image.shape[-1]
-    npad = _npad_for(npixel, padding)
+    npad = _npad_for(npixel, padding, family)
     beta = _es_beta(support, npad / npixel)
     scale = npad * cellsize
     u_pix = -u * scale + npad // 2
@@ -512,6 +551,41 @@ def predict_core(
         ),
     ).reshape(-1)[:n]
     return vals
+
+
+def predict_core(
+    u,
+    v,
+    w,
+    image,
+    *,
+    cellsize: float,
+    support: int = 8,
+    nw: int = 1,
+    do_wstacking: bool = True,
+    padding: int = 2,
+    gridder: str | None = None,
+    w_interp: str = "linear",
+    family: str | None = None,
+):
+    """Degrid visibilities from an image plane (adjoint of invert_core).
+
+    Thin non-jit wrapper resolving ``config.grid_family()`` to a static
+    argument (see :func:`invert_core`).
+
+    :param image: [npixel, npixel] real model image
+    :return: [N] complex visibilities
+    """
+    if family is None:
+        from .. import config as _config
+
+        family = _config.grid_family()
+    return _predict_core_jit(
+        u, v, w, image,
+        cellsize=cellsize, support=support, nw=nw,
+        do_wstacking=do_wstacking, padding=padding, gridder=gridder,
+        w_interp=w_interp, family=family,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -701,10 +775,19 @@ def make_imaging_plan(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("values_sorted", "interpret", "precision", "tail"),
-)
+def _resolve_plan_statics(precision, tail):
+    """Resolve the config-driven static arguments OUTSIDE the jit cache so
+    ``set_gridder_precision()`` / ``set_invert_tail()`` between calls force
+    a retrace instead of silently reusing the stale compiled program."""
+    from .. import config as _config
+
+    if precision == "config" or precision == ("config",):
+        precision = _config.gridder_precision()
+    if tail is None:
+        tail = _config.invert_tail()
+    return precision, tail
+
+
 def invert_with_plan(
     plan: ImagingPlan,
     vals,
@@ -722,7 +805,31 @@ def invert_with_plan(
     ``tail``: image-transform path ("fft"/"matmul"; None = config —
     the epsilon regimes pin "fft", see accuracy.py).
     Returns (dirty [npixel, npixel] real, sumwt scalar).
+
+    Thin non-jit wrapper: the config-driven ``precision``/``tail`` knobs
+    are resolved here and passed to the jit as static arguments.
     """
+    precision, tail = _resolve_plan_statics(precision, tail)
+    return _invert_with_plan_jit(
+        plan, vals, wgt, values_sorted=values_sorted,
+        interpret=interpret, precision=precision, tail=tail,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("values_sorted", "interpret", "precision", "tail"),
+)
+def _invert_with_plan_jit(
+    plan: ImagingPlan,
+    vals,
+    wgt=None,
+    *,
+    values_sorted: bool = False,
+    interpret: bool | None = None,
+    precision: str | None = "config",
+    tail: str | None = None,
+):
     from .gridding_plan import grid_with_plan
 
     weighted = vals if wgt is None else vals * wgt.astype(vals.dtype)
@@ -882,10 +989,6 @@ def image_to_uv_grids(plan: ImagingPlan, image, head: str | None = None):
     return fft(pad_mid(z, npad))[None]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("to_sorted", "interpret", "precision", "tail"),
-)
 def predict_with_plan(
     plan: ImagingPlan,
     image,
@@ -900,7 +1003,30 @@ def predict_with_plan(
     ``to_sorted=True`` returns plan-ordered values that can feed straight
     back into ``invert_with_plan(values_sorted=True)`` (e.g. residual
     visibilities in a major-cycle loop) with no per-call sorting at all.
+
+    Thin non-jit wrapper: the config-driven ``precision``/``tail`` knobs
+    are resolved here and passed to the jit as static arguments.
     """
+    precision, tail = _resolve_plan_statics(precision, tail)
+    return _predict_with_plan_jit(
+        plan, image, to_sorted=to_sorted, interpret=interpret,
+        precision=precision, tail=tail,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("to_sorted", "interpret", "precision", "tail"),
+)
+def _predict_with_plan_jit(
+    plan: ImagingPlan,
+    image,
+    *,
+    to_sorted: bool = False,
+    interpret: bool | None = None,
+    precision: str | None = "config",
+    tail: str | None = None,
+):
     from .gridding_plan import degrid_with_plan
 
     # the image is zero outside the central npixel^2, so the correction and

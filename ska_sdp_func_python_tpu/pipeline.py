@@ -278,6 +278,55 @@ _POL_RECS = {
 }
 
 
+def _build_benes(plan):
+    """Per-channel Beneš permutation plans for the fused cycle's
+    plan-order <-> natural-order moves (ops/permute.py): replaces the two
+    per-cycle ~33 ms lax.sort permutation applies with precomputed
+    butterfly networks (~3 HBM passes on TPU). Controlled by
+    ``config.use_benes()``; returns None to fall back to lax.sort."""
+    from . import config as _cfg
+
+    mode = _cfg.use_benes()
+    if mode == "off":
+        return None
+    from .ops.permute import _load_lib, benes_plan
+
+    n0 = int(plan.plans[0].gp.n)
+    if mode == "auto" and _load_lib() is None and n0 > (1 << 16):
+        return None  # Python-fallback routing is too slow at scale
+    try:
+        out = []
+        for pl in plan.plans:
+            gp = pl.gp
+            perm = np.asarray(
+                jax.lax.bitcast_convert_type(
+                    gp.geo[3, : gp.n], jnp.int32
+                )
+            )
+            out.append(benes_plan(perm))
+        return tuple(out)
+    except Exception:
+        if mode == "on":
+            raise
+        log.warning(
+            "Benes plan build failed; falling back to lax.sort",
+            exc_info=True,
+        )
+        return None
+
+
+def _benes_fn(bp):
+    """Apply-function choice at trace time: the 3-pass Pallas kernel on
+    TPU (within its n range), the XLA butterfly chain elsewhere."""
+    from .ops.permute import benes_apply
+
+    if jax.default_backend() == "tpu" and 10 <= bp.n <= 25:
+        from .ops.permute_pallas import benes_apply_tpu
+
+        return benes_apply_tpu
+    return benes_apply
+
+
 def _solve_terms(state, cfg, gains, do_cal, mvis, psum_axis):
     """Sequential Jones-term solves + inverse-apply factor accumulation.
 
@@ -536,17 +585,29 @@ def _fused_selfcal_cycle(
     new_gains = list(gains)
     gwts = list(state["gain_wt"])
     gress = list(state["gain_res"])
+    benes = state.get("benes")
     if any_cal:
         # ---- natural-order model for the normal equations ----
+        # Benes butterfly apply when the workspace precomputed routing
+        # (3 HBM passes) instead of a full ~33 ms comparison sort
         ntime, nbl = state["cal"][0]["w_t"].shape[1], state["a1"].shape[0]
         chans = []
         for c in range(nchan):
-            pols = [
-                unsort_values(plans[c].gp, model_s[c][p]).reshape(
-                    ntime, nbl, -1
-                )
-                for p in range(npol)
-            ]
+            if benes is not None:
+                fn = _benes_fn(benes[c])
+                pols = [
+                    fn(benes[c], model_s[c][p], inverse=True).reshape(
+                        ntime, nbl, -1
+                    )
+                    for p in range(npol)
+                ]
+            else:
+                pols = [
+                    unsort_values(plans[c].gp, model_s[c][p]).reshape(
+                        ntime, nbl, -1
+                    )
+                    for p in range(npol)
+                ]
             chans.append(jnp.stack(pols, axis=-1))  # [t, b, nf_c, npol]
         mvis = chans[0] if cfg.mfs else jnp.concatenate(chans, axis=2)
         new_gains, gwts, gress, inv_tot = _solve_terms(
@@ -581,9 +642,13 @@ def _fused_selfcal_cycle(
             for p in range(npol):
                 r_p = resid_nat[:, :, fsel, p].reshape(-1)
                 ops.extend([jnp.real(r_p), jnp.imag(r_p)])
-            sorted_ops = jax.lax.sort(
-                (plans[c].gp.rank, *ops), num_keys=1
-            )[1:]
+            if benes is not None:
+                so = _benes_fn(benes[c])(benes[c], *ops)
+                sorted_ops = so if isinstance(so, tuple) else (so,)
+            else:
+                sorted_ops = jax.lax.sort(
+                    (plans[c].gp.rank, *ops), num_keys=1
+                )[1:]
             resid_sp = [
                 jax.lax.complex(sorted_ops[2 * p], sorted_ops[2 * p + 1])
                 for p in range(npol)
@@ -604,9 +669,13 @@ def _fused_selfcal_cycle(
                     inv_tot.shape[:2] + (nf_c,),
                 ).reshape(-1)
                 ops.extend([jnp.real(f_p), jnp.imag(f_p)])
-            sorted_ops = jax.lax.sort(
-                (plans[c].gp.rank, *ops), num_keys=1
-            )[1:]
+            if benes is not None:
+                so = _benes_fn(benes[c])(benes[c], *ops)
+                sorted_ops = so if isinstance(so, tuple) else (so,)
+            else:
+                sorted_ops = jax.lax.sort(
+                    (plans[c].gp.rank, *ops), num_keys=1
+                )[1:]
             inv_s = [
                 jax.lax.complex(sorted_ops[2 * p], sorted_ops[2 * p + 1])
                 for p in range(npol)
@@ -723,13 +792,22 @@ def _fused_selfcal_cycle_cube(
     new_gains = list(gains)
     gwts = list(state["gain_wt"])
     gress = list(state["gain_res"])
+    benes = state.get("benes")
     if any_cal:
         ntime, nbl = state["cal"][0]["w_t"].shape[1], state["a1"].shape[0]
-        mu = jax.vmap(
-            lambda pl, vs: jax.vmap(
-                lambda v: unsort_values(pl.gp, v)
-            )(vs)
-        )(plans, model_sa)
+        if benes is not None:
+            fn = _benes_fn(benes)
+            mu = jax.vmap(
+                lambda b, vs: jax.vmap(
+                    lambda v: fn(b, v, inverse=True)
+                )(vs)
+            )(benes, model_sa)
+        else:
+            mu = jax.vmap(
+                lambda pl, vs: jax.vmap(
+                    lambda v: unsort_values(pl.gp, v)
+                )(vs)
+            )(plans, model_sa)
         mvis = mu.reshape(nchan, npol, ntime, nbl).transpose(2, 3, 0, 1)
         new_gains, gwts, gress, inv_tot = _solve_terms(
             state, cfg, gains, do_cal, mvis, psum_axis or channel_axis
@@ -743,21 +821,40 @@ def _fused_selfcal_cycle_cube(
         )
         perchan = inv_bc.transpose(2, 3, 0, 1).reshape(nchan, npol, -1)
 
-        def sort_chan(rank, flat):
-            ops = []
-            for p in range(npol):
-                ops.extend([jnp.real(flat[p]), jnp.imag(flat[p])])
-            so = jax.lax.sort((rank, *ops), num_keys=1)[1:]
-            return jnp.stack(
-                [
-                    jax.lax.complex(so[2 * p], so[2 * p + 1])
-                    for p in range(npol)
-                ]
-            )
+        if benes is not None:
+            fn = _benes_fn(benes)
 
-        inv_sa = jax.vmap(sort_chan)(
-            plans.gp.rank, perchan
-        )  # [nchan, npol, n]
+            def sort_chan_b(b, flat):
+                ops = []
+                for p in range(npol):
+                    ops.extend([jnp.real(flat[p]), jnp.imag(flat[p])])
+                so = fn(b, *ops)
+                so = so if isinstance(so, tuple) else (so,)
+                return jnp.stack(
+                    [
+                        jax.lax.complex(so[2 * p], so[2 * p + 1])
+                        for p in range(npol)
+                    ]
+                )
+
+            inv_sa = jax.vmap(sort_chan_b)(benes, perchan)
+        else:
+
+            def sort_chan(rank, flat):
+                ops = []
+                for p in range(npol):
+                    ops.extend([jnp.real(flat[p]), jnp.imag(flat[p])])
+                so = jax.lax.sort((rank, *ops), num_keys=1)[1:]
+                return jnp.stack(
+                    [
+                        jax.lax.complex(so[2 * p], so[2 * p + 1])
+                        for p in range(npol)
+                    ]
+                )
+
+            inv_sa = jax.vmap(sort_chan)(
+                plans.gp.rank, perchan
+            )  # [nchan, npol, n]
         corr = obs_sa * inv_sa
     else:
         corr = obs_sa
@@ -960,6 +1057,7 @@ class _FusedSelfCal(_SortedWorkspace):
         from .ops.deconvolution import bound_psf, common_arguments
         from .ops.gain_ops import _gain_row_of_time
 
+        self.benes = _build_benes(plan)
         self.gt0s, self.cal, term_cfgs = [], [], []
         for name in terms:
             gt0 = create_gaintable_from_visibility(
@@ -1076,6 +1174,13 @@ class _FusedSelfCal(_SortedWorkspace):
             )
             return {
                 "plans": plans,
+                "benes": (
+                    jax.tree_util.tree_map(
+                        lambda *xs: jnp.stack(xs), *self.benes
+                    )
+                    if self.benes is not None
+                    else None
+                ),
                 "obs_s": jnp.stack(
                     [jnp.stack(r) for r in self.obs_s]
                 ),
@@ -1101,6 +1206,7 @@ class _FusedSelfCal(_SortedWorkspace):
             }
         return {
             "plans": tuple(self.plan.plans),
+            "benes": self.benes,
             "obs_s": tuple(tuple(r) for r in self.obs_s),
             "wgt_s": tuple(tuple(r) for r in self.wgt_s),
             "comp_s": (

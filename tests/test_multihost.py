@@ -19,16 +19,6 @@ import pytest
 HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _fresh_compile_state():
-    """Same crash class as test_parallel's fixture: the streamed-cycle
-    compiles abort the XLA CPU compiler when a full suite's compile
-    state has accumulated (r4: Fatal Python error at 84% in
-    test_two_process_streamed_tg_cube; passes standalone). Drop the jit
-    caches at module entry."""
-    jax.clear_caches()
-    yield
-
 
 def _free_port():
     s = socket.socket()

@@ -29,16 +29,6 @@ from simul import make_visibility
 from test_solvers import _simulate_gaintable
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _fresh_compile_state():
-    """The big SPMD mesh compiles in this module segfault the XLA CPU
-    compiler when ~190 tests' compile state has accumulated (observed
-    deterministically at test 6 in full-suite runs; every test passes
-    standalone). Dropping the jit caches at module entry keeps the
-    compiler heap where those graphs compile reliably."""
-    jax.clear_caches()
-    yield
-
 PC = (0.0, np.deg2rad(-35.0))
 
 
