@@ -61,6 +61,30 @@ def _bench_flagship_cycle():
         print(f"# flagship cycle bench skipped: {exc}", file=sys.stderr)
 
 
+def _bench_baseline_metrics():
+    """BASELINE.md configs 1, 2 and 4 (gain solve, Hogbom/msclean,
+    64-chan MSMFS), each as its own JSON line via bench_all.py legs so
+    the driver capture covers all five BASELINE metrics, not just the
+    invert and the flagship cycle. Best-effort: the headline line has
+    already printed."""
+    import subprocess
+
+    for leg, tmo in (("solver", 600), ("clean", 1500), ("msmfs", 900)):
+        try:
+            out = subprocess.run(
+                [sys.executable, "bench_all.py", leg],
+                capture_output=True, text=True, timeout=tmo,
+            )
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line, flush=True)
+            for line in out.stderr.splitlines():
+                if line.startswith("#"):
+                    print(line, file=sys.stderr)
+        except Exception as exc:  # pragma: no cover - best effort
+            print(f"# {leg} bench skipped: {exc}", file=sys.stderr)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -234,6 +258,7 @@ def main():
     )
 
     _bench_flagship_cycle()
+    _bench_baseline_metrics()
     # re-emit the last streamed out-of-core result (bench_streamed.py);
     # the 1B-scale run itself is hours of tunnel-bound IO and cannot run
     # inside the driver's bench window — marked cached with its

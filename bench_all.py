@@ -351,8 +351,13 @@ def bench_ical():
 
 if __name__ == "__main__":
     sys.path.insert(0, ".")
-    bench_solver()
-    bench_invert_predict()
-    bench_clean()
-    bench_msmfs()
-    bench_ical()
+    legs = {
+        "solver": bench_solver,
+        "invert": bench_invert_predict,
+        "clean": bench_clean,
+        "msmfs": bench_msmfs,
+        "ical": bench_ical,
+    }
+    which = sys.argv[1:] or list(legs)
+    for name in which:
+        legs[name]()

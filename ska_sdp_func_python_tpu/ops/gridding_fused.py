@@ -232,6 +232,7 @@ def _grid_slot_kernel(
     precision=None,
     use_taps: bool = False,
     beta: float | None = None,
+    quad: bool = False,
 ):
     """One program per chunk-aligned slot of the sorted entry stream.
 
@@ -255,6 +256,12 @@ def _grid_slot_kernel(
     tiles are 128 wide, so an N of buf=72 wasted 44% of every pass
     while N = 4*buf = 288 wastes 25% (M is sublane-granular — any
     multiple of 8 is free).
+
+    ``quad`` (w-stacked buf == 64 geometries, i.e. the t56 family):
+    [2*buf, 2*buf] = [128, 128] quadrant layout — re/im on LHS rows,
+    w-plane weights on RHS rows — filling BOTH MXU tile dimensions
+    exactly (the [64, 256] form leaves the M half of every pass idle).
+    Quadrants: rows [comp*buf + v], lanes [plane*buf + u].
     """
     i = pl.program_id(0)
     seg = slot_seg_ref[i]
@@ -305,8 +312,22 @@ def _grid_slot_kernel(
         # keeps full positional precision in f32
         kv = es(tv0 + r - data[1][None, :] - data[6][None, :])  # [buf, chunk]
         ku = es(tu0 + r - data[0][None, :] - data[5][None, :])
+    dn = (((1,), (1,)), ((), ()))  # contract the chunk axis
     if nplanes_out == 1:
         rhs = jnp.concatenate([ku * vr, ku * vi], axis=0)
+        contrib = _dot(kv, rhs, dn, precision)  # [buf, 2*buf]
+    elif quad:
+        # FULL-MXU quadrant layout (buf == 64 geometries): move the
+        # re/im components onto the LHS rows and the w-plane weights
+        # onto the RHS rows, so the contraction is [128, K] x [128, K]
+        # -> [128, 128] — one exact MXU output tile per pass instead of
+        # a [64, 256] result whose M dimension idles half the array.
+        # out[a*buf+v, b*buf+u] = sum_e kv[v,e] val_a[e] ku[u,e] w_b[e]
+        w0 = 1.0 - frac
+        w1 = frac
+        lhs = jnp.concatenate([kv * vr, kv * vi], axis=0)
+        rhs = jnp.concatenate([ku * w0, ku * w1], axis=0)
+        contrib = _dot(lhs, rhs, dn, precision)  # [2*buf, 2*buf]
     else:
         w0 = 1.0 - frac
         w1 = frac
@@ -314,8 +335,7 @@ def _grid_slot_kernel(
             [ku * (vr * w0), ku * (vr * w1), ku * (vi * w0), ku * (vi * w1)],
             axis=0,
         )
-    dn = (((1,), (1,)), ((), ()))  # contract chunk axis -> [buf, panels]
-    contrib = _dot(kv, rhs, dn, precision)
+        contrib = _dot(kv, rhs, dn, precision)  # [buf, 4*buf]
     first = slot_first_ref[i] == 1
 
     @pl.when(first)
@@ -534,6 +554,13 @@ def _grid_execute(
     nseg = ntiles * nseg_planes
     nrows = payload.shape[0]
     nslots = slot_seg.shape[0]
+    # full-MXU quadrant layout for the w-stacked buf=64 (t56) family
+    quad = nplanes_out == 2 and buf == 64
+    acc_shape = (
+        (nseg, 2 * buf, 2 * buf)
+        if quad
+        else (nseg, buf, 2 * nplanes_out * buf)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
@@ -551,7 +578,7 @@ def _grid_execute(
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, buf, 2 * nplanes_out * buf),
+            (1,) + acc_shape[1:],
             lambda i, sg, sc, fi, st, ct: (sg[i], 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -568,14 +595,13 @@ def _grid_execute(
         precision=precision,
         use_taps=nrows == 24,
         beta=beta,
+        quad=quad,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         interpret=interpret,
-        out_shape=jax.ShapeDtypeStruct(
-            (nseg, buf, 2 * nplanes_out * buf), jnp.float32
-        ),
+        out_shape=jax.ShapeDtypeStruct(acc_shape, jnp.float32),
     )(slot_seg, slot_col, slot_first, starts, counts, payload, vals)
 
     if use_tap_payload(support, tile) and (
@@ -590,15 +616,29 @@ def _grid_execute(
             tile=ts,
             support=support,
             interpret=interpret,
+            quad=quad,
         )
 
     if wstacked:
-        # lane panels [re_lo | re_hi | im_lo | im_hi]; combine lower/upper
-        # halves into per-plane tile stacks: plane p receives seg (p, :)
-        # lower halves and seg (p-1, :) uppers
-        o = out.reshape(nseg_planes, ntiles, buf, 4, buf).transpose(
-            0, 1, 3, 2, 4
-        )
+        if quad:
+            # quadrant layout: rows [comp*buf + v], lanes [plane*buf + u]
+            o4 = out.reshape(nseg_planes, ntiles, 2, buf, 2, buf)
+            o = jnp.stack(
+                [
+                    o4[:, :, 0, :, 0, :],  # re_lo
+                    o4[:, :, 0, :, 1, :],  # re_hi
+                    o4[:, :, 1, :, 0, :],  # im_lo
+                    o4[:, :, 1, :, 1, :],  # im_hi
+                ],
+                axis=2,
+            )
+        else:
+            # lane panels [re_lo | re_hi | im_lo | im_hi]; combine
+            # lower/upper halves into per-plane tile stacks: plane p
+            # receives seg (p, :) lower halves and seg (p-1, :) uppers
+            o = out.reshape(nseg_planes, ntiles, buf, 4, buf).transpose(
+                0, 1, 3, 2, 4
+            )
         zt = jnp.zeros((1, ntiles, buf, buf), jnp.float32)
         acc_r = (
             jnp.concatenate([o[:, :, 0], zt], axis=0)
@@ -664,6 +704,7 @@ def _assemble_execute(
     tile: int,
     support: int,
     interpret: bool,
+    quad: bool = False,
 ):
     """Single-pass Pallas overlap-add: raw per-segment tile accumulators
     [nseg, buf, 2*nplanes_out*buf] -> assembled complex plane grids.
@@ -692,13 +733,20 @@ def _assemble_execute(
     ntiles = nta * nta
     ntiles_g = ntiles // g
     sources = ("lo", "hi") if wstacked else ("lo",)
-    nl = out.shape[2]  # 2*nplanes_out*buf
-    # lane-panel index (in units of buf) of each (source, component)
-    if nplanes_out == 2:
-        rb = {("lo", "re"): 0, ("hi", "re"): 1,
-              ("lo", "im"): 2, ("hi", "im"): 3}
+    nl = out.shape[2]  # 2*nplanes_out*buf (or 2*buf in quad layout)
+    nr = out.shape[1]  # buf (or 2*buf in quad layout)
+    # (row offset, lane offset) of each (source, component) panel:
+    # classic layout rides the lanes in buf-wide panels; the quad layout
+    # (see _grid_slot_kernel) is a 2x2 block matrix rows=[re|im],
+    # lanes=[lo|hi]
+    if quad:
+        rb = {("lo", "re"): (0, 0), ("hi", "re"): (0, buf),
+              ("lo", "im"): (buf, 0), ("hi", "im"): (buf, buf)}
+    elif nplanes_out == 2:
+        rb = {("lo", "re"): (0, 0), ("hi", "re"): (0, buf),
+              ("lo", "im"): (0, 2 * buf), ("hi", "im"): (0, 3 * buf)}
     else:
-        rb = {("lo", "re"): 0, ("lo", "im"): 1}
+        rb = {("lo", "re"): (0, 0), ("lo", "im"): (0, buf)}
 
     # u-adjacent segments are contiguous in the accumulator stack, so the
     # stack reshapes (bitcast, no copy) into pairs. One program per
@@ -711,7 +759,7 @@ def _assemble_execute(
     # previous full-pair scheme's 884 KB/source — the assemble stage is
     # DMA-bound (measured 6.6 ms of a 24.9 ms grid call at the 10M-vis
     # BASELINE before this restructuring).
-    out_groups = out.reshape(ntiles_g * nseg_planes, g, buf, nl)
+    out_groups = out.reshape(ntiles_g * nseg_planes, g, nr, nl)
 
     def group_of(p, tv, tj, dv, dj):
         return (
@@ -723,15 +771,15 @@ def _assemble_execute(
     in_specs = [
         # self group (all g elements, full)
         pl.BlockSpec(
-            (1, g, buf, nl),
+            (1, g, nr, nl),
             lambda p, tv, tj: (group_of(p, tv, tj, 0, 0), 0, 0, 0),
         ),
         # left-neighbour group, last element only (right-halo source)
         pl.BlockSpec(
-            (1, 1, buf, nl),
+            (1, 1, nr, nl),
             lambda p, tv, tj: (group_of(p, tv, tj, 0, -1), g - 1, 0, 0),
         ),
-        # upper-neighbour group, bottom 8-row strip
+        # upper-neighbour group, bottom 8-row strip (re rows)
         pl.BlockSpec(
             (1, g, 8, nl),
             lambda p, tv, tj: (group_of(p, tv, tj, -1, 0), 0, ts // 8, 0),
@@ -743,8 +791,31 @@ def _assemble_execute(
                                ts // 8, 0),
         ),
     ]
+    if quad:
+        # the quad layout's im rows live at [buf, 2*buf): their bottom
+        # strips are a second, non-contiguous fetch pair
+        in_specs += [
+            pl.BlockSpec(
+                (1, g, 8, nl),
+                lambda p, tv, tj: (
+                    group_of(p, tv, tj, -1, 0), 0, (buf + ts) // 8, 0,
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, nl),
+                lambda p, tv, tj: (
+                    group_of(p, tv, tj, -1, -1), g - 1, (buf + ts) // 8, 0,
+                ),
+            ),
+        ]
 
-    def kernel(selfb, prevb, upb, upprevb, *outs):
+    def kernel(selfb, prevb, upb, upprevb, *rest):
+        if quad:
+            upb_im, upprevb_im = rest[0], rest[1]
+            outs = rest[2:]
+        else:
+            upb_im, upprevb_im = upb, upprevb
+            outs = rest
         # 8-wide halo placement via exact one-hot contractions: a 0/1
         # matrix at HIGHEST precision reproduces the selected f32 values
         # exactly
@@ -772,18 +843,19 @@ def _assemble_execute(
                 x = pltpu.roll(x, nl - off, 1)
             return x[:, :w]
 
-        def gather(k, t):
-            """Assembled [ts, ts] core of group element t for lane-panel
-            k."""
-            c0 = k * buf
-            core = shift(selfb[0, t, :ts, :], c0, ts)
+        def gather(r0, c0, t, upref, upprevref):
+            """Assembled [ts, ts] core of group element t for the panel
+            at (row offset r0, lane offset c0)."""
+            core = shift(selfb[0, t, r0:r0 + ts, :], c0, ts)
             left = shift(
-                selfb[0, t - 1, :ts, :] if t else prevb[0, 0, :ts, :],
+                selfb[0, t - 1, r0:r0 + ts, :]
+                if t
+                else prevb[0, 0, r0:r0 + ts, :],
                 c0 + ts, 8,
             )  # [ts, 8] right-halo cols of the left neighbour
-            up = shift(upb[0, t, :, :], c0, ts)
+            up = shift(upref[0, t, :, :], c0, ts)
             cor = shift(
-                upb[0, t - 1, :, :] if t else upprevb[0, 0, :, :],
+                upref[0, t - 1, :, :] if t else upprevref[0, 0, :, :],
                 c0 + ts, 8,
             )  # [8, 8] corner halo
             return (
@@ -796,11 +868,13 @@ def _assemble_execute(
         for t in range(g):
             for si, src in enumerate(sources):
                 out_r, out_i = outs[2 * si], outs[2 * si + 1]
+                r0, c0 = rb[(src, "re")]
                 out_r[0, :, t * ts:(t + 1) * ts] = gather(
-                    rb[(src, "re")], t
+                    r0, c0, t, upb, upprevb
                 )
+                r0, c0 = rb[(src, "im")]
                 out_i[0, :, t * ts:(t + 1) * ts] = gather(
-                    rb[(src, "im")], t
+                    r0, c0, t, upb_im, upprevb_im
                 )
 
     o_spec = pl.BlockSpec((1, ts, g * ts), lambda p, tv, tj: (p, tv, tj))

@@ -64,9 +64,12 @@ def _mid_kernel(stages, n, ngroups, *refs):
     ctrl = refs[:ngroups]
     x_ref, o_ref = refs[ngroups], refs[ngroups + 1]
     x = x_ref[0]
+    # int32 AND-mask bit tests: Mosaic does not legalize vector uint8
+    # shifts (arith.shrui), so widen once and mask per stage
+    c32 = {g: ctrl[g][0].astype(jnp.int32) for g in {s >> 3 for s in stages}}
     for s in stages:
         k = _stage_k(s, n)
-        bit = (ctrl[s >> 3][0] >> np.uint8(s & 7)) & np.uint8(1)
+        bit = c32[s >> 3] & (1 << (s & 7))
         if k >= 7:
             x = _butterfly(x, bit, 1 << (k - 7), 0)
         else:
@@ -79,9 +82,12 @@ def _col_kernel(stages, n, ngroups, *refs):
     ctrl = refs[:ngroups]
     x_ref, o_ref = refs[ngroups], refs[ngroups + 1]
     x = x_ref[...]
+    c32 = {
+        g: ctrl[g][...].astype(jnp.int32) for g in {s >> 3 for s in stages}
+    }
     for s in stages:
         k = _stage_k(s, n)
-        bit = (ctrl[s >> 3][...] >> np.uint8(s & 7)) & np.uint8(1)
+        bit = c32[s >> 3] & (1 << (s & 7))
         x = _butterfly(x, bit, 1 << (k - _K), 0)
     o_ref[...] = x
 

@@ -56,6 +56,30 @@ def test_fused_wstack_matches_tiled(rng):
     )
 
 
+def test_fused_wstack_quad_t56_matches_tiled(rng):
+    """tile=56 (buf=64) activates the full-MXU [128,128] quadrant slot
+    layout and the quad assemble path; parity vs the tiled reference."""
+    npixel, nplanes = 224, 4
+    n = 4000
+    u = jnp.asarray(rng.uniform(4, npixel - 12, n))
+    v = jnp.asarray(rng.uniform(4, npixel - 12, n))
+    vals = jnp.asarray(rng.normal(size=n) + 1j * rng.normal(size=n))
+    p0 = jnp.asarray(rng.integers(0, nplanes - 1, n))
+    frac = jnp.asarray(rng.uniform(0, 1, n))
+    ref = tiled_grid(
+        u, v, vals, p0, frac,
+        npixel=npixel, support=8, nplanes=nplanes, tile=56, unit=256,
+    )
+    fast = fused_grid_wstack(
+        u, v, vals, p0, frac,
+        npixel=npixel, support=8, nplanes=nplanes, tile=56, interpret=True,
+    )
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
+    )
+
+
 def test_fused_nearest_w_matches_tiled(rng):
     npixel, nplanes = 128, 4
     n = 2500
