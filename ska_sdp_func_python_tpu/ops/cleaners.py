@@ -1515,6 +1515,297 @@ def _msmfs_loop(
     return model, smres
 
 
+def _msmfs_corner_kernel(
+    smres_ref,
+    canv_ref,
+    ih_ref,
+    clist_ref,
+    smres_out_ref,
+    shift_ref,
+    crit_ref,
+    *,
+    gain: float,
+    thresh: float,
+    fracthresh: float,
+    niter: int,
+    nm: int,
+):
+    """Corner-frame MSMFS minor-cycle loop (VERDICT r4 item 4): the
+    msclean corner redesign applied to the scale-MOMENT stacks.
+
+    Two structural wins over the XLA ``_msmfs_loop``:
+
+    * the reference recomputes the FULL principal solution
+      ``smpsol[s, n] = sum_m ih[s, m, n] smres[s, m]`` every iteration
+      (cleaners.py:1107-1123) although the peak search reads only its
+      moment-0 plane and the update only one pixel's moment vector.
+      Here only the moment-0 planes (``crit``, a VMEM scratch) are
+      rebuilt per iteration, and the peak's moment vector comes from a
+      patch-window reduce after the roll;
+    * like the msclean corner kernel, the residual planes are ROLLED so
+      the peak sits at the static patch centre — the scale-scale
+      moment-moment PSF subtraction is a static-window rank-2 loop with
+      no pads and no [.., 2ny, 2nx] padded-PSF dynamic slices.
+
+    Components are emitted as (ty, tx, mscale, used, gain*mval[0..nm])
+    rows; the moment model is rebuilt outside by an XLA scan replaying
+    ``update_moment_model``'s accumulation bit-identically.
+    """
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ns = smres_ref.shape[0]
+    ny, nx = smres_ref.shape[-2:]
+    py, px = canv_ref.shape[-2:]
+    cy, cx = py // 2, px // 2
+    smres_out_ref[...] = smres_ref[...]
+    clist_ref[...] = jnp.zeros_like(clist_ref)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    def ih_scalar(s, m, n):
+        """ih[s, m, n] from the [ns, 128] padded flat rows (static s)."""
+        return jnp.sum(
+            jnp.where(col == m * nm + n, ih_ref[s:s + 1, :], 0.0)
+        )
+
+    absthresh = jnp.maximum(
+        jnp.float32(thresh),
+        jnp.float32(fracthresh) * jnp.max(jnp.abs(smres_out_ref[0, 0])),
+    )
+    rr = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
+    cc = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
+    lin = rr * nx + cc
+    pr = jax.lax.broadcasted_iota(jnp.int32, (py, px), 0)
+    pc = jax.lax.broadcasted_iota(jnp.int32, (py, px), 1)
+    centre = (pr == cy) & (pc == cx)
+
+    def cond(carry):
+        i, done, sy, sx = carry
+        return (i < niter) & jnp.logical_not(done)
+
+    def body(carry):
+        i, _, sy, sx = carry
+        # moment-0 principal-solution planes (the search criterion)
+        for s in range(ns):
+            acc = jnp.zeros((ny, nx), jnp.float32)
+            for m in range(nm):
+                acc = acc + ih_scalar(s, m, 0) * smres_out_ref[s, m]
+            crit_ref[s] = acc
+        m = jnp.float32(-1.0)
+        for s in range(ns):
+            m = jnp.maximum(m, jnp.max(jnp.abs(crit_ref[s])))
+        ms = jnp.int32(ns)
+        for s in range(ns - 1, -1, -1):
+            m_s = jnp.max(jnp.abs(crit_ref[s]))
+            ms = jnp.where(m_s >= m, jnp.int32(s), ms)
+        psel = jnp.zeros((ny, nx), jnp.float32)
+        for s in range(ns):
+            psel = psel + jnp.where(ms == s, 1.0, 0.0) * crit_ref[s]
+        best = jnp.min(
+            jnp.where(jnp.abs(psel) == m, lin, jnp.int32(ny * nx))
+        )
+        pm_y = best // nx
+        pm_x = best - pm_y * nx
+        # roll every (scale, moment) plane: peak -> static patch centre
+        nyc, nxc = jnp.int32(ny), jnp.int32(nx)
+        dy = jax.lax.rem(jnp.int32(cy) - pm_y + nyc, nyc)
+        dx = jax.lax.rem(jnp.int32(cx) - pm_x + nxc, nxc)
+        for s in range(ns):
+            for q in range(nm):
+                smres_out_ref[s, q] = pltpu.roll(
+                    pltpu.roll(smres_out_ref[s, q], dy, 0), dx, 1
+                )
+        sy = jax.lax.rem(sy + dy, nyc)
+        sx = jax.lax.rem(sx + dx, nxc)
+        ty = jax.lax.rem(jnp.int32(cy) - sy + nyc, nyc)
+        tx = jax.lax.rem(jnp.int32(cx) - sx + nxc, nxc)
+        # peak moment vector: mval[n] = sum_m ih[ms, m, n] smres[ms, m]
+        # at the (now centred) peak — patch-window centre reduces
+        sm = []
+        for q in range(nm):
+            v = jnp.float32(0.0)
+            for s in range(ns):
+                v = v + jnp.where(ms == s, 1.0, 0.0) * jnp.sum(
+                    jnp.where(
+                        centre, smres_out_ref[s, q, 0:py, 0:px], 0.0
+                    )
+                )
+            sm.append(v)
+        mval = []
+        for n in range(nm):
+            v = jnp.float32(0.0)
+            for q in range(nm):
+                for s in range(ns):
+                    v = v + jnp.where(ms == s, 1.0, 0.0) * ih_scalar(
+                        s, q, n
+                    ) * sm[q]
+            mval.append(v)
+        stop = jnp.abs(mval[0]) < absthresh
+        gm = [jnp.where(stop, 0.0, jnp.float32(gain) * v) for v in mval]
+        # overlapIndices clip: true coords off the image receive nothing
+        valid = (
+            (ty - cy + pr >= 0) & (ty - cy + pr < ny)
+            & (tx - cx + pc >= 0) & (tx - cx + pc < nx)
+        )
+        # canv is stored compactly as [s, t, qp+q, py, px]: the
+        # moment-moment PSF depends only on qp+q (psf[t+q] in
+        # calculate_scale_scale_moment_moment_psf), so the VMEM canvas
+        # holds 2*nm-1 planes per (s, t) instead of nm^2
+        for t in range(ns):
+            csel = []
+            for j in range(2 * nm - 1):
+                c = jnp.zeros((py, px), jnp.float32)
+                for s in range(ns):
+                    c = c + jnp.where(
+                        ms == s, 1.0, 0.0
+                    ) * canv_ref[s, t, j]
+                csel.append(c)
+            for qp in range(nm):
+                acc = jnp.zeros((py, px), jnp.float32)
+                for q in range(nm):
+                    acc = acc + csel[qp + q] * gm[q]
+                smres_out_ref[t, qp, 0:py, 0:px] = smres_out_ref[
+                    t, qp, 0:py, 0:px
+                ] - jnp.where(valid, acc, 0.0)
+        row = (
+            jnp.where(col == 0, ty.astype(jnp.float32), 0.0)
+            + jnp.where(col == 1, tx.astype(jnp.float32), 0.0)
+            + jnp.where(col == 2, ms.astype(jnp.float32), 0.0)
+            + jnp.where(col == 3, jnp.where(stop, 0.0, 1.0), 0.0)
+        )
+        for n in range(nm):
+            row = row + jnp.where(col == 4 + n, gm[n], 0.0)
+        clist_ref[pl.dslice(i, 1), :] = row
+        return i + 1, stop, sy, sx
+
+    _, _, sy, sx = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), False, jnp.int32(0), jnp.int32(0))
+    )
+    for s in range(ns):
+        for q in range(nm):
+            smres_out_ref[s, q] = pltpu.roll(
+                pltpu.roll(
+                    smres_out_ref[s, q],
+                    jax.lax.rem(jnp.int32(ny) - sy, jnp.int32(ny)), 0,
+                ),
+                jax.lax.rem(jnp.int32(nx) - sx, jnp.int32(nx)), 1,
+            )
+    shift_ref[...] = (
+        jnp.where(col == 0, sy, 0) + jnp.where(col == 1, sx, 0)
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "gain", "thresh", "fracthresh", "niter", "interpret",
+    ),
+)
+def _msmfs_pallas_corner(
+    smres,
+    ssmmpsf,
+    ihsmmpsf,
+    pscalestack,
+    *,
+    gain: float,
+    thresh: float,
+    fracthresh: float,
+    niter: int,
+    interpret: bool = False,
+):
+    """Corner-frame Pallas MSMFS minor cycles; moment model rebuilt by an
+    XLA scan over the emitted component rows."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    ns, nm, ny, nx = smres.shape
+    py, px = ssmmpsf.shape[-2:]
+    # compact moment canvas: ssmm[s, t, qp, q] depends only on qp+q
+    canv = jnp.stack(
+        [
+            ssmmpsf[:, :, min(j, nm - 1), j - min(j, nm - 1)]
+            for j in range(2 * nm - 1)
+        ],
+        axis=2,
+    ).astype(jnp.float32)  # [ns, ns, 2nm-1, py, px]
+    ih_flat = jnp.zeros((ns, 128), jnp.float32)
+    ih_flat = ih_flat.at[:, : nm * nm].set(
+        ihsmmpsf.astype(jnp.float32).reshape(ns, nm * nm)
+    )
+    nlist = max(int(niter), 8)
+    kernel = partial(
+        _msmfs_corner_kernel,
+        gain=float(gain),
+        thresh=float(thresh),
+        fracthresh=float(fracthresh),
+        niter=int(niter),
+        nm=nm,
+    )
+    clist, smres_out, _shift = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nlist, 128), jnp.float32),
+            jax.ShapeDtypeStruct((ns, nm, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((1, 128), jnp.int32),
+        ),
+        input_output_aliases={0: 1},
+        scratch_shapes=[pltpu.VMEM((ns, ny, nx), jnp.float32)],
+        interpret=interpret,
+    )(
+        smres.astype(jnp.float32),
+        canv,
+        ih_flat,
+    )
+    pscale_big = _pad_psf_like(pscalestack.astype(jnp.float32), ny, nx)
+
+    def step(model, row):
+        ty = row[0].astype(jnp.int32)
+        tx = row[1].astype(jnp.int32)
+        ms = row[2].astype(jnp.int32)
+        gm = row[4:4 + nm] * row[3]
+        cpatch = jax.lax.dynamic_slice(
+            pscale_big, (ms, ny - ty, nx - tx), (1, ny, nx)
+        )[0]
+        return model + gm[:, None, None] * cpatch[None], None
+
+    model, _ = jax.lax.scan(
+        step, jnp.zeros((nm, ny, nx), jnp.float32), clist
+    )
+    return model, smres_out
+
+
+def _msmfs_pallas_ok(
+    dirty, psf_patch_shape, nscales, nmoment, window, sensitivity,
+    findpeak, niter, interpret,
+):
+    """Shape gate for the corner-frame MSMFS kernel: windowless
+    RASCIL/Algorithm1 peak finding, stacks + cross-scale moment PSF
+    canvases resident in VMEM."""
+    if not (interpret or jax.default_backend() == "tpu"):
+        return False
+    if window is not None or sensitivity is not None:
+        return False
+    if findpeak not in ("RASCIL", "Algorithm1"):
+        return False
+    ny, nx = dirty.shape[-2:]
+    py, px = psf_patch_shape
+    # smres counted once (in/out alias), compact [ns, ns, 2nm-1] canvas
+    vmem = (
+        nscales * nmoment * ny * nx
+        + nscales * ny * nx  # crit scratch
+        + nscales * nscales * (2 * nmoment - 1) * py * px
+    ) * 4
+    return (
+        nscales <= 4
+        and nmoment <= 3
+        and int(niter) <= 16384
+        and vmem <= 11 * 1024 * 1024
+        and py <= ny and px <= nx
+        and nx % 128 == 0 and px % 128 == 0
+        and py % 8 == 0 and ny % 8 == 0
+    )
+
+
 def msmfsclean(
     dirty,
     psf,
@@ -1526,6 +1817,7 @@ def msmfsclean(
     scales=(0, 3, 10, 30),
     fracthresh: float = 0.01,
     findpeak: str = "RASCIL",
+    use_pallas: bool | None = None,
 ):
     """Multi-scale multi-frequency CLEAN (Rau-Cornwell Algorithm 1, image
     plane; cleaners.py:686-1031) on moment cubes.
@@ -1550,6 +1842,24 @@ def msmfsclean(
     hsmmpsf, ihsmmpsf = calculate_scale_inverse_moment_moment_hessian(
         ssmmpsf
     )
+    if use_pallas is None:
+        use_pallas = _msmfs_pallas_ok(
+            dirty, psf.shape[-2:], len(scales), nmoment, window,
+            sensitivity, findpeak, niter, False,
+        )
+    if use_pallas:
+        model, smres_out = _msmfs_pallas_corner(
+            smres,
+            ssmmpsf,
+            ihsmmpsf,
+            pscalestack,
+            gain=float(gain),
+            thresh=float(thresh),
+            fracthresh=float(fracthresh),
+            niter=int(niter),
+            interpret=jax.default_backend() != "tpu",
+        )
+        return model, pmax * smres_out[0]
     if window is None:
         windowstack = None
     else:

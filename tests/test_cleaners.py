@@ -412,3 +412,66 @@ class TestPallasMscleanParity:
         assert not cl._msclean_pallas_ok(
             d, p_ok, 4, jnp.ones_like(d), None, True
         )
+
+
+class TestPallasMsmfsParity:
+    """The corner-frame MSMFS kernel must match the XLA _msmfs_loop
+    (interpret on CPU; bounded moment PSF)."""
+
+    def _setup(self, rng, n=256, pn=128, nmoment=2):
+        yy, xx = np.mgrid[0:pn, 0:pn]
+        psf0 = np.exp(
+            -(((yy - pn // 2) / 3.0) ** 2 + ((xx - pn // 2) / 3.0) ** 2)
+        ).astype(np.float32)
+        psf = np.zeros((2 * nmoment, pn, pn), np.float32)
+        for m in range(2 * nmoment):
+            psf[m] = psf0 / (1.0 + 0.3 * m)
+        big = np.zeros((n, n), np.float32)
+        big[n // 2 - pn // 2:n // 2 + pn // 2,
+            n // 2 - pn // 2:n // 2 + pn // 2] = psf0
+        dirty = np.zeros((nmoment, n, n), np.float32)
+        for (y, x, f) in [(100, 120, 2.0), (180, 200, 1.4), (96, 116, 0.9)]:
+            blob = f * np.roll(np.roll(big, y - n // 2, 0), x - n // 2, 1)
+            dirty[0] += blob
+            dirty[1] += 0.25 * blob
+        dirty[0] += 0.4 * np.exp(
+            -(((np.mgrid[0:n, 0:n][0] - 150) / 20.0) ** 2
+              + ((np.mgrid[0:n, 0:n][1] - 80) / 20.0) ** 2)
+        ).astype(np.float32)
+        dirty += rng.normal(0, 0.004, dirty.shape).astype(np.float32)
+        return jnp.asarray(dirty), jnp.asarray(psf)
+
+    def test_matches_xla(self, rng):
+        d, p = self._setup(rng)
+        kw = dict(gain=0.1, niter=25, scales=[0, 4], fracthresh=0.01)
+        c0, r0 = msmfsclean(d, p, use_pallas=False, **kw)
+        c1, r1 = msmfsclean(d, p, use_pallas=True, **kw)
+        cs = float(np.max(np.abs(np.asarray(c0)))) or 1.0
+        rs = float(np.max(np.abs(np.asarray(r0)))) or 1.0
+        np.testing.assert_allclose(
+            np.asarray(c1), np.asarray(c0), atol=1e-5 * cs
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1), np.asarray(r0), atol=1e-5 * rs
+        )
+
+    def test_gate(self):
+        from ska_sdp_func_python_tpu.ops import cleaners as cl
+
+        d = jnp.zeros((3, 256, 256), jnp.float32)
+        ok = cl._msmfs_pallas_ok(
+            d, (128, 128), 4, 3, None, None, "RASCIL", 1000, True
+        )
+        assert ok
+        assert not cl._msmfs_pallas_ok(
+            d, (128, 128), 4, 3, None, None, "CASA", 1000, True
+        )
+        assert not cl._msmfs_pallas_ok(
+            d, (128, 128), 4, 3, jnp.ones((256, 256)), None, "RASCIL",
+            1000, True,
+        )
+        # VMEM blow-up (full-image canvases) must be rejected
+        assert not cl._msmfs_pallas_ok(
+            jnp.zeros((3, 1024, 1024)), (1024, 1024), 4, 3, None, None,
+            "RASCIL", 1000, True,
+        )
