@@ -89,35 +89,41 @@ class GriddingAccuracy(typing.NamedTuple):
         return nw_for_epsilon(1, self.epsilon) if self.epsilon else 1
 
 
+# All w-stacked regimes use ES-KERNEL w-gridding (round 5; ducc0's
+# improved w-stacking): each vis feeds `support` neighbouring planes
+# with ES weights and the image is divided by the w-kernel transform at
+# wstep*(n-1). Unlike the earlier linear/quadratic interpolation laws —
+# whose error grows as (wstep*(n-1))^order and so UNDER-DELIVERED by
+# >100x for sources toward the image edge (adversarial case,
+# tests/test_accuracy_api.py) — the kernel bounds the w error uniformly
+# over the field at its aliasing floor, with tiny plane counts
+# (~sigma_w*4*wmax*(fov/2)^2 + support). Measured edge-source floors vs
+# the exact DFT (256^2, 5000 vis, w +-1200 wl, sigma_w=2): s8 1.5e-7,
+# s12 2.6e-11, s16 4.7e-13 (floors below keep 2-4x margin).
 _REGIMES = (
-    GriddingAccuracy("fast-f32", 6, 1.25, "device", None, None, 3.3e-5),
     GriddingAccuracy(
-        "compensated-f32", 8, 1.25, "host64", None, None, 1.5e-6
+        "fast-f32", 6, 1.25, "device", None, None, 3.3e-5,
+        w_interp="eskernel",
     ),
     GriddingAccuracy(
-        "precise-f32", 8, 2.0, "host64", "highest", None, 1.2e-6
+        "compensated-f32", 8, 1.25, "host64", None, None, 1.5e-6,
+        w_interp="eskernel",
     ),
     GriddingAccuracy(
-        "deep-f64", 8, 2.0, "host64", "highest", "tiled", 1.5e-7, True
+        "precise-f32", 8, 2.0, "host64", "highest", None, 1.2e-6,
+        w_interp="eskernel",
     ),
     GriddingAccuracy(
-        "deep-f64-s12", 12, 2.0, "host64", "highest", "tiled", 3e-8,
-        True,
+        "deep-f64", 8, 2.0, "host64", "highest", "tiled", 1.5e-7, True,
+        w_interp="eskernel",
     ),
     GriddingAccuracy(
-        "deep-f64-s16", 16, 2.0, "host64", "highest", "tiled", 5e-9,
-        True,
-    ),
-    # quadratic-w deep regimes (round 4): measured 256^2/50k-vis
-    # predict-vs-f64-DFT 1.8e-11 (s12/nw64) and 1.9e-12 (s16/nw128) —
-    # the reference ng.py epsilon=1e-12 contract is reachable
-    GriddingAccuracy(
-        "deep-f64-q12", 12, 2.0, "host64", "highest", "tiled", 5e-11,
-        True, w_interp="quadratic",
+        "deep-f64-s12", 12, 2.0, "host64", "highest", "tiled", 5e-11,
+        True, w_interp="eskernel",
     ),
     GriddingAccuracy(
-        "deep-f64-q16", 16, 2.0, "host64", "highest", "tiled", 2e-12,
-        True, w_interp="quadratic",
+        "deep-f64-s16", 16, 2.0, "host64", "highest", "tiled", 2e-12,
+        True, w_interp="eskernel",
     ),
 )
 _N_F32 = 3  # first three regimes run on f32 devices

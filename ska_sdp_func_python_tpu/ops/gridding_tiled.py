@@ -70,6 +70,7 @@ def _dense_kernel(tile0, pix, length: int, support: int, beta=None):
         "unit",
         "beta",
         "w_order",
+        "w_beta",
     ),
 )
 def tiled_grid(
@@ -78,6 +79,8 @@ def tiled_grid(
     vals,
     plane_idx=None,
     plane_frac=None,
+    u_lo=None,
+    v_lo=None,
     *,
     npixel: int,
     support: int = 8,
@@ -86,6 +89,7 @@ def tiled_grid(
     unit: int = 1024,
     beta: float | None = None,
     w_order: int = 1,
+    w_beta: float | None = None,
 ):
     """Grid (optionally w-stacked) visibilities onto [nplanes, npixel,
     npixel] without scatter.
@@ -104,6 +108,11 @@ def tiled_grid(
         # past the segment table and silently drop flux
         raise ValueError(
             f"w_order=2 needs nplanes >= 3, got {nplanes}"
+        )
+    if w_order >= 4 and plane_idx is not None and nplanes < w_order + 1:
+        raise ValueError(
+            f"w_order={w_order} (ES w-kernel) needs nplanes >= "
+            f"{w_order + 1}, got {nplanes}"
         )
     half = support // 2
     ts = tile
@@ -158,6 +167,39 @@ def tiled_grid(
         v_all = jnp.concatenate([v_pix] * 3)
         vals_all = jnp.concatenate([vals * wt for wt in wts])
         tid_all = jnp.concatenate(tids)
+    elif w_order >= 4:
+        # ES-kernel w-gridding (ducc0's "improved w-stacking", Arras+
+        # 2021; imaging/ng.py's production backend): each vis feeds
+        # w_order neighbouring planes with exponential-of-semicircle
+        # weights, and the image is divided by the kernel's transform
+        # evaluated at wstep*(n-1) (imaging.w_kernel_correction). Unlike
+        # polynomial interpolation — whose error grows as
+        # (wstep*(n-1))^order and so blows up toward the image EDGE —
+        # this bounds the w error uniformly over the field at the
+        # kernel's aliasing floor, with nw ~ sigma_w * 4*wmax*(fov/2)^2
+        # + w_order planes (vs the thousands the polynomial laws need
+        # for edge sources at deep epsilon).
+        # plane_idx = first tap plane j0, plane_frac = t - j0 with t
+        # the continuous plane coordinate (imaging._w_planes).
+        ssw = w_order
+        half_w = ssw / 2.0
+        tf = plane_frac.astype(u_pix.dtype)  # real: es_kernel clips nu^2
+        base = (tv * ntile_axis + tu).astype(jnp.int32)
+        ntot = ntiles * nplanes
+        trash = jnp.asarray(ntot, jnp.int32)
+        tids = [
+            jnp.where(in_grid, (plane_idx + k) * ntiles + base, trash)
+            for k in range(ssw)
+        ]
+        wts = [
+            es_kernel((k - tf) / half_w, ssw, w_beta) for k in range(ssw)
+        ]
+        u_all = jnp.concatenate([u_pix] * ssw)
+        v_all = jnp.concatenate([v_pix] * ssw)
+        vals_all = jnp.concatenate(
+            [vals * wt.astype(vals.dtype) for wt in wts]
+        )
+        tid_all = jnp.concatenate(tids)
     else:
         # duplicate each vis onto its two neighbouring w-planes
         frac = plane_frac.astype(vals.dtype)
@@ -179,18 +221,43 @@ def tiled_grid(
         tid_all = jnp.concatenate([tid_lo, tid_hi])
 
     n = u_all.shape[0]
-    # key-value sort carrying all payloads through the sort network: much
-    # faster on TPU than argsort + random gathers
-    tid_s, u_s, v_s, vr_s, vi_s = jax.lax.sort(
-        (
-            tid_all,
-            u_all,
-            v_all,
-            jnp.real(vals_all),
-            jnp.imag(vals_all),
-        ),
-        num_keys=1,
-    )
+    # optional compensated split coordinates: the (hi, lo) residuals ride
+    # the same sort/gather path and the kernel subtracts them after the
+    # small hi difference (full f64 positional accuracy in f32 kernels)
+    ncop = n // u_pix.shape[0]
+    if u_lo is not None:
+        ulo_all = (
+            jnp.concatenate([u_lo] * ncop) if ncop > 1 else u_lo
+        ).astype(u_all.dtype)
+        vlo_all = (
+            jnp.concatenate([v_lo] * ncop) if ncop > 1 else v_lo
+        ).astype(u_all.dtype)
+        tid_s, u_s, v_s, vr_s, vi_s, ulo_s, vlo_s = jax.lax.sort(
+            (
+                tid_all,
+                u_all,
+                v_all,
+                jnp.real(vals_all),
+                jnp.imag(vals_all),
+                ulo_all,
+                vlo_all,
+            ),
+            num_keys=1,
+        )
+    else:
+        ulo_s = vlo_s = None
+        # key-value sort carrying all payloads through the sort network:
+        # much faster on TPU than argsort + random gathers
+        tid_s, u_s, v_s, vr_s, vi_s = jax.lax.sort(
+            (
+                tid_all,
+                u_all,
+                v_all,
+                jnp.real(vals_all),
+                jnp.imag(vals_all),
+            ),
+            num_keys=1,
+        )
 
     starts, counts = sorted_seg_bounds(tid_s, ntot)
 
@@ -230,22 +297,37 @@ def tiled_grid(
     vv_u = v_s[flat_take].reshape(max_units, unit)
     vr_u = jnp.where(row_valid, vr_s[flat_take].reshape(max_units, unit), 0.0)
     vi_u = jnp.where(row_valid, vi_s[flat_take].reshape(max_units, unit), 0.0)
+    if ulo_s is not None:
+        ulo_u = ulo_s[flat_take].reshape(max_units, unit)
+        vlo_u = vlo_s[flat_take].reshape(max_units, unit)
+    else:
+        ulo_u = jnp.zeros_like(uu_u)
+        vlo_u = jnp.zeros_like(vv_u)
 
     r_cells = jnp.arange(buf, dtype=rdtype)
     half_f = jnp.asarray(half, dtype=rdtype)
 
     def unit_tiles(args):
-        uu, vv, vr, vi, tv0_u, tu0_u = args
+        uu, vv, vr, vi, ulo, vlo, tv0_u, tu0_u = args
         # lane-major [UB, buf, C] kernel layout: the C (=unit) axis stays on
-        # the 128-lane dimension through the matmul
+        # the 128-lane dimension through the matmul; the lo residual is
+        # subtracted AFTER the small hi difference (compensated mode)
         kv = es_kernel(
-            (tv0_u[:, None, None] + r_cells[None, :, None] - vv[:, None, :])
+            (
+                (tv0_u[:, None, None] + r_cells[None, :, None]
+                 - vv[:, None, :])
+                - vlo[:, None, :]
+            )
             / half_f,
             support,
             beta,
         )
         ku = es_kernel(
-            (tu0_u[:, None, None] + r_cells[None, :, None] - uu[:, None, :])
+            (
+                (tu0_u[:, None, None] + r_cells[None, :, None]
+                 - uu[:, None, :])
+                - ulo[:, None, :]
+            )
             / half_f,
             support,
             beta,
@@ -279,6 +361,8 @@ def tiled_grid(
             padr(vv_u).reshape(nb, ub, unit),
             padr(vr_u).reshape(nb, ub, unit),
             padr(vi_u).reshape(nb, ub, unit),
+            padr(ulo_u).reshape(nb, ub, unit),
+            padr(vlo_u).reshape(nb, ub, unit),
             padr(tv0).reshape(nb, ub),
             padr(tu0).reshape(nb, ub),
         ),
@@ -357,6 +441,7 @@ def _extract_tiles(grid, ts: int, support: int):
     jax.jit,
     static_argnames=(
         "support", "nplanes", "tile", "unit", "beta", "w_order",
+        "w_beta",
     ),
 )
 def tiled_degrid(
@@ -365,6 +450,8 @@ def tiled_degrid(
     grids,
     plane_idx=None,
     plane_frac=None,
+    u_lo=None,
+    v_lo=None,
     *,
     support: int = 8,
     nplanes: int = 1,
@@ -372,6 +459,7 @@ def tiled_degrid(
     unit: int = 1024,
     beta: float | None = None,
     w_order: int = 1,
+    w_beta: float | None = None,
 ):
     """Degrid visibilities from (optionally w-stacked) grids without random
     per-cell gathers: the adjoint of :func:`tiled_grid`.
@@ -390,6 +478,11 @@ def tiled_degrid(
     if w_order == 2 and plane_idx is not None and nplanes < 3:
         raise ValueError(
             f"w_order=2 needs nplanes >= 3, got {nplanes}"
+        )
+    if w_order >= 4 and plane_idx is not None and nplanes < w_order + 1:
+        raise ValueError(
+            f"w_order={w_order} (ES w-kernel) needs nplanes >= "
+            f"{w_order + 1}, got {nplanes}"
         )
     half = support // 2
     ts = tile
@@ -453,6 +546,27 @@ def tiled_degrid(
             0.5 * x * (x + 1.0) * ig,
         ])
         n_entries = 3 * nvis
+    elif w_order >= 4:
+        # ES-kernel w-gridding (see tiled_grid): w_order tap planes with
+        # exponential-of-semicircle weights
+        ssw = w_order
+        half_w = ssw / 2.0
+        tf = plane_frac.astype(rdtype)
+        base = tv * ntile_axis + tu
+        ntot = ntiles * nplanes
+        trash = jnp.asarray(ntot, jnp.int32)
+        ig = jnp.where(in_grid, 1.0, 0.0)
+        tid_all = jnp.concatenate([
+            jnp.where(in_grid, (plane_idx + k) * ntiles + base, trash)
+            for k in range(ssw)
+        ])
+        u_all = jnp.concatenate([u_pix] * ssw)
+        v_all = jnp.concatenate([v_pix] * ssw)
+        wgt_all = jnp.concatenate([
+            es_kernel((k - tf) / half_w, ssw, w_beta).astype(rdtype) * ig
+            for k in range(ssw)
+        ])
+        n_entries = ssw * nvis
     else:
         frac = plane_frac.astype(rdtype)
         base = tv * ntile_axis + tu
@@ -468,9 +582,24 @@ def tiled_degrid(
         n_entries = 2 * nvis
 
     entry_idx = jnp.arange(n_entries, dtype=jnp.int32)
-    tid_s, u_s, v_s, w_s, idx_s = jax.lax.sort(
-        (tid_all, u_all, v_all, wgt_all, entry_idx), num_keys=1
-    )
+    ncop = n_entries // nvis
+    if u_lo is not None:
+        ulo_all = (
+            jnp.concatenate([u_lo] * ncop) if ncop > 1 else u_lo
+        ).astype(u_all.dtype)
+        vlo_all = (
+            jnp.concatenate([v_lo] * ncop) if ncop > 1 else v_lo
+        ).astype(u_all.dtype)
+        tid_s, u_s, v_s, w_s, idx_s, ulo_s, vlo_s = jax.lax.sort(
+            (tid_all, u_all, v_all, wgt_all, entry_idx, ulo_all,
+             vlo_all),
+            num_keys=1,
+        )
+    else:
+        ulo_s = vlo_s = None
+        tid_s, u_s, v_s, w_s, idx_s = jax.lax.sort(
+            (tid_all, u_all, v_all, wgt_all, entry_idx), num_keys=1
+        )
 
     # partition over ntot+1 tiles INCLUDING the trash tile, so every entry
     # (even out-of-grid ones, whose weights are zero) owns exactly one unit
@@ -512,22 +641,36 @@ def tiled_degrid(
     uu_u = u_s[flat_take].reshape(max_units, unit)
     vv_u = v_s[flat_take].reshape(max_units, unit)
     ww_u = jnp.where(row_valid, w_s[flat_take].reshape(max_units, unit), 0.0)
+    if ulo_s is not None:
+        ulo_u = ulo_s[flat_take].reshape(max_units, unit)
+        vlo_u = vlo_s[flat_take].reshape(max_units, unit)
+    else:
+        ulo_u = jnp.zeros_like(uu_u)
+        vlo_u = jnp.zeros_like(vv_u)
 
     r_cells = jnp.arange(buf, dtype=rdtype)
     half_f = jnp.asarray(half, dtype=rdtype)
 
     def unit_vals(args):
-        uu, vv, ww, t_idx, tv0_u, tu0_u = args
+        uu, vv, ww, ulo, vlo, t_idx, tv0_u, tu0_u = args
         tr = tiles_r[t_idx]  # [UB, buf, buf] contiguous gather
         ti = tiles_i[t_idx]
         kv = es_kernel(
-            (tv0_u[:, None, None] + r_cells[None, :, None] - vv[:, None, :])
+            (
+                (tv0_u[:, None, None] + r_cells[None, :, None]
+                 - vv[:, None, :])
+                - vlo[:, None, :]
+            )
             / half_f,
             support,
             beta,
         )  # [UB, buf, C]
         ku = es_kernel(
-            (tu0_u[:, None, None] + r_cells[None, :, None] - uu[:, None, :])
+            (
+                (tu0_u[:, None, None] + r_cells[None, :, None]
+                 - uu[:, None, :])
+                - ulo[:, None, :]
+            )
             / half_f,
             support,
             beta,
@@ -556,6 +699,8 @@ def tiled_degrid(
             padr(uu_u).reshape(nb, ub, unit),
             padr(vv_u).reshape(nb, ub, unit),
             padr(ww_u).reshape(nb, ub, unit),
+            padr(ulo_u).reshape(nb, ub, unit),
+            padr(vlo_u).reshape(nb, ub, unit),
             padr(unit_tile_c).reshape(nb, ub),
             padr(tv0).reshape(nb, ub),
             padr(tu0).reshape(nb, ub),
@@ -581,6 +726,8 @@ def tiled_degrid(
     vals = jax.lax.complex(vr_o, vi_o)
     if plane_idx is None or plane_frac is None or n_entries == nvis:
         return vals
-    if n_entries == 3 * nvis:  # quadratic 3-plane stencil
-        return vals[:nvis] + vals[nvis : 2 * nvis] + vals[2 * nvis :]
-    return vals[:nvis] + vals[nvis:]
+    ncopies = n_entries // nvis  # 2 linear / 3 quadratic / ssw eskernel
+    out = vals[:nvis]
+    for k in range(1, ncopies):
+        out = out + vals[k * nvis:(k + 1) * nvis]
+    return out

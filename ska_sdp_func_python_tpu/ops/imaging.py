@@ -100,7 +100,10 @@ def fill_vis_for_psf(vis: Visibility) -> Visibility:
 # --------------------------------------------------------------------------
 
 
-def _w_planes(w, nw: int, w_interp: str = "linear", w_range=None):
+def _w_planes(
+    w, nw: int, w_interp: str = "linear", w_range=None,
+    w_support: int = 8,
+):
     """W-plane decomposition: per-vis plane index + fraction.
 
     ``w_interp="linear"`` splits each vis between its two neighbouring
@@ -108,6 +111,12 @@ def _w_planes(w, nw: int, w_interp: str = "linear", w_range=None):
     assigns the closest plane only — classic WSClean-style w-stacking,
     first-order accurate but ~1.5x faster (half the sorted entries).
     Measured at 256^2/32 planes: linear ~1e-5, nearest ~2e-3 peak error.
+    ``"eskernel"`` spreads each vis over ``w_support`` planes with ES
+    weights (ducc0 improved w-stacking: uniform-over-the-field w error;
+    pair with :func:`w_kernel_correction`) — the plane grid extends
+    ``w_support/2`` planes beyond [wmin, wmax] on each side and the
+    returned fraction is the continuous plane coordinate minus the
+    first tap plane.
     ``w_range=(wmin, wmax)`` pins the plane grid externally — REQUIRED
     when visibilities are sharded so every shard stacks onto identical
     planes (parallel/fused.py).
@@ -119,6 +128,19 @@ def _w_planes(w, nw: int, w_interp: str = "linear", w_range=None):
     else:
         wmin = jnp.min(w)
         wmax = jnp.max(w)
+    if w_interp == "eskernel":
+        ssw = w_support
+        ni = max(nw - ssw, 1)
+        rng = wmax - wmin
+        wstep = jnp.where(
+            rng > 0, rng / max(ni - 1, 1), jnp.asarray(1.0, w.dtype)
+        )
+        w_lo = wmin - (ssw / 2) * wstep
+        t = (w - w_lo) / wstep
+        j0 = jnp.floor(t).astype(jnp.int32) - (ssw // 2 - 1)
+        j0 = jnp.clip(j0, 0, max(nw - ssw, 0))
+        plane_w = w_lo + wstep * jnp.arange(nw, dtype=w.dtype)
+        return j0, t - j0.astype(w.dtype), plane_w
     wstep = jnp.maximum((wmax - wmin) / max(nw - 1, 1), 1e-30)
     t = (w - wmin) / wstep
     plane_w = wmin + wstep * jnp.arange(nw)
@@ -137,6 +159,43 @@ def _w_planes(w, nw: int, w_interp: str = "linear", w_range=None):
     frac = jnp.clip(t - p0, 0.0, 1.0)
     return p0, frac, plane_w
 
+
+
+def w_kernel_correction(
+    npixel: int, cellsize, wstep, w_support: int, dtype, beta=None
+):
+    """Image-plane correction for ES-kernel w-gridding: divide the
+    summed w-plane image by the w-kernel's transform evaluated at
+    ``wstep * |n(l,m) - 1|`` — the w-axis analogue of
+    :func:`gridding.grid_correction` (NUFFT/Poisson argument along w;
+    ducc0 improved w-stacking, Arras+ 2021). [npixel, npixel] real.
+    """
+    import numpy as _np
+
+    from .gridding import es_kernel
+
+    h = w_support / 2.0
+    q, wq = _np.polynomial.legendre.leggauss(8 * w_support)
+    q = jnp.asarray(q, dtype=dtype)
+    wq = jnp.asarray(wq, dtype=dtype)
+    phi = (wq * es_kernel(q, w_support, beta)).astype(dtype)
+    x = (jnp.arange(npixel, dtype=dtype) - npixel // 2) * jnp.asarray(
+        cellsize, dtype
+    )
+    l2 = x[None, :] ** 2 + x[:, None] ** 2
+    nu = 1.0 - jnp.sqrt(jnp.clip(1.0 - l2, 0.0, 1.0))
+    X = (jnp.asarray(wstep, dtype) * nu) * jnp.asarray(
+        2.0 * np.pi * h, dtype
+    )
+
+    def add_q(carry, inputs):
+        wphi, qq = inputs
+        return carry + wphi * jnp.cos(X * qq), None
+
+    c0 = jnp.zeros_like(X)
+    c, _ = jax.lax.scan(add_q, c0, (phi, q))
+    c = c * jnp.asarray(h, dtype)
+    return jnp.where(jnp.abs(c) > 1e-30, c, 1.0)
 
 
 def _npad_for(npixel: int, padding, family: str | None = None) -> int:
@@ -200,6 +259,7 @@ def _tile_for(npad: int) -> int:
         "gridder",
         "w_interp",
         "family",
+        "prepix",
     ),
 )
 def _invert_core_jit(
@@ -208,6 +268,8 @@ def _invert_core_jit(
     w,
     vals,
     wgt,
+    u_lo=None,
+    v_lo=None,
     *,
     npixel: int,
     cellsize: float,
@@ -218,20 +280,29 @@ def _invert_core_jit(
     gridder: str | None = None,
     w_interp: str = "linear",
     family: str | None = None,
+    prepix: bool = False,
 ):
     npad = _npad_for(npixel, padding, family)
     beta = _es_beta(support, npad / npixel)
     scale = npad * cellsize
-    u_pix = -u * scale + npad // 2
-    v_pix = v * scale + npad // 2
+    if prepix:
+        # compensated mode: u/v arrive as padded-grid pixel coordinates
+        # split (hi, lo) in f32 by the caller (host-f64 positions; the
+        # tiled kernels subtract lo after the small hi difference)
+        u_pix, v_pix = u, v
+    else:
+        u_pix = -u * scale + npad // 2
+        v_pix = v * scale + npad // 2
     weighted = vals * wgt.astype(vals.dtype)
 
     if gridder is None:
         # fused Pallas path on accelerators (4.8x the XLA tiled pipeline at
         # the 10M-vis BASELINE config); tiled XLA on CPU (tests)
         gridder = "tiled" if jax.default_backend() == "cpu" else "fused"
-    if w_interp == "quadratic":
-        gridder = "tiled"  # the 3-plane stencil lives in the tiled path
+    if w_interp in ("quadratic", "eskernel"):
+        gridder = "tiled"  # the multi-plane stencils live in the tiled path
+    if prepix and gridder != "tiled":
+        raise ValueError("prepix coordinates need the tiled gridder")
     if gridder in ("tiled", "fused"):
         if gridder == "fused":
             from .gridding_fused import fused_grid_wstack as _grid_fn
@@ -243,9 +314,17 @@ def _invert_core_jit(
             grid_kw = {"unit": 256}
             if w_interp == "quadratic":
                 grid_kw["w_order"] = 2
+            elif w_interp == "eskernel":
+                grid_kw["w_order"] = support
+            if u_lo is not None:
+                grid_kw["u_lo"] = u_lo
+                grid_kw["v_lo"] = v_lo
 
         ts = _tile_for(npad)
         if not do_wstacking or nw <= 1:
+            nw_kw = {
+                k: v for k, v in grid_kw.items() if k in ("u_lo", "v_lo")
+            } if gridder == "tiled" else {}
             grid = _grid_fn(
                 u_pix,
                 v_pix,
@@ -254,10 +333,13 @@ def _invert_core_jit(
                 support=support,
                 tile=ts,
                 beta=beta,
+                **nw_kw,
             )
             dirty = (npad * npad) * ifft(grid)
         else:
-            p0, frac, plane_w = _w_planes(w, nw, w_interp)
+            p0, frac, plane_w = _w_planes(
+                w, nw, w_interp, w_support=support
+            )
             # smaller units for many w-planes: bounds the one-padded-unit-
             # per-tile overhead (nplanes*ntiles tiles) in the matmul stage
             grids = _grid_fn(
@@ -283,6 +365,11 @@ def _invert_core_jit(
 
             dirty0 = jnp.zeros_like(grids[0])
             dirty, _ = jax.lax.scan(accum, dirty0, (grids, plane_w))
+            if w_interp == "eskernel":
+                dirty = dirty / w_kernel_correction(
+                    npad, cellsize, plane_w[1] - plane_w[0], support,
+                    u.dtype,
+                )
         corr = grid_correction(npad, support, dtype=u.dtype, beta=beta)
         dirty = jnp.real(dirty) / corr
         dirty = extract_mid(dirty, npixel)
@@ -352,6 +439,8 @@ def invert_core(
     w,
     vals,
     wgt,
+    u_lo=None,
+    v_lo=None,
     *,
     npixel: int,
     cellsize: float,
@@ -362,6 +451,7 @@ def invert_core(
     gridder: str | None = None,
     w_interp: str = "linear",
     family: str | None = None,
+    prepix: bool = False,
 ):
     """Grid + FFT + w-stack one (channel, pol) visibility block.
 
@@ -383,10 +473,10 @@ def invert_core(
 
         family = _config.grid_family()
     return _invert_core_jit(
-        u, v, w, vals, wgt,
+        u, v, w, vals, wgt, u_lo, v_lo,
         npixel=npixel, cellsize=cellsize, support=support, nw=nw,
         do_wstacking=do_wstacking, padding=padding, gridder=gridder,
-        w_interp=w_interp, family=family,
+        w_interp=w_interp, family=family, prepix=prepix,
     )
 
 
@@ -400,6 +490,7 @@ def invert_core(
         "gridder",
         "w_interp",
         "family",
+        "prepix",
     ),
 )
 def _predict_core_jit(
@@ -407,6 +498,8 @@ def _predict_core_jit(
     v,
     w,
     image,
+    u_lo=None,
+    v_lo=None,
     *,
     cellsize: float,
     support: int = 8,
@@ -416,13 +509,17 @@ def _predict_core_jit(
     gridder: str | None = None,
     w_interp: str = "linear",
     family: str | None = None,
+    prepix: bool = False,
 ):
     npixel = image.shape[-1]
     npad = _npad_for(npixel, padding, family)
     beta = _es_beta(support, npad / npixel)
     scale = npad * cellsize
-    u_pix = -u * scale + npad // 2
-    v_pix = v * scale + npad // 2
+    if prepix:
+        u_pix, v_pix = u, v  # see _invert_core_jit
+    else:
+        u_pix = -u * scale + npad // 2
+        v_pix = v * scale + npad // 2
     corr = grid_correction(npad, support, dtype=u.dtype, beta=beta)
     img_pad = pad_mid(image, npad)
     img_c = (img_pad / corr).astype(
@@ -433,8 +530,10 @@ def _predict_core_jit(
 
     if gridder is None:
         gridder = "tiled" if jax.default_backend() == "cpu" else "fused"
-    if w_interp == "quadratic":
-        gridder = "tiled"  # 3-plane stencil lives in the tiled path
+    if w_interp in ("quadratic", "eskernel"):
+        gridder = "tiled"  # the multi-plane stencils live in the tiled path
+    if prepix and gridder != "tiled":
+        raise ValueError("prepix coordinates need the tiled gridder")
     if gridder in ("tiled", "fused"):
         if gridder == "fused":
             from .gridding_fused import fused_degrid_wstack as _degrid_fn
@@ -446,14 +545,31 @@ def _predict_core_jit(
             degrid_kw = {"unit": 256}
             if w_interp == "quadratic":
                 degrid_kw["w_order"] = 2
+            elif w_interp == "eskernel":
+                degrid_kw["w_order"] = support
+            if u_lo is not None:
+                degrid_kw["u_lo"] = u_lo
+                degrid_kw["v_lo"] = v_lo
 
         ts = _tile_for(npad)
         if not do_wstacking or nw <= 1:
             grid = fft(img_c)
+            nw_kw = {
+                k: v for k, v in degrid_kw.items()
+                if k in ("u_lo", "v_lo")
+            } if gridder == "tiled" else {}
             return _degrid_fn(
-                u_pix, v_pix, grid, support=support, tile=ts, beta=beta
+                u_pix, v_pix, grid, support=support, tile=ts, beta=beta,
+                **nw_kw,
             )
-        p0, frac, plane_w = _w_planes(w, nw, w_interp)
+        p0, frac, plane_w = _w_planes(
+            w, nw, w_interp, w_support=support
+        )
+        if w_interp == "eskernel":
+            img_c = img_c / w_kernel_correction(
+                npad, cellsize, plane_w[1] - plane_w[0], support,
+                u.dtype,
+            )
         fov = npad * cellsize
 
         def make_grid(wp):
@@ -558,6 +674,8 @@ def predict_core(
     v,
     w,
     image,
+    u_lo=None,
+    v_lo=None,
     *,
     cellsize: float,
     support: int = 8,
@@ -567,6 +685,7 @@ def predict_core(
     gridder: str | None = None,
     w_interp: str = "linear",
     family: str | None = None,
+    prepix: bool = False,
 ):
     """Degrid visibilities from an image plane (adjoint of invert_core).
 
@@ -581,10 +700,10 @@ def predict_core(
 
         family = _config.grid_family()
     return _predict_core_jit(
-        u, v, w, image,
+        u, v, w, image, u_lo, v_lo,
         cellsize=cellsize, support=support, nw=nw,
         do_wstacking=do_wstacking, padding=padding, gridder=gridder,
-        w_interp=w_interp, family=family,
+        w_interp=w_interp, family=family, prepix=prepix,
     )
 
 
@@ -1203,6 +1322,55 @@ def _nw_for(
     return max(2, min(nw_est, 256)) if wmax > 0 else 1
 
 
+def _nw_wkernel_for(vis, model, support: int, sigma_w: float = 2.0):
+    """Plane count for ES-kernel w-gridding: plane spacing
+    1/(2*sigma_w*numax) with numax = |n-1| at the image corner, plus
+    ``support`` margin planes (accuracy.nw law is not needed — the
+    kernel bounds the w error at its aliasing floor uniformly)."""
+    import math as _math
+
+    uvw = np.asarray(vis.uvw, np.float64)
+    f = np.asarray(vis.frequency, np.float64) / C_M_S
+    wl = uvw[..., 2:3] * f
+    wmin, wmax = float(wl.min()), float(wl.max())
+    fov = model.npixel * float(model.cellsize)
+    numax = 1.0 - _math.sqrt(max(0.0, 1.0 - min(1.0, 2 * (fov / 2) ** 2)))
+    if numax <= 0.0 or wmax <= wmin:
+        return support + 2
+    dw = 1.0 / (2.0 * sigma_w * numax)
+    ni = int(_math.ceil((wmax - wmin) / dw)) + 1
+    return ni + support
+
+
+def _prepix_rows(vis, model, fsel, npad):
+    """Host-f64 padded-grid pixel coordinates for the compensated
+    epsilon core path: (u_hi, u_lo, v_hi, v_lo, w). Under x64 the f64
+    coordinates pass through natively (lo = None); on f32 devices they
+    ship as split (hi, lo) pairs the tiled kernels recombine after the
+    small hi difference."""
+    uvw = np.asarray(vis.uvw, np.float64)  # [T, B, 3] metres
+    f = np.asarray(vis.frequency, np.float64)[fsel] / C_M_S
+    scale = npad * float(model.cellsize)
+    up = -uvw[..., 0:1] * f * scale + npad // 2
+    vp = uvw[..., 1:2] * f * scale + npad // 2
+    wl = uvw[..., 2:3] * f
+    if jax.config.jax_enable_x64:
+        return (
+            jnp.asarray(up.reshape(-1)), None,
+            jnp.asarray(vp.reshape(-1)), None,
+            jnp.asarray(wl.reshape(-1)),
+        )
+    uh = up.astype(np.float32)
+    vh = vp.astype(np.float32)
+    return (
+        jnp.asarray(uh.reshape(-1)),
+        jnp.asarray((up - uh).astype(np.float32).reshape(-1)),
+        jnp.asarray(vh.reshape(-1)),
+        jnp.asarray((vp - vh).astype(np.float32).reshape(-1)),
+        jnp.asarray(wl.astype(np.float32).reshape(-1)),
+    )
+
+
 def invert_visibility(
     vis: Visibility,
     model: Image,
@@ -1244,15 +1412,22 @@ def invert_visibility(
         support = acc.support
         kwargs["padding"] = acc.padding
         if do_wstacking:
-            nw = nw_for_epsilon(
-                _nw_for(vis, model, do_wstacking, nw), acc.epsilon,
-                acc.w_interp,
-            )
+            if acc.w_interp == "eskernel":
+                nw = _nw_wkernel_for(vis, model, acc.support)
+            else:
+                nw = nw_for_epsilon(
+                    _nw_for(vis, model, do_wstacking, nw), acc.epsilon,
+                    acc.w_interp,
+                )
         if acc.w_interp != "linear":
             kwargs["w_interp"] = acc.w_interp
-        if acc.gridder is not None:
+        if acc.gridder is not None or acc.w_interp == "eskernel":
+            # the multi-plane w stencils live in the tiled core path
             plan, kwargs["auto_plan"] = None, False
-            kwargs["gridder"] = acc.gridder
+            kwargs["gridder"] = acc.gridder or "tiled"
+            if acc.coords == "host64":
+                # compensated (hi, lo) pixel coordinates from host f64
+                kwargs["prepix"] = True
         else:
             kwargs["coords"] = (
                 "host64" if acc.coords == "host64" else "device"
@@ -1303,9 +1478,17 @@ def invert_visibility(
         ww = uvw_l[:, :, fsel, 2].reshape(-1)
         return uu, vv, ww
 
+    prepix = bool(kwargs.get("prepix"))
+    if prepix:
+        npad_pp = _npad_for(npixel, kwargs.get("padding") or 2)
     for ichan in range(nchan_img):
         fsel = slice(None) if mfs else slice(ichan, ichan + 1)
-        if plan is None:
+        ulo = vlo = None
+        if prepix:
+            uu, ulo, vv, vlo, ww = _prepix_rows(
+                svis, model, fsel, npad_pp
+            )
+        elif plan is None:
             uu, vv, ww = chan_rows(fsel)
         for pol in range(npol_img):
             vals = ms[:, :, fsel, pol].reshape(-1)
@@ -1323,6 +1506,9 @@ def invert_visibility(
                     ww,
                     vals,
                     wv,
+                    ulo,
+                    vlo,
+                    prepix=prepix,
                     npixel=npixel,
                     cellsize=model.cellsize,
                     w_interp=kwargs.get("w_interp", "linear"),
@@ -1376,15 +1562,22 @@ def predict_visibility(
         support = acc.support
         kwargs["padding"] = acc.padding
         if do_wstacking:
-            nw = nw_for_epsilon(
-                _nw_for(vis, model, do_wstacking, nw), acc.epsilon,
-                acc.w_interp,
-            )
+            if acc.w_interp == "eskernel":
+                nw = _nw_wkernel_for(vis, model, acc.support)
+            else:
+                nw = nw_for_epsilon(
+                    _nw_for(vis, model, do_wstacking, nw), acc.epsilon,
+                    acc.w_interp,
+                )
         if acc.w_interp != "linear":
             kwargs["w_interp"] = acc.w_interp
-        if acc.gridder is not None:
+        if acc.gridder is not None or acc.w_interp == "eskernel":
+            # the multi-plane w stencils live in the tiled core path
             plan, kwargs["auto_plan"] = None, False
-            kwargs["gridder"] = acc.gridder
+            kwargs["gridder"] = acc.gridder or "tiled"
+            if acc.coords == "host64":
+                # compensated (hi, lo) pixel coordinates from host f64
+                kwargs["prepix"] = True
         else:
             kwargs["coords"] = (
                 "host64" if acc.coords == "host64" else "device"
@@ -1411,10 +1604,18 @@ def predict_visibility(
 
     cdtype = jnp.result_type(vis.vis.dtype, jnp.complex64)
     newvis = czeros(vis.vis.shape[:3] + (npol_img,), cdtype)
+    prepix = bool(kwargs.get("prepix"))
+    if prepix:
+        npad_pp = _npad_for(model.npixel, kwargs.get("padding") or 2)
     for ichan in range(nchan_img):
         fsel = slice(None) if mfs else slice(ichan, ichan + 1)
         tb_shape = uvw_l[:, :, fsel, 0].shape
-        if plan is None:
+        ulo = vlo = None
+        if prepix:
+            uu, ulo, vv, vlo, ww = _prepix_rows(
+                vis, model, fsel, npad_pp
+            )
+        elif plan is None:
             uu = uvw_l[:, :, fsel, 0].reshape(-1)
             vv = uvw_l[:, :, fsel, 1].reshape(-1)
             ww = uvw_l[:, :, fsel, 2].reshape(-1)
@@ -1431,6 +1632,9 @@ def predict_visibility(
                     vv,
                     ww,
                     model.pixels[ichan, pol],
+                    ulo,
+                    vlo,
+                    prepix=prepix,
                     cellsize=model.cellsize,
                     w_interp=kwargs.get("w_interp", "linear"),
                     support=support,

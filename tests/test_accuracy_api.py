@@ -69,17 +69,21 @@ class TestResolver:
         acc = gridding_params_for_epsilon(2e-6, do_wstacking=False)
         assert acc.regime in ("compensated-f32", "precise-f32")
 
-    def test_quadratic_regime_resolves(self):
+    def test_deep_regime_resolves_eskernel(self):
+        """All w-stacked regimes use ES-kernel w-gridding (round 5):
+        the polynomial nw laws under-delivered >100x for edge sources
+        (the kernel bounds the w error uniformly over the field)."""
         from ska_sdp_func_python_tpu.ops.accuracy import (
-            gridding_params_for_epsilon, nw_for_epsilon,
+            gridding_params_for_epsilon,
         )
 
         acc = gridding_params_for_epsilon(1e-11)
-        assert acc.w_interp == "quadratic"
-        assert acc.regime.startswith("deep-f64-q")
-        # cube-root law: far fewer planes than the square-root law
-        assert nw_for_epsilon(1, 1e-11, "quadratic") < 150
-        assert nw_for_epsilon(1, 1e-11, "linear") > 1000
+        assert acc.w_interp == "eskernel"
+        assert acc.regime == "deep-f64-s16"
+        for eps in (5e-5, 1e-6, 1e-8):
+            assert (
+                gridding_params_for_epsilon(eps).w_interp == "eskernel"
+            )
 
     def test_infeasible_raises(self):
         with pytest.raises(ValueError, match="below the validated"):
@@ -267,3 +271,60 @@ class TestAstrometryContract:
             assert err < 1e-5, err
         finally:
             jax.config.update("jax_enable_x64", True)
+
+
+class TestAdversarialEpsilon:
+    """Hardness test for the epsilon contract (VERDICT r4 item 9): a
+    wide-field, large-wmax LOW-core config with the source near the
+    image EDGE, where the retired polynomial w-interpolation laws
+    under-delivered by >100x at every ladder row (the w-phase curvature
+    (n-1) ~ r^2/2 grows 4th-power toward the edge; the Cornwell nw
+    heuristic is calibrated for benign positions). The ES-kernel
+    w-gridding regimes must deliver requested epsilon field-wide.
+    Reference contract: imaging/ng.py:59 (epsilon applies to the whole
+    image, default production backend)."""
+
+    def _setup(self):
+        vis = make_visibility(
+            nants=16, ntimes=5, nchan=1, rmax=2000.0, phasecentre=PC,
+            times=np.linspace(-np.pi / 4, np.pi / 4, 5),
+        )
+        npix = 256
+        model = create_image_from_visibility(
+            vis, npixel=npix, oversampling=2.0, nchan=1
+        )
+        # assert the case really is adversarial: nw_est >> 1
+        uvw = np.asarray(vis.uvw) * (
+            float(np.max(np.asarray(vis.frequency))) / 299792458.0
+        )
+        wmax = float(np.abs(uvw[..., 2]).max())
+        fov = npix * float(model.cellsize)
+        assert 4.0 * wmax * fov * fov > 8.0
+        ra, dec = model.pixel_to_radec(npix // 2 + 90, npix // 2 + 70)
+        comps = SkyComponents.from_lists(
+            [[float(ra), float(dec)]], np.ones((1, 1, 1)),
+            model.frequency,
+        )
+        vis_dft = dft_skycomponent_visibility(vis, comps)
+        px = jnp.zeros_like(model.pixels)
+        px = px.at[0, 0, npix // 2 + 70, npix // 2 + 90].set(1.0)
+        return vis, vis_dft, model.with_pixels(px)
+
+    @pytest.mark.parametrize("eps", [1e-5, 1e-7, 1e-9, 1e-11])
+    def test_edge_source_delivers(self, eps):
+        vis, vis_dft, mimg = self._setup()
+        got = predict_visibility(vis, mimg, context="ng", epsilon=eps)
+        err = np.max(
+            np.abs(np.asarray(got.vis) - np.asarray(vis_dft.vis))
+        )
+        assert err < eps, (eps, err)
+
+    def test_invert_edge_recovers(self):
+        vis, vis_dft, mimg = self._setup()
+        npix = 256
+        dirty, _ = invert_visibility(
+            vis_dft, mimg, context="ng", epsilon=1e-7
+        )
+        img = np.asarray(dirty.pixels)[0, 0]
+        iy, ix = np.unravel_index(np.argmax(img), img.shape)
+        assert (ix, iy) == (npix // 2 + 90, npix // 2 + 70)
