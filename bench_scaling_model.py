@@ -200,21 +200,30 @@ def main():
         total = audit["collective_bytes_total"]
         # ---- projected efficiency on real interconnects ----
         # The audited payloads are nvis-independent; scale them to the
-        # BASELINE flagship config (10M vis, 274 ants, 76 solve
+        # BASELINE flagship config (10M vis, 512 ants, 76 solve
         # intervals, 1024^2 at padding 1.25 -> npad 1344, nw 8) where
-        # the measured per-device fused cycle is ~190 ms on one v5e.
+        # the measured per-device fused cycle is ~113 ms on one v5e
+        # (round 5: Benes permutation engine + quad slot kernel).
+        # Round-5 collective structure (audited above): the uv grids
+        # ride ONE reduce-scatter (ring moves (N-1)/N * S ~ 1S, vs the
+        # old all-reduce's 2S) into an N-way-parallel tail, whose
+        # npixel^2 f32 partial-image sum is the only remaining
+        # all-reduce of the imaging leg.
         grid_bytes = 8 * 1344 * 1344 * 8          # c64[nw, npad, npad]
-        ne_bytes = 76 * 274 * 274 * (8 + 4)       # c64 NE + f32 weights
-        total_base = grid_bytes + ne_bytes
+        img_bytes = 1024 * 1024 * 4               # f32 partial image
+        ne_bytes = 76 * 512 * 512 * (8 + 4)       # c64 NE + f32 weights
         proj = []
         for name, bw_gbs, lat_us in (
             ("v5p ICI (90 GB/s/link, 3D torus)", 90.0, 1.0),
             ("v5e pod ICI (45 GB/s/link)", 45.0, 1.0),
             ("DCN multi-host (12.5 GB/s)", 12.5, 50.0),
         ):
-            # ring all-reduce moves 2*(N-1)/N * S per device; N=16 -> ~2S
-            t_comm = 2.0 * total_base / (bw_gbs * 1e9) + lat_us * 1e-6
-            t_compute = 0.19  # measured fused cycle, one v5e
+            # reduce-scatter moves (N-1)/N * S ~ 1S per device; the
+            # all-reduces move ~2S
+            t_comm = (
+                1.0 * grid_bytes + 2.0 * (img_bytes + ne_bytes)
+            ) / (bw_gbs * 1e9) + lat_us * 1e-6
+            t_compute = 0.113  # measured fused cycle, one v5e (r5)
             proj.append({
                 "link": name,
                 "comm_ms": round(t_comm * 1e3, 3),
@@ -225,7 +234,8 @@ def main():
         print(json.dumps({
             "metric": "scaling_model",
             "audited_collective_bytes": total,
-            "baseline_grid_psum_bytes": grid_bytes,
+            "baseline_grid_rs_bytes": grid_bytes,
+            "baseline_image_psum_bytes": img_bytes,
             "baseline_ne_psum_bytes": ne_bytes,
             "projected": proj,
         }), flush=True)

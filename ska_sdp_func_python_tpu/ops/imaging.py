@@ -1046,6 +1046,49 @@ def uv_grids_to_dirty(plan: ImagingPlan, grids, tail: str | None = None):
     return dirty * jnp.float32(npad * npad) / plan.corr_c
 
 
+def uv_grids_to_dirty_scattered(plan: ImagingPlan, grids, axis: str):
+    """Sharded invert tail (round 5, VERDICT r4 item 6): instead of
+    ``psum(grids)`` (ring traffic 2 x nw*npad^2 c64 — 232 MB/cycle at
+    the flagship config) followed by a REPLICATED tail, reduce-scatter
+    the w-plane grids over the mesh axis (1 x data), run the per-plane
+    ifft + w-beam sum on the LOCAL plane subset only (n-way parallel
+    tail), and psum the summed real npixel^2 partial image (8 MB).
+    Ring traffic drops ~2x and the tail compute divides by the mesh
+    size; on TPU the backend schedules the reduce-scatter/psum pair
+    asynchronously against neighbouring compute.
+
+    Only used under ``shard_map`` (needs a named mesh axis); numerics
+    match the replicated tail up to f32 plane-sum reordering.
+    """
+    from ..config import czeros
+
+    npad = plan.npad
+    wstack = plan.do_wstacking and plan.nw > 1
+    if not wstack:
+        grids = jax.lax.psum(grids, axis)
+        return uv_grids_to_dirty(plan, grids, tail="fft")
+    n = jax.lax.psum(1, axis)  # static int under shard_map tracing
+    nw = grids.shape[0]
+    pad = (-nw) % n
+    if pad:
+        # zero planes contribute zero image; the (clamped) w-beam rows
+        # they would select multiply zeros
+        grids = jnp.concatenate(
+            [grids, czeros((pad,) + grids.shape[1:], grids.dtype)]
+        )
+    local = jax.lax.psum_scatter(
+        grids, axis, scatter_dimension=0, tiled=True
+    )
+    k = local.shape[0]
+    i0 = jax.lax.axis_index(axis) * k
+    ctr = extract_mid(ifft(local), plan.npixel)  # [k, np, np]
+    wb_r = jax.lax.dynamic_slice_in_dim(plan.wb_r, i0, k, 0)
+    wb_i = jax.lax.dynamic_slice_in_dim(plan.wb_i, i0, k, 0)
+    part = jnp.sum(jnp.real(ctr) * wb_r - jnp.imag(ctr) * wb_i, axis=0)
+    dirty = jax.lax.psum(part, axis)
+    return dirty * jnp.float32(npad * npad) / plan.corr_c
+
+
 def _matmul_head_grids(zr, zi, npad: int, npixel: int):
     """``fft(pad_mid(z, npad))`` as two input-pruned DFT matmuls: the
     image is zero outside the central npixel^2, so the forward transform

@@ -331,9 +331,12 @@ def sharded_ical(
             )
             swt = jnp.sum(wgt)
             if shard == "baseline":
-                grids = jax.lax.psum(grids, axis)
+                from ..ops.imaging import uv_grids_to_dirty_scattered
+
                 swt = jax.lax.psum(swt, axis)
-            dirty = uv_grids_to_dirty(pl, grids)
+                dirty = uv_grids_to_dirty_scattered(pl, grids, axis)
+            else:
+                dirty = uv_grids_to_dirty(pl, grids)
             ok = swt > 0.0
             return jnp.where(
                 ok, dirty / jnp.where(ok, swt, 1.0), 0.0

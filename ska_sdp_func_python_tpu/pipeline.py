@@ -693,17 +693,20 @@ def _fused_selfcal_cycle(
                     plans[c], resid_s, wgt_s[c][p], values_sorted=True
                 )
             else:
-                # grid the local shard, psum the uv grids over the mesh,
-                # then run the (replicated) image-side tail
+                # grid the local shard, reduce-scatter the uv grids
+                # over the mesh and run the n-way-parallel sharded tail
+                # (uv_grids_to_dirty_scattered: ~2x less ring traffic
+                # than psum + replicated tail)
                 from .ops.gridding_plan import grid_with_plan
-                from .ops.imaging import uv_grids_to_dirty
+                from .ops.imaging import uv_grids_to_dirty_scattered
 
                 weighted = resid_s * wgt_s[c][p].astype(resid_s.dtype)
                 grids = grid_with_plan(
                     plans[c].gp, weighted, values_sorted=True
                 )
-                grids = jax.lax.psum(grids, psum_axis)
-                dirty = uv_grids_to_dirty(plans[c], grids)
+                dirty = uv_grids_to_dirty_scattered(
+                    plans[c], grids, psum_axis
+                )
                 swt = jax.lax.psum(
                     jnp.sum(wgt_s[c][p]), psum_axis
                 )
@@ -871,15 +874,14 @@ def _fused_selfcal_cycle_cube(
 
     else:
         from .ops.gridding_plan import grid_with_plan
-        from .ops.imaging import uv_grids_to_dirty
+        from .ops.imaging import uv_grids_to_dirty_scattered
 
         def invert_chan(pl, vs, ws):
             def one(v, wt):
                 weighted = v * wt.astype(v.dtype)
                 g = grid_with_plan(pl.gp, weighted, values_sorted=True)
-                g = jax.lax.psum(g, psum_axis)
                 return (
-                    uv_grids_to_dirty(pl, g),
+                    uv_grids_to_dirty_scattered(pl, g, psum_axis),
                     jax.lax.psum(jnp.sum(wt), psum_axis),
                 )
 

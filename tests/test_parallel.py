@@ -386,15 +386,29 @@ class TestCollectiveAudit:
         )
         colls = parse_collectives(hlo[0])
         ops = [c[0] for c in colls]
-        # 3 psums (x64 may split the scalar sumwt into its own): no
-        # all-to-alls, no gathers, nothing data-sized
-        assert ops.count("all-reduce") == len(ops) <= 4, colls
-        # the grid psum is the big one: c64[nw, npad, npad]
+        # round 5 (VERDICT r4 item 6): the uv grids ride ONE
+        # reduce-scatter (1x data of ring traffic instead of the psum's
+        # 2x) feeding an n-way-parallel sharded tail whose summed
+        # npixel^2 partial image is psum'd (small). Expected per cycle:
+        # NE psum + weight psum + grid reduce-scatter + image psum
+        # (possibly fused with the sumwt scalar); nothing else.
+        assert ops.count("reduce-scatter") == 1, colls
+        assert ops.count("all-reduce") == len(ops) - 1 <= 4, colls
         from ska_sdp_func_python_tpu.ops.imaging import _npad_for, _nw_for
 
         npad = _npad_for(model.npixel, 1.25)
         nwp = _nw_for(vis, model, True, None)
-        grid_bytes = nwp * npad * npad * 8
-        assert any(b == grid_bytes for _, _, b in colls), (
-            colls, grid_bytes
-        )
+        ndev = 8
+        nw_pad = -(-nwp // ndev) * ndev
+        # the reduce-scatter moves the full grid volume once; its HLO
+        # OUTPUT shape is the per-device plane block
+        rs_bytes = (nw_pad // ndev) * npad * npad * 8
+        rs = [c for c in colls if c[0] == "reduce-scatter"][0]
+        assert rs[2] == rs_bytes, (rs, rs_bytes)
+        # the image psum is npixel^2 f32 — 2*nw*ndev/npixel-fold less
+        # ring traffic than the old grid psum
+        img_bytes = model.npixel * model.npixel * 4
+        assert any(
+            b in (img_bytes, img_bytes + 4) and op == "all-reduce"
+            for op, _, b in colls
+        ), colls
