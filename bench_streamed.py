@@ -114,8 +114,21 @@ def main():
         "--save-model", default=None,
         help="save the final CLEANed model pixels to this npz",
     )
+    ap.add_argument(
+        "--wire", default="f16", choices=["f16", "f32"],
+        help="observed-stream wire dtype (f16 halves h2d traffic)",
+    )
+    ap.add_argument(
+        "--uvw-geom", action="store_true", default=True,
+        help="compute per-slab uvw on device from the store's antenna "
+        "geometry (12 B/vis saved on the wire)",
+    )
+    ap.add_argument(
+        "--no-uvw-geom", dest="uvw_geom", action="store_false",
+    )
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
 
     from ska_sdp_func_python_tpu.models import Image
@@ -149,7 +162,40 @@ def main():
         niter=300,
         gain=0.2,
         fractional_threshold=0.01,
+        wire_dtype=None if args.wire == "f32" else args.wire,
     )
+    if args.uvw_geom:
+        # device-side earth-rotation synthesis from the store's antenna
+        # geometry (same math as make_store, batched over hour angles):
+        # per slab only the nt time scalars cross the wire
+        from simul import random_array_xyz
+
+        ants_np = random_array_xyz(args.nants, rmax=2000.0, seed=11)
+        a1_np, a2_np = np.triu_indices(args.nants, 1)
+        blines = jnp.asarray(
+            (ants_np[a2_np] - ants_np[a1_np]).astype(np.float64)
+        )
+        dec = np.deg2rad(-35.0)
+        cd, sd = float(np.cos(dec)), float(np.sin(dec))
+
+        def uvw_compute(tsec):
+            ha = tsec * (2.0 * np.pi / 86164.1)
+            ch, sh = jnp.cos(ha), jnp.sin(ha)
+            bx, by, bz = blines[:, 0], blines[:, 1], blines[:, 2]
+            u = ch[:, None] * bx[None, :] - sh[:, None] * by[None, :]
+            v = (
+                (sh * sd)[:, None] * bx[None, :]
+                + (ch * sd)[:, None] * by[None, :]
+                + cd * bz[None, :]
+            )
+            w = (
+                (-sh * cd)[:, None] * bx[None, :]
+                - (ch * cd)[:, None] * by[None, :]
+                + sd * bz[None, :]
+            )
+            return jnp.stack([u, v, w], axis=-1)
+
+        kw["uvw_compute"] = jax.jit(uvw_compute)
     # ONE run, per-cycle wall clocks via on_cycle: cycle 0 carries the
     # remote compiles (reported separately), cycles >= 1 are steady
     # state. The old warmup-run-then-timed-run scheme streamed the data

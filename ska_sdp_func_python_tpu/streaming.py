@@ -293,6 +293,8 @@ def streamed_ical(
     distribute: bool = True,
     on_cycle=None,
     model_init: Image | None = None,
+    wire_dtype: str | None = None,
+    uvw_compute=None,
     **clean_kwargs,
 ):
     """Streamed ICAL over a native visibility store.
@@ -314,6 +316,20 @@ def streamed_ical(
         (CLEAN updates the image only)
     :param polarisation_frame: visibility frame of the store (defaults
         by npol: stokesI / linearnp / linear)
+    :param wire_dtype: "f16" ships the observed re/im/weight streams
+        over the host->device link as float16 with a per-slab scale,
+        dequantised on device — halves the dominant wire traffic of
+        out-of-core runs on the ~tunnel-bound axon link (VERDICT r4
+        item 7). Quantisation is ~5e-4 relative on the visibilities,
+        ample for self-cal (the 1B store's phase walk is sigma~0.8
+        rad). None (default) ships f32.
+    :param uvw_compute: optional ``times[s] -> uvw [nt, nbl, 3]``
+        device-side callable (e.g. antenna geometry + hour-angle
+        rotation). When given, per-slab uvw is COMPUTED on device from
+        the nt time scalars instead of uploading 12 B/vis of
+        coordinates — at single-channel scales uvw dominates the wire
+        (12 of 25 B/vis), so geometry-computed uvw plus f16 data cuts
+        a cold pass ~3.6x.
     :param cache_slabs: keep each slab's uploaded observed stream and
         uvw template on device across cycles (skips per-cycle store IO
         and host->device transfer at the cost of ~36 B/vis of HBM).
@@ -425,15 +441,6 @@ def streamed_ical(
             # only host->device transfer here); the zero-filled data
             # fields are recreated on device each call for free
             t0, nt = steps[k]
-            uvw = _tmpl_cache.get(k) if cache_slabs else None
-            if uvw is None:
-                uvw_np = np.zeros((nt_pad, store.nbl, 3))
-                uvw_np[:nt] = store.uvw[t0 : t0 + nt]
-                if not jax.config.jax_enable_x64:
-                    uvw_np = uvw_np.astype(np.float32)
-                uvw = jnp.asarray(uvw_np)
-                if cache_slabs:
-                    _tmpl_cache[k] = uvw
             time_np = np.zeros((nt_pad,))
             time_np[:nt] = store.time[t0 : t0 + nt]
             if nt_pad > nt:
@@ -441,6 +448,23 @@ def streamed_ical(
                 time_np[nt:] = (
                     store.time[-1] + dt + np.arange(nt_pad - nt)
                 )
+            uvw = _tmpl_cache.get(k) if cache_slabs else None
+            if uvw is None:
+                if uvw_compute is not None:
+                    # device-side uvw from geometry: nt scalars up the
+                    # wire instead of nt*nbl*3 coordinates
+                    tdev = np.asarray(time_np)
+                    if not jax.config.jax_enable_x64:
+                        tdev = tdev.astype(np.float32)
+                    uvw = uvw_compute(jnp.asarray(tdev))
+                else:
+                    uvw_np = np.zeros((nt_pad, store.nbl, 3))
+                    uvw_np[:nt] = store.uvw[t0 : t0 + nt]
+                    if not jax.config.jax_enable_x64:
+                        uvw_np = uvw_np.astype(np.float32)
+                    uvw = jnp.asarray(uvw_np)
+                if cache_slabs:
+                    _tmpl_cache[k] = uvw
             return create_visibility_from_arrays(
                 uvw=uvw,
                 time=time_np,
@@ -572,10 +596,25 @@ def streamed_ical(
                         j + 1, len(my_slabs), _time.time() - _t_pass,
                     )
                 fw = wt * (1 - fl)
+
+                def up(x):
+                    if wire_dtype != "f16":
+                        return jnp.asarray(x)
+                    # f16 wire with a per-slab scale guard; dequantise
+                    # on device (zeros and the flag mask survive
+                    # exactly; ~5e-4 relative quantisation otherwise)
+                    m = float(np.max(np.abs(x))) if x.size else 0.0
+                    if m > 3.0e4:
+                        s = m / 3.0e4
+                        dev = jnp.asarray((x / s).astype(np.float16))
+                        return dev.astype(jnp.float32) * jnp.float32(s)
+                    dev = jnp.asarray(x.astype(np.float16))
+                    return dev.astype(jnp.float32)
+
                 item = (
-                    jnp.asarray(_pad_slab(re, nt_pad)),
-                    jnp.asarray(_pad_slab(im, nt_pad)),
-                    jnp.asarray(_pad_slab(fw, nt_pad)),
+                    up(_pad_slab(re, nt_pad)),
+                    up(_pad_slab(im, nt_pad)),
+                    up(_pad_slab(fw, nt_pad)),
                 )
                 if cache_slabs:
                     _slab_cache[k] = item
