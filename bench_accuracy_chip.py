@@ -65,7 +65,7 @@ def main():
     )
 
     rows = []
-    for eps in (5e-5, 1e-5, 3e-6):
+    for eps in (1e-4, 1e-5, 5e-6):
         t0 = time.time()
         got = predict_visibility(vis, mimg, context="ng", epsilon=eps)
         gr = np.asarray(jnp.real(got.vis)).reshape(-1)

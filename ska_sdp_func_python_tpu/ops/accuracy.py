@@ -100,17 +100,25 @@ class GriddingAccuracy(typing.NamedTuple):
 # (~sigma_w*4*wmax*(fov/2)^2 + support). Measured edge-source floors vs
 # the exact DFT (256^2, 5000 vis, w +-1200 wl, sigma_w=2): s8 1.5e-7,
 # s12 2.6e-11, s16 4.7e-13 (floors below keep 2-4x margin).
+# f32 floors are EDGE-SOURCE measurements (512^2, source at 70% of the
+# half-field, vs host-f64 DFT): aliasing and the former coordinate
+# quantisation both grow toward the field edge, so the old
+# benign-position floors under-promised there. Compensated (hi, lo)
+# pixel coordinates: s8/pad1.25 4.8e-6 (aliasing 2.9e-6 + f32 fft/tap
+# ~2e-6); s8/pad2.0 1.8e-6 (the f32 arithmetic floor — f32 FFT error
+# ~eps32*log2(npad) plus f32 tap storage). fast-f32 keeps device
+# coordinates and is aliasing-dominated at the edge (2.8e-4).
 _REGIMES = (
     GriddingAccuracy(
-        "fast-f32", 6, 1.25, "device", None, None, 3.3e-5,
+        "fast-f32", 6, 1.25, "device", None, None, 3.0e-4,
         w_interp="eskernel",
     ),
     GriddingAccuracy(
-        "compensated-f32", 8, 1.25, "host64", None, None, 1.5e-6,
+        "compensated-f32", 8, 1.25, "host64", None, None, 6.0e-6,
         w_interp="eskernel",
     ),
     GriddingAccuracy(
-        "precise-f32", 8, 2.0, "host64", "highest", None, 1.2e-6,
+        "precise-f32", 8, 2.0, "host64", "highest", None, 2.5e-6,
         w_interp="eskernel",
     ),
     GriddingAccuracy(
@@ -183,9 +191,9 @@ def gridding_params_for_epsilon(
     if not x64:
         raise ValueError(
             f"epsilon={epsilon:g} is below the f32 device floor "
-            f"(~{_REGIMES[_N_F32 - 1].floor_eps:g} non-w, f32 tap "
-            "storage + FFT tail). Enable jax_enable_x64 to unlock the "
-            "deep double-precision regimes (validated to ~1e-8)."
+            f"(~{_REGIMES[_N_F32 - 1].floor_eps:g} field-wide: f32 FFT "
+            "error + f32 tap storage). Enable jax_enable_x64 to unlock "
+            "the deep double-precision regimes (validated to ~1e-11)."
         )
     raise ValueError(
         f"epsilon={epsilon:g} is below the validated envelope "

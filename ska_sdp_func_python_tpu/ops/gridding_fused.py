@@ -309,9 +309,11 @@ def _grid_slot_kernel(
 
         # rows 5/6 hold the split-coordinate residuals (zero when
         # uncompensated): subtracting them AFTER the small difference
-        # keeps full positional precision in f32
-        kv = es(tv0 + r - data[1][None, :] - data[6][None, :])  # [buf, chunk]
-        ku = es(tu0 + r - data[0][None, :] - data[5][None, :])
+        # keeps full positional precision in f32. Difference FIRST:
+        # (tv0 + r) - pix would round the intermediate at eps32 * npad
+        # (the round-5 on-chip finding in the tiled path)
+        kv = es((tv0 - data[1][None, :]) + r - data[6][None, :])
+        ku = es((tu0 - data[0][None, :]) + r - data[5][None, :])
     dn = (((1,), (1,)), ((), ()))  # contract the chunk axis
     if nplanes_out == 1:
         rhs = jnp.concatenate([ku * vr, ku * vi], axis=0)
@@ -985,9 +987,10 @@ def _degrid_kernel(
             k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
             return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
 
-        # rows 5/6: split-coordinate residuals (zero when uncompensated)
-        kv = es(tv0 + r - vv - data[6][None, :])  # [buf, chunk]
-        ku = es(tu0 + r - uu - data[5][None, :])
+        # rows 5/6: split-coordinate residuals (zero when uncompensated);
+        # difference first (no eps32*npad intermediate, round 5)
+        kv = es((tv0 - vv) + r - data[6][None, :])  # [buf, chunk]
+        ku = es((tu0 - uu) + r - data[5][None, :])
     livef = jnp.where(live, 1.0, 0.0)
 
     # val[c] = sum_x ( sum_r T[r, x] kv[r, c] ) ku[x, c]

@@ -51,8 +51,9 @@ def _unit_kernel(uu_ref, vv_ref, vr_ref, vi_ref, tv0_ref, tu0_ref,
         k = jnp.exp(beta * (jnp.sqrt(1.0 - nu2) - 1.0))
         return jnp.where(jnp.abs(nu) < 1.0, k, 0.0)
 
-    kv = es(tv0 + r - vv)  # [UB, buf, C]
-    ku = es(tu0 + r - uu)
+    # difference first: (tv0 + r) - vv would round at eps32*npad (r5)
+    kv = es((tv0 - vv) + r)  # [UB, buf, C]
+    ku = es((tu0 - uu) + r)
     vr = vr_ref[...][:, None, :]
     vi = vi_ref[...][:, None, :]
     dn = (((2,), (2,)), ((0,), (0,)))

@@ -56,7 +56,9 @@ def _dense_kernel(tile0, pix, length: int, support: int, beta=None):
     """
     half = support // 2
     r = jnp.arange(length, dtype=pix.dtype)
-    offs = tile0[:, None, None] + r[None, None, :] - pix[:, :, None]
+    # difference first: (tile0 + r) - pix would round the intermediate
+    # at eps32 * npixel (the round-5 on-chip 1.6e-5 finding)
+    offs = (tile0[:, None, None] - pix[:, :, None]) + r[None, None, :]
     return es_kernel(offs / half, support, beta)
 
 
@@ -312,10 +314,13 @@ def tiled_grid(
         # lane-major [UB, buf, C] kernel layout: the C (=unit) axis stays on
         # the 128-lane dimension through the matmul; the lo residual is
         # subtracted AFTER the small hi difference (compensated mode)
+        # difference FIRST: (tv0 + r) - vv rounds the intermediate at
+        # eps32 * npad (~5e-5 px at 768 — measured 1.6e-5 vis error on
+        # chip); (tv0 - vv) is exactly rounded at eps32 * |small|
         kv = es_kernel(
             (
-                (tv0_u[:, None, None] + r_cells[None, :, None]
-                 - vv[:, None, :])
+                ((tv0_u[:, None, None] - vv[:, None, :])
+                 + r_cells[None, :, None])
                 - vlo[:, None, :]
             )
             / half_f,
@@ -324,8 +329,8 @@ def tiled_grid(
         )
         ku = es_kernel(
             (
-                (tu0_u[:, None, None] + r_cells[None, :, None]
-                 - uu[:, None, :])
+                ((tu0_u[:, None, None] - uu[:, None, :])
+                 + r_cells[None, :, None])
                 - ulo[:, None, :]
             )
             / half_f,
@@ -655,10 +660,11 @@ def tiled_degrid(
         uu, vv, ww, ulo, vlo, t_idx, tv0_u, tu0_u = args
         tr = tiles_r[t_idx]  # [UB, buf, buf] contiguous gather
         ti = tiles_i[t_idx]
+        # difference FIRST (see tiled_grid): no eps32*npad intermediate
         kv = es_kernel(
             (
-                (tv0_u[:, None, None] + r_cells[None, :, None]
-                 - vv[:, None, :])
+                ((tv0_u[:, None, None] - vv[:, None, :])
+                 + r_cells[None, :, None])
                 - vlo[:, None, :]
             )
             / half_f,
@@ -667,8 +673,8 @@ def tiled_degrid(
         )  # [UB, buf, C]
         ku = es_kernel(
             (
-                (tu0_u[:, None, None] + r_cells[None, :, None]
-                 - uu[:, None, :])
+                ((tu0_u[:, None, None] - uu[:, None, :])
+                 + r_cells[None, :, None])
                 - ulo[:, None, :]
             )
             / half_f,

@@ -182,8 +182,11 @@ def w_kernel_correction(
     x = (jnp.arange(npixel, dtype=dtype) - npixel // 2) * jnp.asarray(
         cellsize, dtype
     )
-    l2 = x[None, :] ** 2 + x[:, None] ** 2
-    nu = 1.0 - jnp.sqrt(jnp.clip(1.0 - l2, 0.0, 1.0))
+    l2 = jnp.clip(x[None, :] ** 2 + x[:, None] ** 2, 0.0, 1.0)
+    # stable 1 - sqrt(1-r2): the naive form cancels to ~eps32 ABSOLUTE
+    # error in nu, which wstep (hundreds of wavelengths) amplifies to
+    # ~1e-5 of correction error — the measured round-5 on-chip f32 floor
+    nu = l2 / (1.0 + jnp.sqrt(1.0 - l2))
     X = (jnp.asarray(wstep, dtype) * nu) * jnp.asarray(
         2.0 * np.pi * h, dtype
     )

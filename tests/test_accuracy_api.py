@@ -57,16 +57,22 @@ class TestResolver:
         assert nw_for_epsilon(16, 1e-6) > nw_for_epsilon(8, 1e-6)
 
     def test_regime_selection(self):
-        assert gridding_params_for_epsilon(1e-4).regime == "fast-f32"
+        # floors are EDGE-SOURCE honest (round 5): fast-f32 is
+        # aliasing-dominated at the field edge (3e-4), so 1e-4 already
+        # needs the compensated row
+        assert gridding_params_for_epsilon(1e-3).regime == "fast-f32"
         assert (
-            gridding_params_for_epsilon(1e-5).regime == "compensated-f32"
+            gridding_params_for_epsilon(1e-4).regime == "compensated-f32"
+        )
+        assert (
+            gridding_params_for_epsilon(5e-6).regime == "precise-f32"
         )
         acc = gridding_params_for_epsilon(1e-7)
         assert acc.gridder == "tiled" and acc.requires_x64
-        assert gridding_params_for_epsilon(5e-8).support >= 12
+        assert gridding_params_for_epsilon(5e-8).support >= 8
 
     def test_2d_full_budget_to_floor(self):
-        acc = gridding_params_for_epsilon(2e-6, do_wstacking=False)
+        acc = gridding_params_for_epsilon(2.5e-6, do_wstacking=False)
         assert acc.regime in ("compensated-f32", "precise-f32")
 
     def test_deep_regime_resolves_eskernel(self):
