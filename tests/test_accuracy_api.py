@@ -65,14 +65,14 @@ class TestResolver:
             gridding_params_for_epsilon(1e-4).regime == "compensated-f32"
         )
         assert (
-            gridding_params_for_epsilon(5e-6).regime == "precise-f32"
+            gridding_params_for_epsilon(1e-5).regime == "precise-f32"
         )
         acc = gridding_params_for_epsilon(1e-7)
         assert acc.gridder == "tiled" and acc.requires_x64
         assert gridding_params_for_epsilon(5e-8).support >= 8
 
     def test_2d_full_budget_to_floor(self):
-        acc = gridding_params_for_epsilon(2.5e-6, do_wstacking=False)
+        acc = gridding_params_for_epsilon(5e-6, do_wstacking=False)
         assert acc.regime in ("compensated-f32", "precise-f32")
 
     def test_deep_regime_resolves_eskernel(self):
@@ -104,8 +104,10 @@ class TestResolver:
             jax.config.update("jax_enable_x64", False)
             with pytest.raises(ValueError, match="f32 device floor"):
                 gridding_params_for_epsilon(1e-7)
-            # the f32 ladder itself still resolves
-            assert gridding_params_for_epsilon(5e-6).regime in (
+            # the f32 ladder itself still resolves (chip-honest bottom:
+            # epsilon=1e-5 via the precise row, delivered 6.8e-6 at the
+            # field edge on one v5e)
+            assert gridding_params_for_epsilon(1e-5).regime in (
                 "compensated-f32", "precise-f32",
             )
         finally:
