@@ -69,7 +69,7 @@ def _bench_baseline_metrics():
     already printed."""
     import subprocess
 
-    for leg, tmo in (("solver", 600), ("clean", 1500), ("msmfs", 900)):
+    for leg, tmo in (("solver", 600), ("clean", 2400), ("msmfs", 1200)):
         try:
             out = subprocess.run(
                 [sys.executable, "bench_all.py", leg],
