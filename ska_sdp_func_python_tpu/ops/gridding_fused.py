@@ -1000,7 +1000,27 @@ def _degrid_kernel(
         a = _dot(t_ref[0], kv, dn, precision)
         return jnp.sum(a * ku, axis=0, keepdims=True)  # [1, chunk]
 
-    if wstacked:
+    if wstacked and buf == 64:
+        # full-MXU form (t56 family): concat the lower/upper plane
+        # tiles along the output axis so each contraction is
+        # [64, 128]^T x [64, chunk] -> [128, chunk] — M exactly fills
+        # the MXU where the four separate [64, chunk] results idled
+        # half of every pass (2 full passes instead of 4 half-filled)
+        w0 = (1.0 - frac) * livef
+        w1 = frac * livef
+        tr2 = jnp.concatenate([tlo_r_ref[0], thi_r_ref[0]], axis=1)
+        ti2 = jnp.concatenate([tlo_i_ref[0], thi_i_ref[0]], axis=1)
+        ar = _dot(tr2, kv, dn, precision)  # [2*buf, chunk]
+        ai = _dot(ti2, kv, dn, precision)
+        vr = (
+            jnp.sum(ar[0:buf] * ku, axis=0, keepdims=True) * w0
+            + jnp.sum(ar[buf:2 * buf] * ku, axis=0, keepdims=True) * w1
+        )
+        vi = (
+            jnp.sum(ai[0:buf] * ku, axis=0, keepdims=True) * w0
+            + jnp.sum(ai[buf:2 * buf] * ku, axis=0, keepdims=True) * w1
+        )
+    elif wstacked:
         w0 = (1.0 - frac) * livef
         w1 = frac * livef
         vr = tile_vals(tlo_r_ref) * w0 + tile_vals(thi_r_ref) * w1

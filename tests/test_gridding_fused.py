@@ -163,6 +163,33 @@ def test_fused_degrid_single_plane_matches_tiled(rng, npixel, tile):
     )
 
 
+def test_fused_degrid_wstack_t56_matches_tiled(rng):
+    """tile=56 (buf=64) activates the full-MXU concat form of the
+    degrid contraction; parity vs the tiled reference."""
+    npixel, nplanes = 224, 4
+    n = 4000
+    u = jnp.asarray(rng.uniform(4, npixel - 12, n))
+    v = jnp.asarray(rng.uniform(4, npixel - 12, n))
+    grids = jnp.asarray(
+        rng.normal(size=(nplanes, npixel, npixel))
+        + 1j * rng.normal(size=(nplanes, npixel, npixel))
+    ).astype(jnp.complex64)
+    p0 = jnp.asarray(rng.integers(0, nplanes - 1, n))
+    frac = jnp.asarray(rng.uniform(0, 1, n))
+    ref = tiled_degrid(
+        u, v, grids, p0, frac,
+        support=8, nplanes=nplanes, tile=56, unit=256,
+    )
+    fast = fused_degrid_wstack(
+        u, v, grids, p0, frac,
+        support=8, nplanes=nplanes, tile=56, interpret=True,
+    )
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-30
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(ref), atol=2e-5 * scale
+    )
+
+
 def test_fused_degrid_wstack_matches_tiled(rng):
     npixel, nplanes = 256, 5
     n = 4000
