@@ -1025,6 +1025,7 @@ def _msclean_corner_kernel(
     res_ref,
     canv_ref,
     cdiag_ref,
+    ath_ref,
     clist_ref,
     res_out_ref,
     shift_ref,
@@ -1063,10 +1064,17 @@ def _msclean_corner_kernel(
     cdiag = cdiag_ref[...]  # [1, ns]
     si1 = jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)
     cd0 = jnp.sum(jnp.where(si1 == 0, cdiag, 0.0))
-    absthresh = jnp.maximum(
+    col0 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    # block-chained calls (niter beyond the VMEM component-list cap)
+    # pass the FIRST block's threshold in ath_ref col 0 (>= 0); a
+    # negative value means "compute from this block's residual" — the
+    # reference semantics tie fracthresh to the INITIAL peak
+    ath_in = jnp.sum(jnp.where(col0 == 0, ath_ref[...], 0.0))
+    computed = jnp.maximum(
         jnp.float32(thresh),
         jnp.float32(fracthresh) * cd0 * jnp.max(jnp.abs(res_out_ref[0])),
     )
+    absthresh = jnp.where(ath_in >= 0.0, ath_in, computed)
     rr = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
     lin = rr * nx + cc
@@ -1152,9 +1160,17 @@ def _msclean_corner_kernel(
             ),
             jax.lax.rem(jnp.int32(nx) - sx, jnp.int32(nx)), 1,
         )
-    # Mosaic cannot store scalars to VMEM — write a full [1, 128] row
+    # Mosaic cannot store scalars to VMEM — write a full [1, 128] row;
+    # col 2 carries the absthresh used (bitcast into the int row) so
+    # block-chained calls can reuse it
     shift_ref[...] = (
-        jnp.where(col == 0, sy, 0) + jnp.where(col == 1, sx, 0)
+        jnp.where(col == 0, sy, 0)
+        + jnp.where(col == 1, sx, 0)
+        + jnp.where(
+            col == 2,
+            jax.lax.bitcast_convert_type(absthresh, jnp.int32),
+            0,
+        )
     )
 
 
@@ -1188,24 +1204,46 @@ def _msclean_pallas_corner(
         psf_ss.astype(jnp.float32).transpose(1, 0, 2, 3)
         * inv[None, :, None, None]
     )
-    nlist = max(int(niter), 8)
-    kernel = partial(
-        _msclean_corner_kernel,
-        gain=float(gain),
-        thresh=float(thresh),
-        fracthresh=float(fracthresh),
-        niter=int(niter),
+    # block-chained kernel calls lift the VMEM component-list cap: the
+    # [cap, 128] list stays resident per call and blocks pass the
+    # residual + the FIRST block's absthreshold forward (reference
+    # semantics tie fracthresh to the initial peak). A stopped clean
+    # makes later blocks exit after one peak search (~free).
+    cap = _CORNER_LIST_CAP
+    nblocks = max(1, -(-int(niter) // cap))
+    cdiag_row = coupling_diag.astype(jnp.float32).reshape(1, ns)
+    ath = jnp.full((1, 128), -1.0, jnp.float32)
+    res_cur = res_scaled
+    clists = []
+    for b in range(nblocks):
+        nb = min(cap, int(niter) - b * cap)
+        kernel = partial(
+            _msclean_corner_kernel,
+            gain=float(gain),
+            thresh=float(thresh),
+            fracthresh=float(fracthresh),
+            niter=nb,
+        )
+        clist_b, res_cur, shift = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((max(nb, 8), 128), jnp.float32),
+                jax.ShapeDtypeStruct((ns, ny, nx), jnp.float32),
+                jax.ShapeDtypeStruct((1, 128), jnp.int32),
+            ),
+            input_output_aliases={0: 1},
+            interpret=interpret,
+        )(res_cur, canv, cdiag_row, ath)
+        clists.append(clist_b[:nb])
+        if b + 1 < nblocks:
+            ath_val = jax.lax.bitcast_convert_type(
+                shift[0, 2], jnp.float32
+            )
+            ath = jnp.full((1, 128), ath_val, jnp.float32)
+    clist = (
+        clists[0] if nblocks == 1 else jnp.concatenate(clists, axis=0)
     )
-    clist, res_scaled_out, _shift = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nlist, 128), jnp.float32),
-            jax.ShapeDtypeStruct((ns, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.int32),
-        ),
-        input_output_aliases={0: 1},
-        interpret=interpret,
-    )(res_scaled, canv, coupling_diag.astype(jnp.float32).reshape(1, ns))
+    res_scaled_out = res_cur
     res = res_scaled_out * coupling_diag[:, None, None].astype(jnp.float32)
     # rebuild comps exactly as _msclean_loop accumulates them: a scan of
     # dynamic-slice blob patches in emission order
@@ -1226,6 +1264,10 @@ def _msclean_pallas_corner(
     )
     return comps, res
 
+
+# per-kernel-call component-list residency caps (block-chained beyond)
+_CORNER_LIST_CAP = 8192
+_MSMFS_LIST_CAP = 4096
 
 _MSCLEAN_PALLAS_MAX_PIXELS = 512 * 512
 _MSCLEAN_PALLAS_MAX_PSF = 256 * 256
@@ -1339,9 +1381,10 @@ def msclean(
         # corner-frame kernel auto-selects on TPU (110.3k vs XLA 56.4k
         # minor cycles/s at 512^2 — see _msclean_pallas_ok); CPU keeps
         # the XLA loop (interpret-mode pallas is slow)
+        # the component list is block-chained (cap 8192 rows per kernel
+        # call), so niter is unbounded (round 5; was gated <= 16384)
         use_pallas = (
             jax.default_backend() == "tpu"
-            and int(niter) <= 16384  # [niter, 128] list is VMEM-resident
             and _msclean_pallas_ok(
                 dirty, psf, len(scales), window, sensitivity, False
             )
@@ -1519,6 +1562,7 @@ def _msmfs_corner_kernel(
     smres_ref,
     canv_ref,
     ih_ref,
+    ath_ref,
     clist_ref,
     smres_out_ref,
     shift_ref,
@@ -1568,10 +1612,14 @@ def _msmfs_corner_kernel(
             jnp.where(col == m * nm + n, ih_ref[s:s + 1, :], 0.0)
         )
 
-    absthresh = jnp.maximum(
+    # block-chained calls reuse the first block's threshold (see
+    # _msclean_corner_kernel)
+    ath_in = jnp.sum(jnp.where(col == 0, ath_ref[...], 0.0))
+    computed = jnp.maximum(
         jnp.float32(thresh),
         jnp.float32(fracthresh) * jnp.max(jnp.abs(smres_out_ref[0, 0])),
     )
+    absthresh = jnp.where(ath_in >= 0.0, ath_in, computed)
     rr = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 0)
     cc = jax.lax.broadcasted_iota(jnp.int32, (ny, nx), 1)
     lin = rr * nx + cc
@@ -1691,7 +1739,13 @@ def _msmfs_corner_kernel(
                 jax.lax.rem(jnp.int32(nx) - sx, jnp.int32(nx)), 1,
             )
     shift_ref[...] = (
-        jnp.where(col == 0, sy, 0) + jnp.where(col == 1, sx, 0)
+        jnp.where(col == 0, sy, 0)
+        + jnp.where(col == 1, sx, 0)
+        + jnp.where(
+            col == 2,
+            jax.lax.bitcast_convert_type(absthresh, jnp.int32),
+            0,
+        )
     )
 
 
@@ -1732,30 +1786,44 @@ def _msmfs_pallas_corner(
     ih_flat = ih_flat.at[:, : nm * nm].set(
         ihsmmpsf.astype(jnp.float32).reshape(ns, nm * nm)
     )
-    nlist = max(int(niter), 8)
-    kernel = partial(
-        _msmfs_corner_kernel,
-        gain=float(gain),
-        thresh=float(thresh),
-        fracthresh=float(fracthresh),
-        niter=int(niter),
-        nm=nm,
+    # block-chained kernel calls (cap rows of component list resident
+    # per call) lift the niter VMEM gate — see _msclean_pallas_corner
+    cap = _MSMFS_LIST_CAP
+    nblocks = max(1, -(-int(niter) // cap))
+    ath = jnp.full((1, 128), -1.0, jnp.float32)
+    cur = smres.astype(jnp.float32)
+    clists = []
+    for b in range(nblocks):
+        nb = min(cap, int(niter) - b * cap)
+        kernel = partial(
+            _msmfs_corner_kernel,
+            gain=float(gain),
+            thresh=float(thresh),
+            fracthresh=float(fracthresh),
+            niter=nb,
+            nm=nm,
+        )
+        clist_b, cur, shift = pl.pallas_call(
+            kernel,
+            out_shape=(
+                jax.ShapeDtypeStruct((max(nb, 8), 128), jnp.float32),
+                jax.ShapeDtypeStruct((ns, nm, ny, nx), jnp.float32),
+                jax.ShapeDtypeStruct((1, 128), jnp.int32),
+            ),
+            input_output_aliases={0: 1},
+            scratch_shapes=[pltpu.VMEM((ns, ny, nx), jnp.float32)],
+            interpret=interpret,
+        )(cur, canv, ih_flat, ath)
+        clists.append(clist_b[:nb])
+        if b + 1 < nblocks:
+            ath_val = jax.lax.bitcast_convert_type(
+                shift[0, 2], jnp.float32
+            )
+            ath = jnp.full((1, 128), ath_val, jnp.float32)
+    clist = (
+        clists[0] if nblocks == 1 else jnp.concatenate(clists, axis=0)
     )
-    clist, smres_out, _shift = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((nlist, 128), jnp.float32),
-            jax.ShapeDtypeStruct((ns, nm, ny, nx), jnp.float32),
-            jax.ShapeDtypeStruct((1, 128), jnp.int32),
-        ),
-        input_output_aliases={0: 1},
-        scratch_shapes=[pltpu.VMEM((ns, ny, nx), jnp.float32)],
-        interpret=interpret,
-    )(
-        smres.astype(jnp.float32),
-        canv,
-        ih_flat,
-    )
+    smres_out = cur
     pscale_big = _pad_psf_like(pscalestack.astype(jnp.float32), ny, nx)
 
     def step(model, row):
@@ -1798,7 +1866,6 @@ def _msmfs_pallas_ok(
     return (
         nscales <= 4
         and nmoment <= 3
-        and int(niter) <= 16384
         and vmem <= 11 * 1024 * 1024
         and py <= ny and px <= nx
         and nx % 128 == 0 and px % 128 == 0

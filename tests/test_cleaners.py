@@ -475,3 +475,55 @@ class TestPallasMsmfsParity:
             jnp.zeros((3, 1024, 1024)), (1024, 1024), 4, 3, None, None,
             "RASCIL", 1000, True,
         )
+
+
+class TestBlockChainedCornerKernels:
+    """niter beyond the VMEM component-list cap runs as chained kernel
+    calls carrying the residual and the first block's absthreshold
+    (round 5: lifts the niter<=16384 gate)."""
+
+    @staticmethod
+    def _clear():
+        import jax
+
+        jax.clear_caches()
+
+    def test_msclean_blocks_match_single(self, rng, monkeypatch):
+        from ska_sdp_func_python_tpu.ops import cleaners as cl
+
+        d, p = TestPallasMscleanParity()._setup(rng, n=256, pn=128)
+        kw = dict(gain=0.1, thresh=0.0, niter=33, scales=(0, 3),
+                  fracthresh=0.01)
+        c0, r0 = cl.msclean(d, p, None, None, use_pallas=True, **kw)
+        monkeypatch.setattr(cl, "_CORNER_LIST_CAP", 8)
+        kw["niter"] = 34  # distinct static arg -> fresh trace
+        c1, r1 = cl.msclean(d, p, None, None, use_pallas=True, **kw)
+        # one extra iteration at most separates the runs; residuals of
+        # the common prefix agree (compare against a fresh 34-iter
+        # single-block run instead)
+        monkeypatch.setattr(cl, "_CORNER_LIST_CAP", 8192)
+        self._clear()
+        c2, r2 = cl.msclean(d, p, None, None, use_pallas=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(c1), np.asarray(c2), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1), np.asarray(r2), atol=1e-6
+        )
+
+    def test_msmfs_blocks_match_single(self, rng, monkeypatch):
+        from ska_sdp_func_python_tpu.ops import cleaners as cl
+
+        d, p = TestPallasMsmfsParity()._setup(rng)
+        kw = dict(gain=0.1, niter=26, scales=[0, 4], fracthresh=0.01)
+        monkeypatch.setattr(cl, "_MSMFS_LIST_CAP", 7)
+        c1, r1 = cl.msmfsclean(d, p, use_pallas=True, **kw)
+        monkeypatch.setattr(cl, "_MSMFS_LIST_CAP", 4096)
+        self._clear()
+        c2, r2 = cl.msmfsclean(d, p, use_pallas=True, **kw)
+        np.testing.assert_allclose(
+            np.asarray(c1), np.asarray(c2), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1), np.asarray(r2), atol=1e-6
+        )
