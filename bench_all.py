@@ -231,13 +231,31 @@ def bench_clean():
     spreads["msclean_bounded"] = spreads["msclean"]
     # the complex list kernel's [niter, 128] row list caps at 2048
     spreads["complex"] = (200, 2000)
+
+    # msclean at 1024^2 (VERDICT r4 item 4): the corner kernel's stacks
+    # exceed VMEM at this size, so this measures the XLA while_loop path
+    n4 = 1024
+    d4 = rng.normal(size=(n4, n4)).astype(np.float32)
+    d4[rng.integers(0, n4, 80), rng.integers(0, n4, 80)] += 50.0
+    d4_j = jnp.asarray(d4)
+
+    def run_msclean_1024(niter):
+        c, r = msclean(
+            d4_j, psf_b, None, None, gain=0.1, thresh=0.0,
+            niter=niter, scales=(0, 3, 10), fracthresh=0.0,
+        )
+        return r
+
+    spreads["msclean1024"] = (2000, 10000)
     for name, fn in (
         ("hogbom_minor_cycles_per_s", run_hogbom),
         ("msclean_minor_cycles_per_s", run_msclean),
         ("msclean_bounded_minor_cycles_per_s", run_msclean_bounded),
+        ("msclean1024_minor_cycles_per_s", run_msclean_1024),
         ("complex_hogbom_1024_minor_cycles_per_s", run_complex_1024),
     ):
         niter_lo, niter_hi = spreads[name.split("_")[0]]
+        unit_n = "1024^2" if "1024" in name else "512^2"
         ts = {}
         for niter in (niter_lo, niter_hi):
             sync(fn(niter))
@@ -251,7 +269,7 @@ def bench_clean():
         row = {
             "metric": name,
             "value": round(1.0 / slope, 1),
-            "unit": "minor cycles/s (512^2, steady state)",
+            "unit": f"minor cycles/s ({unit_n}, steady state)",
             "vs_baseline": None,
         }
         if name.startswith("hogbom"):
