@@ -1163,14 +1163,15 @@ def _msclean_corner_kernel(
     # Mosaic cannot store scalars to VMEM — write a full [1, 128] row;
     # col 2 carries the absthresh used (bitcast into the int row) so
     # block-chained calls can reuse it
+    # Mosaic rejects SCALAR tpu.bitcast: broadcast to a [1, 128] row
+    # first, bitcast the vector, then select col 2
+    ath_bits = jax.lax.bitcast_convert_type(
+        jnp.zeros((1, 128), jnp.float32) + absthresh, jnp.int32
+    )
     shift_ref[...] = (
         jnp.where(col == 0, sy, 0)
         + jnp.where(col == 1, sx, 0)
-        + jnp.where(
-            col == 2,
-            jax.lax.bitcast_convert_type(absthresh, jnp.int32),
-            0,
-        )
+        + jnp.where(col == 2, ath_bits, 0)
     )
 
 
@@ -1738,14 +1739,15 @@ def _msmfs_corner_kernel(
                 ),
                 jax.lax.rem(jnp.int32(nx) - sx, jnp.int32(nx)), 1,
             )
+    # Mosaic rejects SCALAR tpu.bitcast: broadcast to a [1, 128] row
+    # first, bitcast the vector, then select col 2
+    ath_bits = jax.lax.bitcast_convert_type(
+        jnp.zeros((1, 128), jnp.float32) + absthresh, jnp.int32
+    )
     shift_ref[...] = (
         jnp.where(col == 0, sy, 0)
         + jnp.where(col == 1, sx, 0)
-        + jnp.where(
-            col == 2,
-            jax.lax.bitcast_convert_type(absthresh, jnp.int32),
-            0,
-        )
+        + jnp.where(col == 2, ath_bits, 0)
     )
 
 
