@@ -345,7 +345,7 @@ def bench_msmfs():
         return res
 
     ts = {}
-    for niter in (500, 5000):
+    for niter in (500, 12500):
         sync(run(niter))
         best = 1e9
         for _ in range(5):
@@ -353,7 +353,7 @@ def bench_msmfs():
             sync(run(niter))
             best = min(best, time.perf_counter() - t0)
         ts[niter] = best
-    slope = (ts[5000] - ts[500]) / 4500.0
+    slope = (ts[12500] - ts[500]) / 12000.0
     print(
         json.dumps(
             {
