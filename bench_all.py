@@ -256,16 +256,22 @@ def bench_clean():
     ):
         niter_lo, niter_hi = spreads[name.split("_")[0]]
         unit_n = "1024^2" if "1024" in name else "512^2"
-        ts = {}
-        for niter in (niter_lo, niter_hi):
-            sync(fn(niter))
-            best = 1e9
-            for _ in range(3):
-                t0 = time.perf_counter()
-                sync(fn(niter))
-                best = min(best, time.perf_counter() - t0)
-            ts[niter] = best
-        slope = (ts[niter_hi] - ts[niter_lo]) / (niter_hi - niter_lo)
+        # INTERLEAVED pairs + median of differences: the tunnel's fixed
+        # dispatch cost drifts by hundreds of ms between minutes, so
+        # separately-minimised phases can produce negative slopes; the
+        # paired difference cancels the drift (round-5 protocol)
+        sync(fn(niter_lo))
+        sync(fn(niter_hi))
+        diffs = []
+        for _ in range(7):
+            t0 = time.perf_counter()
+            sync(fn(niter_lo))
+            a = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            sync(fn(niter_hi))
+            b = time.perf_counter() - t0
+            diffs.append(b - a)
+        slope = float(np.median(diffs)) / (niter_hi - niter_lo)
         row = {
             "metric": name,
             "value": round(1.0 / slope, 1),
