@@ -83,6 +83,21 @@ def _bench_baseline_metrics():
                     print(line, file=sys.stderr)
         except Exception as exc:  # pragma: no cover - best effort
             print(f"# {leg} bench skipped: {exc}", file=sys.stderr)
+    # the epsilon-contract chip check (edge source vs host-f64 DFT
+    # oracle through the public API) — the accuracy side of the record
+    try:
+        out = subprocess.run(
+            [sys.executable, "bench_accuracy_chip.py"],
+            capture_output=True, text=True, timeout=1200,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        for line in out.stderr.splitlines():
+            if line.startswith("#"):
+                print(line, file=sys.stderr)
+    except Exception as exc:  # pragma: no cover - best effort
+        print(f"# accuracy bench skipped: {exc}", file=sys.stderr)
 
 
 def main():
