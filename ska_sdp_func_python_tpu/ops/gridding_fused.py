@@ -180,7 +180,8 @@ def _pad_stream(n: int, chunk: int) -> int:
 
 
 def _payload_stack(u_s, v_s, f_s, r3, r4, *, npixel, support, tile,
-                   beta: float | None = None, u_lo=None, v_lo=None):
+                   beta: float | None = None, u_lo=None, v_lo=None,
+                   taps_scale=None):
     """Stack the sorted per-entry stream into the kernel payload.
 
     Standard (support-8) configs get the 24-row tap payload:
@@ -208,6 +209,11 @@ def _payload_stack(u_s, v_s, f_s, r3, r4, *, npixel, support, tile,
     rel_v = (iv0c % tile).astype(jnp.float32)
     rot_ku = _rot8(_es_taps8(u_s, iu0c, support, beta, lo=u_lo), iu0c)
     rot_kv = _rot8(_es_taps8(v_s, iv0c, support, beta, lo=v_lo), iv0c)
+    if taps_scale is not None:
+        # per-entry factor (e.g. the ES w-kernel pair weight of an
+        # eskernel-plan entry copy) folded into the stored taps: zero
+        # runtime cost
+        rot_ku = rot_ku * taps_scale.astype(jnp.float32)[None, :]
     head = jnp.stack([rel_u, rel_v, f_s, r3, r4, z, z, z])
     return jnp.concatenate([head, rot_ku, rot_kv])
 

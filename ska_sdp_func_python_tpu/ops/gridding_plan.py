@@ -141,6 +141,7 @@ def make_grid_plan(
     beta: float | None = None,
     u_lo=None,
     v_lo=None,
+    taps_scale=None,
 ) -> GridPlan:
     """Build a reusable plan from fractional grid coordinates.
 
@@ -149,8 +150,20 @@ def make_grid_plan(
     degridding on these coordinates. ``u_lo``/``v_lo``: f32 residuals of
     split (hi, lo) coordinate pairs — the compensated mode that keeps
     f64 positional precision on an f32-only device (make_imaging_plan
-    computes the split host-side).
+    computes the split host-side). ``taps_scale``: optional [N] per-entry
+    factor folded into the stored ku taps at zero runtime cost — the
+    ES-kernel w-gridding plan mode ships each visibility as
+    ``w_support/2`` entry copies whose pair weight (a+b) rides here
+    (make_imaging_plan w_interp="eskernel"); requires the support-8 tap
+    payload.
     """
+    from .gridding_fused import use_tap_payload
+
+    if taps_scale is not None and not use_tap_payload(support, tile):
+        raise ValueError(
+            "taps_scale needs the support-8 tap payload "
+            f"(support={support}, tile={tile})"
+        )
     # f64 coordinates are kept through the sort so the payload taps are
     # evaluated at full positional precision (cast to f32 only at the
     # tap store, see _payload_stack)
@@ -207,9 +220,12 @@ def make_grid_plan(
         if comp
         else ()
     )
+    if taps_scale is not None:
+        ops = ops + (taps_scale.astype(jnp.float32),)
     sorted_ops = jax.lax.sort(ops, num_keys=1)
     seg_s, u_s, v_s, f_s, ib_s = sorted_ops[:5]
     ulo_s, vlo_s = (sorted_ops[5], sorted_ops[6]) if comp else (None, None)
+    ts_s = sorted_ops[-1] if taps_scale is not None else None
     perm = jax.lax.bitcast_convert_type(ib_s, jnp.int32)
     # rank[i] = sorted position of original entry i (perm's inverse)
     _, rank = jax.lax.sort((perm, iota), num_keys=1)
@@ -225,12 +241,15 @@ def make_grid_plan(
     if comp:
         ulo_s = jnp.concatenate([ulo_s, pz])
         vlo_s = jnp.concatenate([vlo_s, pz])
+    if ts_s is not None:
+        ts_s = jnp.concatenate([ts_s, pz])
     ib2 = jax.lax.bitcast_convert_type(
         jnp.arange(n + npad, dtype=jnp.int32), jnp.float32
     )
     geo = _payload_stack(
         u_s, v_s, f_s, ib_s, ib2, npixel=npixel, support=support,
         tile=tile, beta=beta, u_lo=ulo_s, v_lo=vlo_s,
+        taps_scale=ts_s,
     )  # [8 or 24, Npad]
 
     starts, counts = sorted_seg_bounds(seg_s, nseg)

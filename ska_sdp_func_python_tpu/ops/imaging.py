@@ -725,6 +725,7 @@ def predict_core(
         "support",
         "nw",
         "do_wstacking",
+        "ncopies",
     ],
 )
 @_dataclass(frozen=True)
@@ -753,6 +754,9 @@ class ImagingPlan:
     support: int
     nw: int
     do_wstacking: bool
+    # entry copies per visibility: 1 (linear w / 2d) or w_support // 2
+    # (ES-kernel w-gridding plans — see make_imaging_plan)
+    ncopies: int = 1
 
 
 def make_imaging_plan(
@@ -800,6 +804,123 @@ def make_imaging_plan(
             isinstance(u, np.ndarray)
             and u.dtype == np.float64
             and not jax.config.jax_enable_x64
+        )
+    if w_interp == "eskernel" and wstack:
+        # ES-kernel w-gridding on the FUSED plan path: each visibility
+        # becomes w_support//2 entry copies, copy c covering the plane
+        # pair (j0+2c, j0+2c+1) through the kernel's existing lo/hi
+        # panels — arbitrary per-pair weights (a, b) map exactly onto
+        # the (1-frac, frac) form as frac' = b/(a+b) with the pair mass
+        # (a+b) folded into the stored ku taps (taps_scale) at zero
+        # runtime cost. The image-plane w-kernel correction folds into
+        # corr_c. Uniform-over-the-field w accuracy at fused-gridder
+        # speed (round 5; the core/tiled route serves the same math
+        # ~10x slower).
+        if support != 8:
+            raise ValueError(
+                "eskernel plans need the support-8 tap payload"
+            )
+        ssw = support
+        halfw = ssw / 2.0
+        u64 = np.asarray(u, np.float64)
+        v64 = np.asarray(v, np.float64)
+        w64 = np.asarray(w, np.float64)
+        up64 = -u64 * scale + npad // 2
+        vp64 = v64 * scale + npad // 2
+        if w_range is not None:
+            wmin, wmax = float(w_range[0]), float(w_range[1])
+        else:
+            wmin, wmax = float(w64.min()), float(w64.max())
+        if nw < ssw + 2:
+            raise ValueError(
+                f"eskernel plans need nw >= {ssw + 2}, got {nw}"
+            )
+        ni = nw - ssw
+        rng_w = wmax - wmin
+        wstep = rng_w / max(ni - 1, 1) if rng_w > 0 else 1.0
+        w_lo_edge = wmin - (ssw / 2) * wstep
+        t = (w64 - w_lo_edge) / wstep
+        j0 = np.clip(
+            np.floor(t).astype(np.int32) - (ssw // 2 - 1), 0, nw - ssw
+        )
+
+        def es_np(nu):
+            b = _es_beta(ssw, 2.0)
+            nu2 = np.clip(nu * nu, 0.0, 1.0)
+            k = np.exp(b * (np.sqrt(1.0 - nu2) - 1.0))
+            return np.where(np.abs(nu) < 1.0, k, 0.0)
+
+        ncopies = ssw // 2
+        p0_list, frac_list, ts_list = [], [], []
+        for c in range(ncopies):
+            a = es_np((j0 + 2 * c - t) / halfw)
+            b = es_np((j0 + 2 * c + 1 - t) / halfw)
+            m = a + b
+            safe = np.where(m > 0, m, 1.0)
+            p0_list.append(j0 + 2 * c)
+            frac_list.append((b / safe).astype(np.float64))
+            ts_list.append(m.astype(np.float64))
+        p0_np = np.concatenate(p0_list)
+        frac_np = np.concatenate(frac_list)
+        ts_np = np.concatenate(ts_list)
+        up_t = np.tile(up64, ncopies)
+        vp_t = np.tile(vp64, ncopies)
+        plane_w_np = w_lo_edge + wstep * np.arange(nw)
+        if jax.config.jax_enable_x64:
+            u_pix = jnp.asarray(up_t)
+            v_pix = jnp.asarray(vp_t)
+        else:
+            u_hi = up_t.astype(np.float32)
+            v_hi = vp_t.astype(np.float32)
+            u_pix = jnp.asarray(u_hi)
+            v_pix = jnp.asarray(v_hi)
+            u_lo = jnp.asarray((up_t - u_hi).astype(np.float32))
+            v_lo = jnp.asarray((vp_t - v_hi).astype(np.float32))
+        gp = make_grid_plan(
+            u_pix,
+            v_pix,
+            jnp.asarray(p0_np),
+            jnp.asarray(frac_np.astype(np.float32)),
+            npixel=npad,
+            support=support,
+            nplanes=nw,
+            tile=_tile_for(npad),
+            chunk=chunk,
+            beta=beta,
+            u_lo=u_lo,
+            v_lo=v_lo,
+            taps_scale=jnp.asarray(ts_np.astype(np.float32)),
+        )
+        plane_w = jnp.asarray(plane_w_np.astype(np.float32))
+        fov = npad * cellsize
+        wb = jax.lax.map(
+            lambda wp: extract_mid(w_beam(npad, fov, wp), npixel),
+            plane_w,
+        )
+        wb_r = jnp.real(wb).astype(jnp.float32)
+        wb_i = jnp.imag(wb).astype(jnp.float32)
+        corr_c = extract_mid(
+            grid_correction(npad, support, dtype=jnp.float32, beta=beta),
+            npixel,
+        ) * extract_mid(
+            w_kernel_correction(
+                npad, cellsize, wstep, ssw, jnp.float32
+            ),
+            npixel,
+        )
+        return ImagingPlan(
+            gp=gp,
+            plane_w=plane_w,
+            wb_r=wb_r,
+            wb_i=wb_i,
+            corr_c=corr_c,
+            npixel=npixel,
+            npad=npad,
+            cellsize=float(cellsize),
+            support=support,
+            nw=nw,
+            do_wstacking=do_wstacking,
+            ncopies=ncopies,
         )
     if compensated:
         up64 = -np.asarray(u, np.float64) * scale + npad // 2
@@ -955,6 +1076,14 @@ def _invert_with_plan_jit(
     from .gridding_plan import grid_with_plan
 
     weighted = vals if wgt is None else vals * wgt.astype(vals.dtype)
+    if plan.ncopies > 1:
+        # eskernel plan: w_support//2 entry copies per visibility (the
+        # per-copy ES pair weights live in the stored taps)
+        if values_sorted:
+            raise ValueError(
+                "values_sorted is not supported on eskernel plans"
+            )
+        weighted = jnp.tile(weighted, plan.ncopies)
     grids = grid_with_plan(
         plan.gp, weighted, values_sorted=values_sorted,
         interpret=interpret, precision=precision,
@@ -1197,10 +1326,18 @@ def _predict_with_plan_jit(
     # the image is zero outside the central npixel^2, so the correction and
     # the (conjugate) w-beam multiplies only happen there, pre-padding
     grids = image_to_uv_grids(plan, image, head=tail)
-    return degrid_with_plan(
+    vals = degrid_with_plan(
         plan.gp, grids, to_sorted=to_sorted, interpret=interpret,
         precision=precision,
     )
+    if plan.ncopies > 1:
+        if to_sorted:
+            raise ValueError(
+                "to_sorted is not supported on eskernel plans"
+            )
+        # sum the per-copy ES-weighted plane-pair contributions
+        vals = vals.reshape(plan.ncopies, -1).sum(axis=0)
+    return vals
 
 
 # --------------------------------------------------------------------------
@@ -1277,6 +1414,7 @@ def make_visibility_plan(
                 nw=nwp,
                 do_wstacking=do_wstacking,
                 w_range=kwargs.get("w_range"),
+                w_interp=kwargs.get("w_interp", "linear"),
                 # fractional ducc0-style oversampling: with the ES beta
                 # scaled to sigma (gridding._es_beta), 1.25 keeps the
                 # aliasing floor ~1e-6 (vs 1e-7 at 2.0) and makes the
@@ -1311,16 +1449,21 @@ _PLAN_CACHE: "OrderedDict[tuple, tuple]" = OrderedDict()
 def _auto_plan(
     vis: Visibility, model: Image, support: int, nwp: int,
     do_wstacking: bool, padding, coords: str = "device",
+    w_interp: str = "linear",
 ) -> "VisibilityImagingPlan | None":
     from ..config import plan_cache_size
 
     size = plan_cache_size()
     if size <= 0:
         return None
+    if w_interp not in ("linear", "nearest", "eskernel"):
+        # quadratic etc. live in the tiled core path only
+        return None
     key = (
         id(vis.uvw), id(vis.frequency), tuple(vis.uvw.shape),
         model.npixel, float(model.cellsize), model.nchan, vis.nchan,
         int(support), int(nwp), bool(do_wstacking), padding, coords,
+        w_interp,
     )
     hit = _PLAN_CACHE.get(key)
     if hit is not None:
@@ -1337,7 +1480,7 @@ def _auto_plan(
         context="ng" if do_wstacking else "2d",
         support=support, nw=nwp, do_wstacking=do_wstacking,
         padding=2 if padding is None else padding,
-        coords=coords,
+        coords=coords, w_interp=w_interp,
     )
     _PLAN_CACHE[key] = (vis.uvw, vis.frequency, plan)
     while len(_PLAN_CACHE) > size:
@@ -1467,8 +1610,21 @@ def invert_visibility(
                 )
         if acc.w_interp != "linear":
             kwargs["w_interp"] = acc.w_interp
-        if acc.gridder is not None or acc.w_interp == "eskernel":
-            # the multi-plane w stencils live in the tiled core path
+        plan_capable = (
+            acc.gridder is None
+            and acc.w_interp == "eskernel"
+            and acc.support == 8
+            and do_wstacking
+            and nw is not None and nw >= acc.support + 2
+        )
+        if plan_capable:
+            # f32 rows ride the eskernel PLAN path: the fused Pallas
+            # gridder with w_support//2 entry copies and ES pair weights
+            # folded into the taps — the same field-uniform w accuracy
+            # as the tiled core route at ~10x its speed (round 5)
+            kwargs["coords"] = "host64"
+        elif acc.gridder is not None or acc.w_interp == "eskernel":
+            # deep x64 rows (and 2d eskernel) use the tiled core path
             plan, kwargs["auto_plan"] = None, False
             kwargs["gridder"] = acc.gridder or "tiled"
             if acc.coords == "host64":
@@ -1514,6 +1670,7 @@ def invert_visibility(
         plan = _auto_plan(
             vis, model, support, nwp, do_wstacking,
             kwargs.get("padding"), kwargs.get("coords", "device"),
+            kwargs.get("w_interp", "linear"),
         )
     pixels = jnp.zeros_like(model.pixels)
     sumwt = jnp.zeros((nchan_img, npol_img), dtype=wgt.dtype)
@@ -1617,8 +1774,21 @@ def predict_visibility(
                 )
         if acc.w_interp != "linear":
             kwargs["w_interp"] = acc.w_interp
-        if acc.gridder is not None or acc.w_interp == "eskernel":
-            # the multi-plane w stencils live in the tiled core path
+        plan_capable = (
+            acc.gridder is None
+            and acc.w_interp == "eskernel"
+            and acc.support == 8
+            and do_wstacking
+            and nw is not None and nw >= acc.support + 2
+        )
+        if plan_capable:
+            # f32 rows ride the eskernel PLAN path: the fused Pallas
+            # gridder with w_support//2 entry copies and ES pair weights
+            # folded into the taps — the same field-uniform w accuracy
+            # as the tiled core route at ~10x its speed (round 5)
+            kwargs["coords"] = "host64"
+        elif acc.gridder is not None or acc.w_interp == "eskernel":
+            # deep x64 rows (and 2d eskernel) use the tiled core path
             plan, kwargs["auto_plan"] = None, False
             kwargs["gridder"] = acc.gridder or "tiled"
             if acc.coords == "host64":
@@ -1644,6 +1814,7 @@ def predict_visibility(
         plan = _auto_plan(
             vis, model, support, nwp, do_wstacking,
             kwargs.get("padding"), kwargs.get("coords", "device"),
+            kwargs.get("w_interp", "linear"),
         )
 
     from ..config import czeros

@@ -336,3 +336,32 @@ class TestAdversarialEpsilon:
         img = np.asarray(dirty.pixels)[0, 0]
         iy, ix = np.unravel_index(np.argmax(img), img.shape)
         assert (ix, iy) == (npix // 2 + 90, npix // 2 + 70)
+
+    def test_edge_source_plan_path(self):
+        """The f32 epsilon rows ride the eskernel PLAN path (fused
+        gridder, ES pair weights folded into the taps) when a plan is
+        available — same field-uniform accuracy as the tiled core route
+        (round 5). Forced on here (auto_plan defaults off on CPU)."""
+        vis, vis_dft, mimg = self._setup()
+        got = predict_visibility(
+            vis, mimg, context="ng", epsilon=1e-5, auto_plan=True
+        )
+        err = np.max(
+            np.abs(np.asarray(got.vis) - np.asarray(vis_dft.vis))
+        )
+        assert err < 1e-5, err
+        # second call on the same coordinates rides the plan cache
+        got2 = predict_visibility(
+            vis, mimg, context="ng", epsilon=1e-5, auto_plan=True
+        )
+        assert np.array_equal(
+            np.asarray(got2.vis), np.asarray(got.vis)
+        )
+        # invert through the same plan recovers the edge source
+        npix = 256
+        dirty, _ = invert_visibility(
+            vis_dft, mimg, context="ng", epsilon=1e-5, auto_plan=True
+        )
+        img = np.asarray(dirty.pixels)[0, 0]
+        iy, ix = np.unravel_index(np.argmax(img), img.shape)
+        assert (ix, iy) == (npix // 2 + 90, npix // 2 + 70)
