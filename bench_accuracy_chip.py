@@ -67,7 +67,16 @@ def main():
     rows = []
     for eps in (1e-4, 1e-5, 5e-6):
         t0 = time.time()
-        got = predict_visibility(vis, mimg, context="ng", epsilon=eps)
+        try:
+            got = predict_visibility(
+                vis, mimg, context="ng", epsilon=eps
+            )
+        except ValueError as exc:
+            # honest refusal below the f32 floor (x64 unlocks deeper)
+            rows.append({"eps": eps, "refused": str(exc)[:120]})
+            print(f"# predict eps={eps:g}: REFUSED (below f32 floor)",
+                  file=sys.stderr, flush=True)
+            continue
         gr = np.asarray(jnp.real(got.vis)).reshape(-1)
         gi = np.asarray(jnp.imag(got.vis)).reshape(-1)
         err = float(np.max(np.abs((gr + 1j * gi) - oracle)))
@@ -97,11 +106,12 @@ def main():
         f"val {img[iy, ix]:.4f} ok={peak_ok}",
         file=sys.stderr,
     )
+    delivered = [r for r in rows if "err" in r]
     print(json.dumps({
         "metric": "chip_epsilon_contract_edge_source",
-        "value": rows[-1]["err"],
-        "unit": "max predict err vs host-f64 DFT at eps=3e-6 (512^2, "
-                "edge source, f32 chip path)",
+        "value": delivered[-1]["err"] if delivered else None,
+        "unit": "max predict err vs host-f64 DFT at the tightest "
+                "servable f32 eps (512^2, edge source)",
         "rows": rows,
         "invert_peak_ok": bool(peak_ok),
         "invert_peak": float(img[iy, ix]),
