@@ -339,3 +339,62 @@ def test_streamed_warm_start_continues(tmp_path, rng):
     assert pw <= p2 * 1.01, (pw, p2)
     # warm-started 2+2 lands in the monolithic 4-cycle ballpark
     assert pw <= max(2.0 * p4, 0.05), (pw, p4)
+
+
+def test_streamed_f16_wire_matches_f32(tmp_path, rng):
+    """wire_dtype="f16" (per-slab-scaled observed streams, dequantised
+    on device) reproduces the f32-wire run within the quantisation
+    budget (round 5: the 1B out-of-core wire-compression mode)."""
+    vis, model, _ = _source_vis(rng, flux=2.0)
+    gt = create_gaintable_from_visibility(vis, jones_type="T")
+    gt = _simulate_gaintable(gt, rng, phase_error=0.3)
+    corrupted = apply_gaintable(vis, gt)
+    path = str(tmp_path / "wire.svis")
+    write_visibility(corrupted, path, chunk_times=2)
+    r32 = streamed_ical(
+        path, model, PC, chunk_times=2, calibration_context="T",
+        **CLEAN_KW,
+    )
+    r16 = streamed_ical(
+        path, model, PC, chunk_times=2, calibration_context="T",
+        wire_dtype="f16", **CLEAN_KW,
+    )
+    p32 = float(jnp.max(r32.restored.pixels))
+    p16 = float(jnp.max(r16.restored.pixels))
+    assert abs(p32 - p16) < 5e-3 * max(abs(p32), 1.0), (p32, p16)
+
+
+def test_streamed_uvw_compute_matches_store(tmp_path, rng):
+    """uvw_compute= (device-side uvw from geometry) must reproduce the
+    store-uvw run when the callable returns the same coordinates."""
+    vis, model, _ = _source_vis(rng, flux=2.0)
+    gt = create_gaintable_from_visibility(vis, jones_type="T")
+    gt = _simulate_gaintable(gt, rng, phase_error=0.3)
+    corrupted = apply_gaintable(vis, gt)
+    path = str(tmp_path / "geom.svis")
+    write_visibility(corrupted, path, chunk_times=2)
+    times = np.asarray(corrupted.time)
+    uvw_all = np.asarray(corrupted.uvw)  # [T, B, 3]
+
+    def uvw_compute(tsec):
+        # lookup-based stand-in for an analytic geometry closure: maps
+        # each (possibly padded) time to its uvw rows
+        idx = jnp.clip(
+            jnp.searchsorted(jnp.asarray(times.astype(tsec.dtype)), tsec),
+            0, len(times) - 1,
+        )
+        return jnp.asarray(uvw_all.astype(np.float64))[idx]
+
+    r_store = streamed_ical(
+        path, model, PC, chunk_times=2, calibration_context="T",
+        **CLEAN_KW,
+    )
+    r_geom = streamed_ical(
+        path, model, PC, chunk_times=2, calibration_context="T",
+        uvw_compute=uvw_compute, **CLEAN_KW,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_geom.restored.pixels),
+        np.asarray(r_store.restored.pixels),
+        atol=1e-6,
+    )
